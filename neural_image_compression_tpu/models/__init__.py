@@ -1,0 +1,21 @@
+from neural_image_compression_tpu.models.components import (
+    Encoder5x5, Decoder5x5, Encoder3x3, Decoder3x3,
+    HyperEncoder5x5, HyperDecoder5x5, HyperEncoder3x3, HyperDecoder3x3,
+    LatentSpaceTransform,
+)
+from neural_image_compression_tpu.models.parameters import EntropyParameters
+from neural_image_compression_tpu.models.joint_ar import (
+    JointAutoregressiveHierarchical, HierarchicalMixtureResidual,
+    noise_quantize, round_quantize, quantize,
+)
+from neural_image_compression_tpu.models.factorized_prior import FactorizedPrior
+from neural_image_compression_tpu.models.scalable import ScalableImageCoding
+
+__all__ = [
+    "Encoder5x5", "Decoder5x5", "Encoder3x3", "Decoder3x3",
+    "HyperEncoder5x5", "HyperDecoder5x5", "HyperEncoder3x3", "HyperDecoder3x3",
+    "LatentSpaceTransform", "EntropyParameters",
+    "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
+    "FactorizedPrior", "ScalableImageCoding",
+    "noise_quantize", "round_quantize", "quantize",
+]

@@ -1,0 +1,175 @@
+"""NHWC convolution primitives.
+
+TPU-native replacements for the reference's torch conv usage. All tensors are
+NHWC (channel-last — the efficient TPU conv layout; the reference is NCHW),
+kernels are HWIO. Transposed convolution reproduces torch's
+``ConvTranspose2d(kernel_size=k, stride=s, padding=p, output_padding=op)``
+output geometry (out = (in-1)*s - 2p + k + op) via ``lhs_dilation``, which XLA
+lowers onto the MXU directly.
+
+Reference geometry being matched (see /root/reference):
+  * Components.py:10-16 — 5x5 stride-2 convs, padding 2 (encoder).
+  * Components.py:39-45 — 5x5 stride-2 deconvs, padding 2, output_padding 1.
+  * Layers.py:18-24    — TransposedDeconv3x3: k=3, stride=s, padding=1,
+                         output_padding=s-1.
+  * Layers.py:6-16     — SubpelConv3x3: 3x3 conv to out*u^2 channels + pixel
+                         shuffle (dead code in the reference wiring, kept for
+                         capability parity).
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+_DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """Kaiming-uniform(a=sqrt(5)) — torch's Conv2d default — for HWIO kernels.
+
+    Keeps early-training dynamics comparable to the reference without copying
+    any code: bound = 1/sqrt(fan_in), fan_in = kh*kw*in_ch.
+    """
+    kh, kw, in_ch, _ = shape
+    fan_in = kh * kw * in_ch
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_bias_init(fan_in: int) -> Callable:
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+    return init
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
+           stride: int = 1, padding: int = 0) -> jax.Array:
+    """Plain strided conv, torch-style symmetric integer padding."""
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DIMENSION_NUMBERS,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def deconv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
+             stride: int = 2, padding: int = 0, output_padding: int = 0) -> jax.Array:
+    """Fractionally-strided conv with torch ConvTranspose2d geometry.
+
+    Implemented as input-dilated conv: pad the s-dilated input by
+    (k-1-p, k-1-p+op) per spatial dim and run a stride-1 VALID conv. The
+    kernel here convolves directly (it is trained in this orientation); to
+    import torch ConvTranspose2d weights, flip them spatially and swap I/O.
+    """
+    k = kernel.shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1, 1),
+        padding=((lo, hi), (lo, hi)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMENSION_NUMBERS,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class Conv2d(nn.Module):
+    """Conv with torch-default init; NHWC in/out."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None  # compute dtype; params stay float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", torch_kernel_init, (k, k, in_ch, self.features))
+        bias = (self.param("bias", torch_bias_init(k * k * in_ch), (self.features,))
+                if self.use_bias else None)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        return conv2d(x, kernel, bias, self.stride, self.padding)
+
+
+class Deconv2d(nn.Module):
+    """Transposed conv (torch geometry) with torch-default init; NHWC in/out."""
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param("kernel", torch_kernel_init, (k, k, in_ch, self.features))
+        # torch ConvTranspose2d bias bound uses fan_in = out_ch*k*k of its
+        # (in,out,kh,kw) weight; replicate that.
+        bias = (self.param("bias", torch_bias_init(k * k * self.features), (self.features,))
+                if self.use_bias else None)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        return deconv2d(x, kernel, bias, self.stride, self.padding, self.output_padding)
+
+
+def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
+    """NHWC pixel shuffle: (B,H,W,C*r^2) -> (B,H*r,W*r,C)."""
+    b, h, w, c = x.shape
+    r = factor
+    oc = c // (r * r)
+    x = x.reshape(b, h, w, r, r, oc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, oc)
+
+
+class SubpelConv3x3(nn.Module):
+    """3x3 conv + pixel shuffle upsampler (capability parity: Layers.py:6-16)."""
+
+    features: int
+    upsample: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv2d(self.features * self.upsample ** 2, 3, 1, 1, dtype=self.dtype)(x)
+        return pixel_shuffle(x, self.upsample)
+
+
+class TransposedDeconv3x3(nn.Module):
+    """3x3 transposed-conv upsampler (Layers.py:18-24): k=3, p=1, op=s-1."""
+
+    features: int
+    upsample: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return Deconv2d(self.features, 3, stride=self.upsample, padding=1,
+                        output_padding=self.upsample - 1, dtype=self.dtype)(x)

@@ -1,0 +1,138 @@
+"""Rate-distortion objectives (capability parity with RateDistortionLoss.py).
+
+TPU-first difference from the reference: every diagnostic stays a JAX array
+(the reference calls `.item()` on ~10 values per step,
+RateDistortionLoss.py:40-47, forcing a device sync inside the hot loop). Here
+the whole dict flows out of the jitted train step and is materialized
+asynchronously by the logger.
+
+Semantics preserved exactly:
+  * rd_loss (RateDistortionLoss.py:5-49):
+      bpp = -sum(logp)/ln2/(H*W) per image, mean over batch;
+      loss = bpp_total + lambda * 255^2 * MSE.
+  * vision_rd_loss (RateDistortionLoss.py:52-121): two-layer rates (y1,y2,z);
+    optional distillation ||frozen_act(F_tilde) - V(x_hat)||^2 weighted by
+    gamma; NOTE: lambda multiplies raw-scale MSE here (no 255^2 factor) —
+    an intentional reference semantic we preserve (SURVEY §2.3-4).
+"""
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+_LN2 = math.log(2.0)
+_EPS = 1e-8
+
+
+def _sum_nonbatch(x: jax.Array) -> jax.Array:
+    return jnp.sum(x, axis=tuple(range(1, x.ndim)))
+
+
+def _num_pixels(x: jax.Array) -> int:
+    # x is NHWC: pixels = H*W (reference computes H*W from NCHW dims 2,3).
+    return x.shape[1] * x.shape[2]
+
+
+def rd_loss(model_out: Dict[str, jax.Array], x: jax.Array, lambda_rd: float) -> Dict[str, jax.Array]:
+    logp_y = model_out["logp_y"]
+    logp_z = model_out["logp_z"]
+
+    bits_y = -_sum_nonbatch(logp_y) / _LN2  # [B]
+    bits_z = -_sum_nonbatch(logp_z) / _LN2  # [B]
+    num_pixels = _num_pixels(x)
+    bpp_y = jnp.mean(bits_y / num_pixels)
+    bpp_z = jnp.mean(bits_z / num_pixels)
+    bpp_total = bpp_y + bpp_z
+
+    mse_per_image = jnp.mean((model_out["x_hat"] - x) ** 2, axis=tuple(range(1, x.ndim)))
+    mse = jnp.mean(mse_per_image)
+    psnr = -10.0 * jnp.log10(mse + _EPS)
+    psnr_per_image = -10.0 * jnp.log10(mse_per_image + _EPS)
+
+    loss = bpp_total + lambda_rd * (255.0 ** 2) * mse
+
+    return {
+        "loss": loss,
+        "bpp_y": bpp_y,
+        "bpp_z": bpp_z,
+        "bpp_total": bpp_total,
+        "mse": mse,
+        "psnr": psnr,
+        "mse_per_image": jax.lax.stop_gradient(mse_per_image),
+        "psnr_per_image": jax.lax.stop_gradient(psnr_per_image),
+        "bits_y": jnp.mean(bits_y),
+        "bits_z": jnp.mean(bits_z),
+        "bits_total": jnp.mean(bits_y + bits_z),
+    }
+
+
+def vision_rd_loss(model_out: Dict[str, jax.Array], x: jax.Array, lambda_rd: float,
+                   gamma: float = 0.0,
+                   frozen_activation: Optional[Callable] = None,
+                   V: Optional[Callable] = None) -> Dict[str, jax.Array]:
+    """Two-layer (scalable) RD loss with optional vision distillation.
+
+    frozen_activation / V are callables (already bound to their params) —
+    the functional analogue of the reference's frozen nn.Modules.
+    """
+    logp_y1 = model_out["logp_y1"]
+    logp_y2 = model_out["logp_y2"]
+    logp_z = model_out["logp_z"]
+
+    bits_y1 = -_sum_nonbatch(logp_y1) / _LN2
+    bits_y2 = -_sum_nonbatch(logp_y2) / _LN2
+    bits_y = bits_y1 + bits_y2
+    bits_z = -_sum_nonbatch(logp_z) / _LN2
+    num_pixels = _num_pixels(x)
+    bpp_y1 = jnp.mean(bits_y1 / num_pixels)
+    bpp_y2 = jnp.mean(bits_y2 / num_pixels)
+    bpp_y = bpp_y1 + bpp_y2
+    bpp_z = jnp.mean(bits_z / num_pixels)
+    bpp_total = bpp_y1 + bpp_y2 + bpp_z
+
+    recon_mse_per_image = jnp.mean((model_out["x_hat"] - x) ** 2,
+                                   axis=tuple(range(1, x.ndim)))
+    recon_mse = jnp.mean(recon_mse_per_image)
+    mse_per_image = recon_mse_per_image
+    mse = recon_mse
+
+    psnr = -10.0 * jnp.log10(recon_mse + _EPS)
+    psnr_per_image = -10.0 * jnp.log10(recon_mse_per_image + _EPS)
+
+    vision_mse = jnp.zeros(())
+    vision_mse_per_image = jnp.zeros(x.shape[0])
+    if frozen_activation is not None and V is not None:
+        f_act = frozen_activation(model_out["F_tilde"])
+        f_target = V(model_out["x_hat"])
+        vision_mse_per_image = jnp.mean((f_act - f_target) ** 2,
+                                        axis=tuple(range(1, f_act.ndim)))
+        vision_mse = jnp.mean(vision_mse_per_image)
+        mse_per_image = recon_mse_per_image + gamma * vision_mse_per_image
+        mse = recon_mse + gamma * vision_mse
+
+    # Reference semantic: lambda multiplies raw-scale MSE (RateDistortionLoss.py:98).
+    loss = bpp_total + lambda_rd * mse
+
+    return {
+        "loss": loss,
+        "bpp_y1": bpp_y1,
+        "bpp_y2": bpp_y2,
+        "bpp_y": bpp_y,
+        "bpp_z": bpp_z,
+        "bpp_total": bpp_total,
+        "mse": mse,
+        "reconstruction_mse": recon_mse,
+        "psnr": psnr,
+        "vision_mse": vision_mse,
+        "mse_per_image": jax.lax.stop_gradient(mse_per_image),
+        "reconstruction_mse_per_image": jax.lax.stop_gradient(recon_mse_per_image),
+        "psnr_per_image": jax.lax.stop_gradient(psnr_per_image),
+        "vision_mse_per_image": jax.lax.stop_gradient(vision_mse_per_image),
+        "bits_y1": jnp.mean(bits_y1),
+        "bits_y2": jnp.mean(bits_y2),
+        "bits_y": jnp.mean(bits_y),
+        "bits_z": jnp.mean(bits_z),
+        "bits_total": jnp.mean(bits_y + bits_z),
+    }
