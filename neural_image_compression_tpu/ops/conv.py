@@ -144,8 +144,9 @@ def pixel_shuffle(x: jax.Array, factor: int) -> jax.Array:
     b, h, w, c = x.shape
     r = factor
     oc = c // (r * r)
-    x = x.reshape(b, h, w, r, r, oc)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
+    # channel index decomposes as c_out * r^2 + i * r + j (torch convention)
+    x = x.reshape(b, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * r, w * r, oc)
 
 
