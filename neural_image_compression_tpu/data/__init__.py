@@ -1,0 +1,15 @@
+from neural_image_compression_tpu.data.datasets import (
+    BatchLoader, ImageFolderDataset, KodakDataset, PreprocessedDataset,
+    center_crop, load_image, pad_to_multiple,
+)
+from neural_image_compression_tpu.data.preprocess import (
+    add_quantization_noise, is_saturated, preprocess_images, random_downsample_crop,
+)
+from neural_image_compression_tpu.data.coco import download_coco_subset
+
+__all__ = [
+    "BatchLoader", "ImageFolderDataset", "KodakDataset", "PreprocessedDataset",
+    "center_crop", "load_image", "pad_to_multiple",
+    "add_quantization_noise", "is_saturated", "preprocess_images",
+    "random_downsample_crop", "download_coco_subset",
+]

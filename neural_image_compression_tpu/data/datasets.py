@@ -1,0 +1,137 @@
+"""Image datasets + batch loaders, NHWC float32 in [0, 1].
+
+Capability parity with Dataloader.py:11-43 (PreprocessedDataset / KodakDataset
++ torch DataLoader usage) — TPU-first: images decode on host into pinned
+numpy batches (NHWC, the TPU layout), with a background-thread prefetcher so
+host decode overlaps device compute (the torch DataLoader-worker analogue
+without forking).
+"""
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode one image file -> (H, W, 3) float32 in [0, 1]."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    return arr
+
+
+class ImageFolderDataset:
+    """Folder of jpg/jpeg/png images (Dataloader.py:11-27 analogue)."""
+
+    EXTS = ("*.jpg", "*.jpeg", "*.png")
+
+    def __init__(self, root_dir: str):
+        images = []
+        for ext in self.EXTS:
+            images.extend(glob.glob(os.path.join(root_dir, ext)))
+        self.images = sorted(images)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        return load_image(self.images[idx])
+
+
+# The reference names this PreprocessedDataset (Dataloader.py:11).
+PreprocessedDataset = ImageFolderDataset
+
+
+class KodakDataset(ImageFolderDataset):
+    """Kodak eval set: 24 768x512 PNGs (Dataloader.py:31-43 analogue)."""
+
+    EXTS = ("*.png",)
+
+
+class BatchLoader:
+    """Batches a dataset into NHWC arrays.
+
+    One pass per __iter__ (the Trainer cycles it, matching the reference's
+    infinite-iterator semantics, Trainer.py:133-138). All images in a batch
+    must share a shape (true for preprocessed patches and for Kodak).
+    """
+
+    def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
+                 drop_remainder: bool = True, seed: int = 0,
+                 prefetch: int = 2, pad_multiple: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self.pad_multiple = pad_multiple
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> Sequence[int]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx
+
+    def _make_batch(self, idxs) -> np.ndarray:
+        imgs = [self.dataset[int(i)] for i in idxs]
+        batch = np.stack(imgs, axis=0)
+        if self.pad_multiple:
+            batch = pad_to_multiple(batch, self.pad_multiple)
+        return batch
+
+    def _batch_indices(self):
+        idx = self._indices()
+        n = len(idx)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_remainder else n
+        for s in range(0, stop, self.batch_size):
+            yield idx[s:s + self.batch_size]
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self.prefetch <= 0:
+            for b in self._batch_indices():
+                yield self._make_batch(b)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batch_indices():
+                    q.put(self._make_batch(b))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+def pad_to_multiple(batch: np.ndarray, multiple: int) -> np.ndarray:
+    """Replicate-pad H and W up to the next multiple (for the x64 total
+    downsampling constraint of the hyperprior models)."""
+    _, h, w, _ = batch.shape
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return batch
+    return np.pad(batch, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+
+
+def center_crop(batch: np.ndarray, h: int, w: int) -> np.ndarray:
+    return batch[:, :h, :w, :]

@@ -1,0 +1,55 @@
+"""Device mesh construction.
+
+The reference has no distributed code at all (SURVEY §2 items 30-31; a scalar
+`device="cuda"` string is its entire device story, Trainer.py:13-14). Here the
+parallelism model is TPU-native: a `jax.sharding.Mesh` over all chips with
+
+  * 'data'    — batch (data-parallel) axis; gradients are reduced by
+                XLA-inserted psum over ICI when the jitted train step sees
+                batch inputs sharded on this axis and replicated params.
+  * 'spatial' — optional image-tile axis for large-image encode/eval (the
+                sequence-parallel analogue for a fully-convolutional model;
+                XLA handles conv halo exchange automatically).
+
+Multi-host/multi-slice scaling uses the same mesh abstraction: call
+`jax.distributed.initialize()` before building the mesh and the axes span
+all processes (DCN between slices, ICI within).
+"""
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data mesh by default; optional 2-D (data, spatial) mesh."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if spatial > 1:
+        if n % spatial:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
+        arr = np.asarray(devices).reshape(n // spatial, spatial)
+        return Mesh(arr, axis_names=("data", "spatial"))
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC images: batch over 'data', H over 'spatial' (if present)."""
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

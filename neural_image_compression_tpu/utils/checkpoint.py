@@ -1,0 +1,46 @@
+"""Orbax-backed checkpointing.
+
+Replaces the reference's single-file `torch.save` checkpoint
+(Trainer.py:52-71) with Orbax pytree checkpoints: {params, opt_state, step,
+scheduler state, PRNG key} saved atomically, restorable with the same resume
+semantics (restore extends max_steps by the restored step — Trainer.py:70).
+"""
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: Any, aux: Optional[dict] = None) -> None:
+    """Save a pytree `state` (and a small JSON `aux` dict) at `path`."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    state = jax.device_get(state)
+    _ckptr().save(path, state, force=True)
+    if aux is not None:
+        with open(path + ".aux.json", "w") as f:
+            json.dump(aux, f)
+
+
+def restore_checkpoint(path: str, template: Any):
+    """Restore a pytree saved by save_checkpoint; returns (state, aux)."""
+    path = os.path.abspath(path)
+    state = _ckptr().restore(path, item=jax.device_get(template))
+    aux = None
+    if os.path.exists(path + ".aux.json"):
+        with open(path + ".aux.json") as f:
+            aux = json.load(f)
+    return state, aux
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isdir(os.path.abspath(path))

@@ -1,0 +1,94 @@
+"""Trainer integration tests: loss decreases, checkpoint/resume, schedulers."""
+
+import glob
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from neural_image_compression_tpu.models import FactorizedPrior
+from neural_image_compression_tpu.train import Trainer, cosine_lr
+
+
+def _loader(n=4, batch=2, size=64, seed=0):
+    rng = np.random.RandomState(seed)
+    data = rng.rand(n, batch, size, size, 3).astype(np.float32)
+    return list(data)
+
+
+@pytest.fixture
+def tiny_model():
+    return FactorizedPrior(latent_channels=8)
+
+
+def test_training_reduces_loss(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), max_steps=25, learning_rate=1e-3,
+                      log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=str(tmp_path / "ckpt"))
+    trainer.train()
+    metrics_file = tmp_path / "runs" / "metrics.jsonl"
+    losses = [json.loads(l)["value"] for l in open(metrics_file)
+              if json.loads(l)["tag"] == "losses/loss"]
+    assert len(losses) == 25
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_resume_extends_max_steps(tmp_path, tiny_model):
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(tiny_model, _loader(), max_steps=5, log_dir=str(tmp_path / "r1"),
+                 checkpoint_path=ckpt)
+    t1.train()
+    assert os.path.isdir(ckpt)
+    assert t1.step == 5
+
+    t2 = Trainer(tiny_model, _loader(), max_steps=3, log_dir=str(tmp_path / "r2"),
+                 checkpoint_path=ckpt, resume=True)
+    # Resume semantics: max_steps += restored step (Trainer.py:70)
+    assert t2.step == 5
+    assert t2.max_steps == 8
+    t2.train()
+    assert t2.step == 8
+    # params actually carried over and advanced
+    l1 = jax.tree.leaves(t1.params)
+    l2 = jax.tree.leaves(t2.params)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(l1, l2))
+
+
+def test_validation_runs(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), val_loader=_loader(n=1, batch=1),
+                      max_steps=4, val_interval=2,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    trainer.train()
+    tags = {json.loads(l)["tag"] for l in open(tmp_path / "runs" / "metrics.jsonl")}
+    assert "validation/validation_loss" in tags
+    assert "validation/validation_psnr" in tags
+
+
+def test_cosine_schedule_applied(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), max_steps=10, scheduler="cosine",
+                      learning_rate=1e-3, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None)
+    trainer.train()
+    final_lr = trainer.current_lr()
+    assert abs(final_lr - cosine_lr(10, 1e-3, 10)) < 1e-9
+    assert final_lr < 1e-3
+
+
+def test_cosine_lr_formula():
+    assert abs(cosine_lr(0, 1e-3, 100) - 1e-3) < 1e-12
+    assert abs(cosine_lr(100, 1e-3, 100) - 1e-5) < 1e-12
+    mid = cosine_lr(50, 1e-3, 100)
+    assert abs(mid - (1e-5 + (1e-3 - 1e-5) / 2)) < 1e-9
+
+
+def test_tensorboard_event_files_written(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), max_steps=2, log_interval=1,
+                      img_interval=1, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None)
+    trainer.train()
+    events = glob.glob(str(tmp_path / "runs" / "events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    assert os.path.getsize(events[0]) > 1000  # contains histograms/images
