@@ -1,0 +1,76 @@
+"""Benchmark: Kodak 768x512 enc+dec images/sec/chip on the flagship model.
+
+Measures the jitted eval forward (training=False) of
+JointAutoregressiveHierarchical(M=128, K=3) — the reference's published
+GM-Capacity128_K3 config — on Kodak-shaped input. The reference has no
+bitstream codec; its Evaluator's per-image eval forward IS its enc+dec
+(SURVEY §3.2), so this is the like-for-like throughput metric.
+
+vs_baseline compares against the reference-equivalent torch CPU throughput
+measured by tools/measure_torch_baseline.py (BASELINE_MEASURED.json) — the
+reference publishes no throughput numbers (SURVEY §6).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+
+Env knobs: NIC_BENCH_DTYPE=bf16|f32 (transform compute dtype; entropy math is
+always f32), NIC_BENCH_ITERS, NIC_BENCH_BATCH.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from neural_image_compression_tpu.models import JointAutoregressiveHierarchical
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    dtype_name = os.environ.get("NIC_BENCH_DTYPE", "bf16")
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else None
+    iters = int(os.environ.get("NIC_BENCH_ITERS", "24"))
+    batch = int(os.environ.get("NIC_BENCH_BATCH", "1"))
+
+    model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (batch, 512, 768, 3), jnp.float32)
+    params = model.init({"params": key, "noise": key}, x, training=False)["params"]
+
+    @jax.jit
+    def eval_step(params, x):
+        out = model.apply({"params": params}, x, training=False)
+        m = rd_loss(out, x, 0.005)
+        return out["x_hat"], m["bpp_total"]
+
+    # warmup / compile
+    x_hat, bpp = eval_step(params, x)
+    x_hat.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x_hat, bpp = eval_step(params, x)
+    x_hat.block_until_ready()
+    dt = time.perf_counter() - t0
+    img_per_sec = iters * batch / dt
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs_baseline = img_per_sec / base["torch_cpu_images_per_sec"]
+
+    print(json.dumps({
+        "metric": "kodak_768x512_encdec_images_per_sec_per_chip",
+        "value": round(img_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
