@@ -45,14 +45,19 @@ def main():
         m = rd_loss(out, x, 0.005)
         return out["x_hat"], m["bpp_total"]
 
-    # warmup / compile
-    x_hat, bpp = eval_step(params, x)
-    x_hat.block_until_ready()
+    # Distinct inputs so no caching effect; rotate through 4 buffers.
+    inputs = [jax.random.uniform(jax.random.PRNGKey(i), x.shape, jnp.float32)
+              for i in range(4)]
+
+    # warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
+    # is unreliable; a host scalar fetch is the only real completion barrier.
+    _, bpp = eval_step(params, inputs[0])
+    float(bpp)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        x_hat, bpp = eval_step(params, x)
-    x_hat.block_until_ready()
+    for i in range(iters):
+        _, bpp = eval_step(params, inputs[i % len(inputs)])
+    float(bpp)  # device executes enqueued programs in order; this waits for all
     dt = time.perf_counter() - t0
     img_per_sec = iters * batch / dt
 

@@ -22,7 +22,9 @@ Conventions (TPU-first, deliberately different from the reference):
 
 __version__ = "0.1.0"
 
-from neural_image_compression_tpu import ops, entropy, models, train, evaluation, data, parallel, utils
+from neural_image_compression_tpu import (
+    coding, data, entropy, evaluation, models, ops, parallel, train, utils,
+)
 
 __all__ = [
     "ops",
@@ -31,6 +33,7 @@ __all__ = [
     "train",
     "evaluation",
     "data",
+    "coding",
     "parallel",
     "utils",
 ]

@@ -1,0 +1,15 @@
+from neural_image_compression_tpu.coding.backend import (
+    RansDecoder, encode_gaussian, encode_indexed,
+)
+from neural_image_compression_tpu.coding.cdf_tables import (
+    factorized_tables, quantize_pmf_rows,
+)
+from neural_image_compression_tpu.coding.codec import (
+    FactorizedPriorCodec, JointARCodec, bitstream_bpp, wavefront_order,
+)
+
+__all__ = [
+    "RansDecoder", "encode_gaussian", "encode_indexed",
+    "factorized_tables", "quantize_pmf_rows",
+    "FactorizedPriorCodec", "JointARCodec", "bitstream_bpp", "wavefront_order",
+]

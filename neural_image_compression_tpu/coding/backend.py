@@ -1,0 +1,167 @@
+"""Build + ctypes bindings for the native rANS coder (coding/rans/rans.cc).
+
+Compiled on first use with g++ -O3 into a cached shared object next to the
+source (falls back to a user cache dir if the package is read-only).
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rans", "rans.cc")
+_LIB = None
+
+PROB_BITS = 16
+PROB_SCALE = 1 << 16
+
+
+def _build_lib() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_name = f"librans_{digest}.so"
+    candidates = [os.path.join(os.path.dirname(_SRC), so_name),
+                  os.path.join(tempfile.gettempdir(), so_name)]
+    for so_path in candidates:
+        if os.path.exists(so_path):
+            return so_path
+    for so_path in candidates:
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", so_path],
+                check=True, capture_output=True)
+            return so_path
+        except (subprocess.CalledProcessError, OSError):
+            continue
+    raise RuntimeError("failed to build rANS shared library with g++")
+
+
+def get_lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    lib = ctypes.CDLL(_build_lib())
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.rans_encode_gaussian.restype = ctypes.c_int
+    lib.rans_encode_gaussian.argtypes = [i32p, f32p, f32p, f32p,
+                                         ctypes.c_int, ctypes.c_int, i8p, ctypes.c_int]
+    lib.rans_dec_create.restype = ctypes.c_void_p
+    lib.rans_dec_create.argtypes = [i8p, ctypes.c_int]
+    lib.rans_dec_destroy.argtypes = [ctypes.c_void_p]
+    lib.rans_dec_gaussian.argtypes = [ctypes.c_void_p, f32p, f32p, f32p,
+                                      ctypes.c_int, ctypes.c_int, i32p]
+    lib.rans_encode_indexed.restype = ctypes.c_int
+    lib.rans_encode_indexed.argtypes = [i32p, i32p, ctypes.c_int, u32p,
+                                        ctypes.c_int, i32p, i32p, i8p, ctypes.c_int]
+    lib.rans_dec_indexed.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int, u32p,
+                                     ctypes.c_int, i32p, i32p, i32p]
+    _LIB = lib
+    return lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def encode_gaussian(symbols: np.ndarray, mus: np.ndarray, sigmas: np.ndarray,
+                    weights=None) -> bytes:
+    """Encode int32 symbols under per-symbol (mixture-)Gaussians.
+
+    symbols: (n,) int32; mus/sigmas/weights: (n, K) float32 (K=1: weights None).
+    """
+    lib = get_lib()
+    symbols = np.ascontiguousarray(symbols, np.int32)
+    mus = np.ascontiguousarray(mus, np.float32)
+    sigmas = np.ascontiguousarray(sigmas, np.float32)
+    n = symbols.shape[0]
+    K = 1 if mus.ndim == 1 else mus.shape[1]
+    wp = None
+    if weights is not None:
+        weights = np.ascontiguousarray(weights, np.float32)
+        wp = _ptr(weights, ctypes.c_float)
+    cap = max(1024, n * 8 + 64)
+    out = np.empty(cap, np.uint8)
+    ln = lib.rans_encode_gaussian(_ptr(symbols, ctypes.c_int32), wp,
+                                  _ptr(mus, ctypes.c_float),
+                                  _ptr(sigmas, ctypes.c_float),
+                                  K, n, _ptr(out, ctypes.c_uint8), cap)
+    if ln < 0:
+        raise RuntimeError("rANS encode overflow")
+    return out[:ln].tobytes()
+
+
+class RansDecoder:
+    """Stateful decoder: decode in forward order, in chunks, as params
+    become available (wavefront-AR friendly)."""
+
+    def __init__(self, data: bytes):
+        self._lib = get_lib()
+        self._buf = np.frombuffer(data, np.uint8).copy()
+        self._handle = self._lib.rans_dec_create(
+            _ptr(self._buf, ctypes.c_uint8), len(self._buf))
+
+    def decode_gaussian(self, mus: np.ndarray, sigmas: np.ndarray,
+                        weights=None) -> np.ndarray:
+        mus = np.ascontiguousarray(mus, np.float32)
+        sigmas = np.ascontiguousarray(sigmas, np.float32)
+        n = mus.shape[0]
+        K = 1 if mus.ndim == 1 else mus.shape[1]
+        wp = None
+        if weights is not None:
+            weights = np.ascontiguousarray(weights, np.float32)
+            wp = _ptr(weights, ctypes.c_float)
+        out = np.empty(n, np.int32)
+        self._lib.rans_dec_gaussian(self._handle, wp, _ptr(mus, ctypes.c_float),
+                                    _ptr(sigmas, ctypes.c_float), K, n,
+                                    _ptr(out, ctypes.c_int32))
+        return out
+
+    def decode_indexed(self, index: np.ndarray, cdfs: np.ndarray,
+                       offsets: np.ndarray, sizes: np.ndarray) -> np.ndarray:
+        index = np.ascontiguousarray(index, np.int32)
+        cdfs = np.ascontiguousarray(cdfs, np.uint32)
+        offsets = np.ascontiguousarray(offsets, np.int32)
+        sizes = np.ascontiguousarray(sizes, np.int32)
+        n = index.shape[0]
+        out = np.empty(n, np.int32)
+        self._lib.rans_dec_indexed(self._handle, _ptr(index, ctypes.c_int32), n,
+                                   _ptr(cdfs, ctypes.c_uint32), cdfs.shape[1],
+                                   _ptr(offsets, ctypes.c_int32),
+                                   _ptr(sizes, ctypes.c_int32),
+                                   _ptr(out, ctypes.c_int32))
+        return out
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.rans_dec_destroy(self._handle)
+            self._handle = None
+
+
+def encode_indexed(symbols: np.ndarray, index: np.ndarray, cdfs: np.ndarray,
+                   offsets: np.ndarray, sizes: np.ndarray) -> bytes:
+    """Encode symbols whose distributions are rows of a shared CDF table."""
+    lib = get_lib()
+    symbols = np.ascontiguousarray(symbols, np.int32)
+    index = np.ascontiguousarray(index, np.int32)
+    cdfs = np.ascontiguousarray(cdfs, np.uint32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    sizes = np.ascontiguousarray(sizes, np.int32)
+    n = symbols.shape[0]
+    cap = max(1024, n * 8 + 64)
+    out = np.empty(cap, np.uint8)
+    ln = lib.rans_encode_indexed(_ptr(symbols, ctypes.c_int32),
+                                 _ptr(index, ctypes.c_int32), n,
+                                 _ptr(cdfs, ctypes.c_uint32), cdfs.shape[1],
+                                 _ptr(offsets, ctypes.c_int32),
+                                 _ptr(sizes, ctypes.c_int32),
+                                 _ptr(out, ctypes.c_uint8), cap)
+    if ln < 0:
+        raise RuntimeError("rANS encode overflow")
+    return out[:ln].tobytes()

@@ -1,0 +1,359 @@
+"""Model-level bitstream codecs: real compress()/decompress().
+
+The reference never serializes a bitstream — its "decoding" is the parallel
+eval forward (Models.py:63-90; see SURVEY §3.2). Here compression is real:
+
+  * z (hyper-latents): coded with per-channel quantized CDF tables built on
+    device from the factorized bottleneck (cdf_tables.factorized_tables) and
+    an indexed rANS stream.
+  * y (latents), JointAutoregressiveHierarchical: coded under the per-symbol
+    mean-scale Gaussian / GMM predicted by hyper + masked-conv context. Real
+    decoding is autoregressive: pixel (i,j)'s parameters depend on already
+    decoded neighbors. We schedule it as a **wavefront**: for the 5x5 mask-A
+    context, waves t = 3*i + j are dependency-safe (row i-1 contributes
+    columns <= j+2, and 3(i-1) + (j+2) = t - 1 < t), giving 3*(H-1)+W waves
+    with ~W/3 pixels decoded in parallel per wave.
+
+Determinism contract: the entropy parameters that feed the coder MUST be
+bit-identical at encode and decode time. The TPU's parallel context conv and
+a host wavefront recompute would disagree in f32 low bits, so BOTH sides
+derive the coding parameters through the same host wave loop (numpy, f64
+accumulation); the TPU still does everything heavy — analysis/synthesis
+transforms and the hyper-decoder (psi), which are shared inputs computed by
+the same jitted program on both sides.
+
+Bitstream layout (version 1):
+  header: magic 'NIC1', model kind, K, M, H, W, zmin, zmax, len_z, len_y
+  then the z stream, then the y stream.
+"""
+
+import io
+import struct
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_image_compression_tpu.coding import backend
+from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
+
+_MAGIC = b"NIC1"
+_KIND_JOINT = 1
+_KIND_FACTORIZED = 2
+
+LEAKY_SLOPE = 0.01
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) re-implementations of the tiny per-pixel nets.
+# f64 accumulation so encode/decode agree regardless of BLAS kernel choice.
+# ---------------------------------------------------------------------------
+
+class _HostParamNets:
+    """Masked-context conv + entropy-parameters MLP on host."""
+
+    def __init__(self, params: Dict, M: int, K: int):
+        ctx = params["context_model"]["MaskedConv2d_0"]
+        kernel = np.asarray(ctx["kernel"], np.float64)  # (5, 5, M, 2M)
+        self.ctx_bias = np.asarray(ctx["bias"], np.float64)
+        # mask-A positions: rows 0-1 all cols, row 2 cols 0-1
+        pos = [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)]
+        self.positions = pos
+        self.ctx_w = np.concatenate([kernel[r, c] for (r, c) in pos], axis=0)
+        # (12*M, 2M)
+        ep = params["entropy_parameters"]
+        self.ep = []
+        for name in ("Conv2d_0", "Conv2d_1", "Conv2d_2"):
+            k = np.asarray(ep[name]["kernel"], np.float64)
+            self.ep.append((k.reshape(k.shape[2], k.shape[3]),
+                            np.asarray(ep[name]["bias"], np.float64)))
+        self.M = M
+        self.K = K
+
+    def context_features(self, y_pad: np.ndarray, pix: np.ndarray) -> np.ndarray:
+        """y_pad: (H+4, W+4, M) zero-padded decoded latents;
+        pix: (n, 2) (i, j) coords. Returns (n, 2M)."""
+        n = pix.shape[0]
+        gathered = np.empty((n, len(self.positions), self.M))
+        for idx, (r, c) in enumerate(self.positions):
+            gathered[:, idx, :] = y_pad[pix[:, 0] + r, pix[:, 1] + c]
+        flat = gathered.reshape(n, -1)
+        return flat @ self.ctx_w + self.ctx_bias
+
+    def entropy_params(self, phi: np.ndarray, psi: np.ndarray):
+        """phi, psi: (n, 2M). Returns mean-scale (mu, sigma) each (n, M) for
+        K==1, or (weights, mus, sigmas) each (n, K, M)."""
+        h = np.concatenate([phi, psi], axis=1)
+        for li, (w, b) in enumerate(self.ep):
+            h = h @ w + b
+            if li < 2:
+                h = np.where(h >= 0, h, LEAKY_SLOPE * h)
+        m, k = self.M, self.K
+        if k == 1:
+            mu, sraw = h[:, :m], h[:, m:]
+            sigma = np.logaddexp(0.0, sraw) + 1e-6  # softplus
+            return mu, sigma
+        n = h.shape[0]
+        w_raw = h[:, :k * m].reshape(n, k, m)
+        mus = h[:, k * m:2 * k * m].reshape(n, k, m)
+        s_raw = h[:, 2 * k * m:].reshape(n, k, m)
+        w_exp = np.exp(w_raw - w_raw.max(axis=1, keepdims=True))
+        weights = w_exp / w_exp.sum(axis=1, keepdims=True)
+        sigmas = np.logaddexp(0.0, s_raw) + 1e-6
+        return weights, mus, sigmas
+
+
+def wavefront_order(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (pix (h*w, 2) int32 in decode order, wave_sizes list)."""
+    waves: Dict[int, list] = {}
+    for i in range(h):
+        for j in range(w):
+            waves.setdefault(3 * i + j, []).append((i, j))
+    order = []
+    sizes = []
+    for t in sorted(waves):
+        row = waves[t]
+        order.extend(row)
+        sizes.append(len(row))
+    return np.asarray(order, np.int32), np.asarray(sizes, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Codec for JointAutoregressiveHierarchical / HierarchicalMixtureResidual
+# ---------------------------------------------------------------------------
+
+class JointARCodec:
+    """Real encode/decode for the joint autoregressive hierarchical model.
+
+    model: JointAutoregressiveHierarchical (any transform variant);
+    variables: its {'params': ...} pytree.
+    """
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self.K = model.K
+        self._host_nets = _HostParamNets(variables["params"], self.M, self.K)
+
+        # Jitted device pieces — each used identically by encode and decode.
+        self._analysis = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
+        self._hyper_analysis = jax.jit(lambda v, y: model.apply(
+            v, y, method=lambda mdl, y: (mdl.hyper_encoder(y),)))
+        self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
+            v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+
+    # -- helpers --------------------------------------------------------
+    def _z_tables(self, zmin: int, zmax: int):
+        return factorized_tables(self.model, self.variables, zmin, zmax)
+
+    def _compute_y_params(self, y_hat: np.ndarray, psi: np.ndarray,
+                          pix: np.ndarray):
+        """Entropy params for the given pixels from current decoded state."""
+        y_pad = np.zeros((y_hat.shape[0] + 4, y_hat.shape[1] + 4, self.M))
+        y_pad[2:-2, 2:-2] = y_hat
+        phi = self._host_nets.context_features(y_pad, pix)
+        psi_pix = psi[pix[:, 0], pix[:, 1]].astype(np.float64)
+        return self._host_nets.entropy_params(phi, psi_pix)
+
+    # -- encode ---------------------------------------------------------
+    def compress(self, x: np.ndarray) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1], H and W multiples of 64."""
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(x, jnp.float32)
+
+        (y,) = self._analysis(self.variables, x)
+        (z,) = self._hyper_analysis(self.variables, y)
+        y_q = np.asarray(jnp.round(y))[0]  # (h, w, M)
+        z_q = np.asarray(jnp.round(z))[0]  # (hz, wz, M)
+
+        # --- z stream: per-channel factorized tables -------------------
+        zmin = int(z_q.min())
+        zmax = int(z_q.max())
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         cdfs, offsets, sizes)
+
+        # --- y stream: wavefront-ordered AR coding ---------------------
+        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
+        psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
+
+        h, w = y_q.shape[:2]
+        pix, _ = wavefront_order(h, w)
+        # Encoder walks the SAME wave schedule as the decoder so the context
+        # state (already-coded pixels) and f64 math match bit-for-bit.
+        params = self._compute_y_params(y_q, psi, pix)
+        sym = y_q[pix[:, 0], pix[:, 1]].astype(np.int32).reshape(-1)  # (n*M,)
+        if self.K == 1:
+            mu, sigma = params
+            y_bytes = backend.encode_gaussian(
+                sym, mu.reshape(-1).astype(np.float32),
+                sigma.reshape(-1).astype(np.float32))
+        else:
+            weights, mus, sigmas = params  # (n, K, M)
+            n = weights.shape[0]
+            wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+            mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+            st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+            y_bytes = backend.encode_gaussian(sym, mt, st, wt)
+
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT, self.K,
+                             self.M, img_h, img_w, 0, zmin, zmax,
+                             len(z_bytes), len(y_bytes))
+        return header + z_bytes + y_bytes
+
+    # NOTE on the encoder context: _compute_y_params uses the FULL y_q as
+    # context (all pixels present). Causality of the mask guarantees each
+    # pixel's features depend only on already-decoded positions, so the
+    # decoder's incrementally-filled buffer yields identical features.
+
+    # -- decode ---------------------------------------------------------
+    def decompress(self, data: bytes) -> np.ndarray:
+        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = (
+            struct.unpack("<4sBBHHHHhhII", data[:struct.calcsize("<4sBBHHHHhhII")]))
+        assert magic == _MAGIC and kind == _KIND_JOINT
+        assert K == self.K and M == self.M
+        off = struct.calcsize("<4sBBHHHHhhII")
+        z_bytes = data[off:off + len_z]
+        y_bytes = data[off + len_z:off + len_z + len_y]
+
+        h, w = img_h // 16, img_w // 16
+        hz, wz = img_h // 64, img_w // 64
+
+        # --- z ---------------------------------------------------------
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
+            z_index, cdfs, offsets, sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+        # --- y: wavefront AR decode ------------------------------------
+        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
+        psi = np.asarray(psi_dev)[0]
+
+        pix, wave_sizes = wavefront_order(h, w)
+        dec = backend.RansDecoder(y_bytes)
+        y_hat = np.zeros((h, w, self.M))
+        y_pad = np.zeros((h + 4, w + 4, self.M))
+        start = 0
+        for ws in wave_sizes:
+            wave_pix = pix[start:start + ws]
+            start += ws
+            phi = self._host_nets.context_features(y_pad, wave_pix)
+            psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
+            params = self._host_nets.entropy_params(phi, psi_pix)
+            if self.K == 1:
+                mu, sigma = params
+                vals = dec.decode_gaussian(mu.reshape(-1).astype(np.float32),
+                                           sigma.reshape(-1).astype(np.float32))
+            else:
+                weights, mus, sigmas = params
+                wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                vals = dec.decode_gaussian(mt, st, wt)
+            vals = vals.reshape(ws, self.M)
+            y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
+            y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+
+        (x_hat,) = self._synthesis(self.variables,
+                                   jnp.asarray(y_hat, jnp.float32)[None])
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode only (y_q, z_q) — for round-trip testing."""
+        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = (
+            struct.unpack("<4sBBHHHHhhII", data[:struct.calcsize("<4sBBHHHHhhII")]))
+        off = struct.calcsize("<4sBBHHHHhhII")
+        z_bytes = data[off:off + len_z]
+        y_bytes = data[off + len_z:off + len_z + len_y]
+        hz, wz = img_h // 64, img_w // 64
+        h, w = img_h // 16, img_w // 16
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = backend.RansDecoder(z_bytes).decode_indexed(z_index, cdfs, offsets, sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
+        psi = np.asarray(psi_dev)[0]
+        pix, wave_sizes = wavefront_order(h, w)
+        dec = backend.RansDecoder(y_bytes)
+        y_hat = np.zeros((h, w, self.M))
+        y_pad = np.zeros((h + 4, w + 4, self.M))
+        start = 0
+        for ws in wave_sizes:
+            wave_pix = pix[start:start + ws]
+            start += ws
+            phi = self._host_nets.context_features(y_pad, wave_pix)
+            psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
+            params = self._host_nets.entropy_params(phi, psi_pix)
+            if self.K == 1:
+                mu, sigma = params
+                vals = dec.decode_gaussian(mu.reshape(-1).astype(np.float32),
+                                           sigma.reshape(-1).astype(np.float32))
+            else:
+                weights, mus, sigmas = params
+                wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
+                vals = dec.decode_gaussian(mt, st, wt)
+            vals = vals.reshape(ws, self.M)
+            y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
+            y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+        return y_hat.astype(np.float32), z_q
+
+
+# ---------------------------------------------------------------------------
+# Codec for FactorizedPrior (fully parallel both directions)
+# ---------------------------------------------------------------------------
+
+class FactorizedPriorCodec:
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self._analysis = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+
+    def _tables(self, ymin, ymax):
+        return factorized_tables(self.model, self.variables, ymin, ymax)
+
+    def compress(self, x: np.ndarray) -> bytes:
+        assert x.ndim == 4 and x.shape[0] == 1
+        img_h, img_w = x.shape[1], x.shape[2]
+        (y,) = self._analysis(self.variables, jnp.asarray(x, jnp.float32))
+        y_q = np.asarray(jnp.round(y))[0]
+        ymin, ymax = int(y_q.min()), int(y_q.max())
+        cdfs, offsets, sizes = self._tables(ymin, ymax)
+        sym = y_q.reshape(-1, self.M).astype(np.int32)
+        index = np.tile(np.arange(self.M, dtype=np.int32), sym.shape[0])
+        y_bytes = backend.encode_indexed(sym.reshape(-1), index, cdfs, offsets, sizes)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_FACTORIZED, 1,
+                             self.M, img_h, img_w, 0, ymin, ymax, 0, len(y_bytes))
+        return header + y_bytes
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        fmt = "<4sBBHHHHhhII"
+        magic, kind, _, M, img_h, img_w, _, ymin, ymax, _, len_y = (
+            struct.unpack(fmt, data[:struct.calcsize(fmt)]))
+        assert magic == _MAGIC and kind == _KIND_FACTORIZED and M == self.M
+        y_bytes = data[struct.calcsize(fmt):]
+        h, w = img_h // 16, img_w // 16
+        cdfs, offsets, sizes = self._tables(ymin, ymax)
+        index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
+        sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
+        y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
+        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_q))
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+
+def bitstream_bpp(data: bytes, img_h: int, img_w: int) -> float:
+    return len(data) * 8.0 / (img_h * img_w)
