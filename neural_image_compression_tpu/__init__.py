@@ -22,6 +22,8 @@ Conventions (TPU-first, deliberately different from the reference):
 
 __version__ = "0.1.0"
 
+from neural_image_compression_tpu import config
+from neural_image_compression_tpu.config import Config, build_model
 from neural_image_compression_tpu import (
     coding, data, entropy, evaluation, models, ops, parallel, train, utils,
 )
@@ -36,4 +38,7 @@ __all__ = [
     "coding",
     "parallel",
     "utils",
+    "config",
+    "Config",
+    "build_model",
 ]

@@ -1,0 +1,241 @@
+"""Single CLI entry point (the reference is driven from a notebook; its only
+CLIs are preprocess.py and dataset.py argparse mains — SURVEY §5).
+
+Usage:
+  python -m neural_image_compression_tpu.cli preprocess --input_dir ... --output_dir ...
+  python -m neural_image_compression_tpu.cli download-coco --out_dir ... --n_images 1000
+  python -m neural_image_compression_tpu.cli train --config cfg.json [--train_dir ...]
+  python -m neural_image_compression_tpu.cli eval --config cfg.json --data_dir kodak/
+  python -m neural_image_compression_tpu.cli compress --config cfg.json --image in.png --out out.nic
+  python -m neural_image_compression_tpu.cli decompress --config cfg.json --bitstream out.nic --out rec.png
+  python -m neural_image_compression_tpu.cli bench
+"""
+
+import argparse
+import json
+import os
+import sys
+
+from neural_image_compression_tpu.config import Config, build_model
+
+
+def _load_config(path) -> Config:
+    if path and os.path.exists(path):
+        with open(path) as f:
+            return Config.from_json(f.read())
+    return Config()
+
+
+def _restore_params(model, cfg: Config, example):
+    import jax
+
+    from neural_image_compression_tpu.utils.checkpoint import (
+        checkpoint_exists, restore_raw,
+    )
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    params = model.init({"params": key, "noise": key}, example,
+                        training=False)["params"]
+    path = cfg.train.checkpoint_path
+    if path and checkpoint_exists(path):
+        params = restore_raw(path)["params"]
+        print(f"restored params from {path}")
+    else:
+        print("WARNING: no checkpoint found, using random init")
+    return params
+
+
+def cmd_preprocess(args):
+    from neural_image_compression_tpu.data.preprocess import preprocess_images
+
+    n = preprocess_images(args.input_dir, args.output_dir, args.target_size,
+                          args.min_factor, args.saturation_thresh, args.seed,
+                          args.overwrite)
+    print(f"Preprocessed {n} images -> {args.output_dir}")
+
+
+def cmd_download_coco(args):
+    from neural_image_compression_tpu.data.coco import download_coco_subset
+
+    download_coco_subset(out_dir=args.out_dir, split=args.split,
+                         n_images=args.n_images)
+
+
+def cmd_train(args):
+    cfg = _load_config(args.config)
+    if args.train_dir:
+        cfg.data.train_dir = args.train_dir
+    if args.val_dir:
+        cfg.data.val_dir = args.val_dir
+    if args.max_steps:
+        cfg.train.max_steps = args.max_steps
+
+    from neural_image_compression_tpu.data import BatchLoader, ImageFolderDataset
+    from neural_image_compression_tpu.train import Trainer, rd_loss, vision_rd_loss
+
+    model = build_model(cfg.model)
+    train_loader = BatchLoader(ImageFolderDataset(cfg.data.train_dir),
+                               batch_size=cfg.data.batch_size,
+                               shuffle=cfg.data.shuffle, seed=cfg.data.seed)
+    val_loader = (BatchLoader(ImageFolderDataset(cfg.data.val_dir), batch_size=1)
+                  if cfg.data.val_dir else None)
+
+    mesh = None
+    if cfg.train.data_parallel:
+        from neural_image_compression_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+
+    loss_fn = rd_loss
+    if cfg.model.name == "scalable":
+        gamma = cfg.train.gamma
+        loss_fn = lambda out, x, lam: vision_rd_loss(out, x, lam, gamma)  # noqa: E731
+
+    trainer = Trainer(model, train_loader, val_loader=val_loader, rd_loss=loss_fn,
+                      lambda_val=cfg.train.lambda_rd,
+                      learning_rate=cfg.train.learning_rate,
+                      scheduler=cfg.train.scheduler, max_steps=cfg.train.max_steps,
+                      resume=cfg.train.resume, log_interval=cfg.train.log_interval,
+                      img_interval=cfg.train.img_interval,
+                      val_interval=cfg.train.val_interval,
+                      checkpoint_interval=cfg.train.checkpoint_interval,
+                      log_dir=cfg.train.log_dir,
+                      checkpoint_path=cfg.train.checkpoint_path,
+                      seed=cfg.train.seed, mesh=mesh)
+    trainer.train()
+
+
+def cmd_eval(args):
+    import numpy as np
+
+    cfg = _load_config(args.config)
+    if args.data_dir:
+        cfg.eval.data_dir = args.data_dir
+
+    from neural_image_compression_tpu.data import BatchLoader, KodakDataset
+    from neural_image_compression_tpu.evaluation import (
+        CompressionEvaluator, VisionCompressionEvaluator,
+    )
+
+    model = build_model(cfg.model)
+    loader = BatchLoader(KodakDataset(cfg.eval.data_dir), batch_size=1)
+    example = np.zeros((1, 256, 256, 3), np.float32)
+    params = _restore_params(model, cfg, example)
+
+    if cfg.model.name == "scalable":
+        ev = VisionCompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
+                                        cfg.train.gamma, cfg.eval.save_dir)
+    else:
+        ev = CompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
+                                  cfg.eval.save_dir)
+    metrics, imgs, recons = ev.evaluate()
+    ev.save_results(metrics, cfg.eval.nb_steps, cfg.eval.caption)
+
+
+def cmd_compress(args):
+    import numpy as np
+
+    cfg = _load_config(args.config)
+    from neural_image_compression_tpu.coding import FactorizedPriorCodec, JointARCodec
+    from neural_image_compression_tpu.data import load_image, pad_to_multiple
+
+    model = build_model(cfg.model)
+    img = load_image(args.image)[None]
+    h, w = img.shape[1:3]
+    img = pad_to_multiple(img, 64)
+    params = _restore_params(model, cfg, img)
+    codec = (FactorizedPriorCodec if cfg.model.name == "factorized"
+             else JointARCodec)(model, {"params": params})
+    data = codec.compress(img)
+    meta = {"orig_h": h, "orig_w": w}
+    with open(args.out, "wb") as f:
+        f.write(len(json.dumps(meta)).to_bytes(2, "little"))
+        f.write(json.dumps(meta).encode())
+        f.write(data)
+    bpp = len(data) * 8 / (h * w)
+    print(f"{args.image} -> {args.out}: {len(data)} bytes, {bpp:.4f} bpp")
+
+
+def cmd_decompress(args):
+    import numpy as np
+    from PIL import Image
+
+    cfg = _load_config(args.config)
+    from neural_image_compression_tpu.coding import FactorizedPriorCodec, JointARCodec
+
+    with open(args.bitstream, "rb") as f:
+        mlen = int.from_bytes(f.read(2), "little")
+        meta = json.loads(f.read(mlen).decode())
+        data = f.read()
+
+    model = build_model(cfg.model)
+    example = np.zeros((1, 256, 256, 3), np.float32)
+    params = _restore_params(model, cfg, example)
+    codec = (FactorizedPriorCodec if cfg.model.name == "factorized"
+             else JointARCodec)(model, {"params": params})
+    x_hat = codec.decompress(data)[0][:meta["orig_h"], :meta["orig_w"]]
+    Image.fromarray((np.clip(x_hat, 0, 1) * 255).astype(np.uint8)).save(args.out)
+    print(f"{args.bitstream} -> {args.out}")
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py"), run_name="__main__")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="neural_image_compression_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("preprocess")
+    sp.add_argument("--input_dir", required=True)
+    sp.add_argument("--output_dir", required=True)
+    sp.add_argument("--target_size", type=int, default=256)
+    sp.add_argument("--min_factor", type=float, default=0.75)
+    sp.add_argument("--saturation_thresh", type=float, default=0.95)
+    sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--overwrite", action="store_true")
+    sp.set_defaults(fn=cmd_preprocess)
+
+    sp = sub.add_parser("download-coco")
+    sp.add_argument("--out_dir", default="./data/coco_train_subset")
+    sp.add_argument("--split", default="train2017")
+    sp.add_argument("--n_images", type=int, default=1000)
+    sp.set_defaults(fn=cmd_download_coco)
+
+    sp = sub.add_parser("train")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--train_dir", default=None)
+    sp.add_argument("--val_dir", default=None)
+    sp.add_argument("--max_steps", type=int, default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("eval")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--data_dir", default=None)
+    sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("compress")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--image", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--bitstream", required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("bench")
+    sp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

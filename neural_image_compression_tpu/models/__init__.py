@@ -10,6 +10,9 @@ from neural_image_compression_tpu.models.joint_ar import (
 )
 from neural_image_compression_tpu.models.factorized_prior import FactorizedPrior
 from neural_image_compression_tpu.models.scalable import ScalableImageCoding
+from neural_image_compression_tpu.models.vision import (
+    FirstHalf, FrozenActivationBlock, GraphBackbone, SecondHalf,
+)
 
 __all__ = [
     "Encoder5x5", "Decoder5x5", "Encoder3x3", "Decoder3x3",
@@ -17,5 +20,6 @@ __all__ = [
     "LatentSpaceTransform", "EntropyParameters",
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "ScalableImageCoding",
+    "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "noise_quantize", "round_quantize", "quantize",
 ]

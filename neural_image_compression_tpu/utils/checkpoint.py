@@ -42,5 +42,10 @@ def restore_checkpoint(path: str, template: Any):
     return state, aux
 
 
+def restore_raw(path: str):
+    """Restore the full saved tree as nested dicts (no structure template)."""
+    return _ckptr().restore(os.path.abspath(path))
+
+
 def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(os.path.abspath(path))
