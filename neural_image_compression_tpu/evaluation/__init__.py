@@ -1,7 +1,11 @@
 from neural_image_compression_tpu.evaluation.msssim import ms_ssim, ssim, rgb_to_luma
+from neural_image_compression_tpu.evaluation.viz import (
+    plot_information_evolution, plot_metric_evolution,
+)
 from neural_image_compression_tpu.evaluation.evaluator import (
     CompressionEvaluator, VisionCompressionEvaluator, compute_metrics, normalize_map,
 )
 
 __all__ = ["ms_ssim", "ssim", "rgb_to_luma", "CompressionEvaluator",
-           "VisionCompressionEvaluator", "compute_metrics", "normalize_map"]
+           "VisionCompressionEvaluator", "compute_metrics", "normalize_map",
+           "plot_information_evolution", "plot_metric_evolution"]

@@ -1,0 +1,57 @@
+"""Fused GDN Pallas kernel.
+
+GDN:  out = x * rsqrt(beta + (x*x) @ gamma)     (IGDN: * sqrt)
+
+One VMEM pass per tile: the square, the (TN, C) x (C, C) MXU matmul, the bias
+add, the rsqrt and the final multiply all happen without round-tripping the
+(TN, C) temporaries through HBM. gamma/beta arrive already reparametrized
+(see ops/bound.nonneg) so the kernel is inference/fwd-generic; training uses
+the jnp path (autodiff through the nonneg reparam).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse: bool):
+    x = x_ref[:].astype(jnp.float32)
+    norm = jnp.dot(x * x, gamma_ref[:], preferred_element_type=jnp.float32)
+    norm = norm + beta_ref[:]
+    if inverse:
+        out_ref[:] = x * jnp.sqrt(norm)
+    else:
+        out_ref[:] = x * jax.lax.rsqrt(norm)
+
+
+@functools.partial(jax.jit, static_argnames=("inverse", "block_n", "interpret"))
+def fused_gdn(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+              inverse: bool = False, block_n: int = 512,
+              interpret: bool = False) -> jax.Array:
+    """x: (..., C); gamma: (C, C) [in->out]; beta: (C,). Returns f32."""
+    shape = x.shape
+    c = shape[-1]
+    flat = x.reshape(-1, c)
+    n = flat.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
+    np_ = flat.shape[0]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, inverse=inverse),
+        out_shape=jax.ShapeDtypeStruct((np_, c), jnp.float32),
+        grid=(np_ // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(flat, gamma.astype(jnp.float32), beta.astype(jnp.float32))
+    return out[:n].reshape(shape).astype(jnp.float32)

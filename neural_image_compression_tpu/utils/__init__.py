@@ -1,5 +1,7 @@
+from neural_image_compression_tpu.utils.profiling import StepTimer, trace
 from neural_image_compression_tpu.utils.checkpoint import (
-    checkpoint_exists, restore_checkpoint, save_checkpoint,
+    checkpoint_exists, restore_checkpoint, restore_raw, save_checkpoint,
 )
 
-__all__ = ["checkpoint_exists", "restore_checkpoint", "save_checkpoint"]
+__all__ = ["checkpoint_exists", "restore_checkpoint", "restore_raw",
+           "save_checkpoint", "StepTimer", "trace"]

@@ -1,0 +1,81 @@
+"""Component-level timing of the flagship eval forward on the real chip.
+
+Times each stage of JointAutoregressiveHierarchical(M=128, K=3) eval on
+Kodak-shaped input to find where the milliseconds go. One process — the
+tunneled TPU misbehaves with concurrent clients. A host scalar fetch is used
+as the completion barrier (block_until_ready is unreliable over the tunnel).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from neural_image_compression_tpu.models import JointAutoregressiveHierarchical
+from neural_image_compression_tpu.train.loss import rd_loss
+
+M, K = 128, 3
+DTYPE = jnp.bfloat16
+
+
+def timeit(fn, *args, iters=10, label=""):
+    out = fn(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0]))  # compile + barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{label:32s} {dt*1000:8.2f} ms")
+    return out, dt
+
+
+def main():
+    model = JointAutoregressiveHierarchical(latent_channels=M, K=K, dtype=DTYPE)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (1, 512, 768, 3), jnp.float32)
+    params = model.init({"params": key, "noise": key}, x, training=False)["params"]
+    v = {"params": params}
+
+    enc = jax.jit(lambda v, x: model.apply(v, x, method=lambda m, x: m.encoder(x)))
+    dec = jax.jit(lambda v, y: model.apply(v, y, method=lambda m, y: m.decoder(y)))
+    henc = jax.jit(lambda v, y: model.apply(v, y, method=lambda m, y: m.hyper_encoder(y)))
+    hdec = jax.jit(lambda v, z: model.apply(v, z, method=lambda m, z: m.hyper_decoder(z)))
+    ctx = jax.jit(lambda v, y: model.apply(v, y, method=lambda m, y: m.context_model(y)))
+
+    def ep_and_lik(v, y_in, z_in):
+        def f(m, y_in, z_in):
+            p = m.entropy_params_from_latents(y_in, z_in)
+            from neural_image_compression_tpu.entropy.gaussian import mixture_likelihood
+            w, mus, sigmas = p
+            return mixture_likelihood(y_in, w, mus, sigmas)
+        return model.apply(v, y_in, z_in, method=f)
+
+    ep_lik = jax.jit(ep_and_lik)
+
+    full = jax.jit(lambda v, x: rd_loss(
+        model.apply(v, x, training=False), x, 0.005)["bpp_total"])
+
+    y, _ = timeit(enc, v, x, label="encoder (x16 down)")
+    z, _ = timeit(henc, v, y, label="hyper_encoder")
+    y_q = jnp.round(y.astype(jnp.float32))
+    z_q = jnp.round(z.astype(jnp.float32))
+    timeit(hdec, v, z_q, label="hyper_decoder")
+    timeit(ctx, v, y_q, label="context (masked conv)")
+    timeit(ep_lik, v, y_q, z_q, label="entropy params + GMM lik")
+    timeit(dec, v, y_q, label="decoder (x16 up)")
+    timeit(full, v, x, label="FULL eval fwd + rd_loss")
+
+    # deconv strategy comparison: lhs_dilation vs phase-decomposed
+    from neural_image_compression_tpu.ops.conv import deconv2d
+
+    key2 = jax.random.PRNGKey(1)
+    xin = jax.random.normal(key2, (1, 128, 192, 128), DTYPE)
+    w = jax.random.normal(key2, (5, 5, 128, 128), DTYPE) * 0.05
+
+    d1 = jax.jit(lambda x, w: deconv2d(x, w, stride=2, padding=2, output_padding=1))
+    timeit(d1, xin, w, label="deconv 128->256 lhs_dilation")
+
+
+if __name__ == "__main__":
+    main()
