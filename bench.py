@@ -37,7 +37,8 @@ def main():
     model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, 512, 768, 3), jnp.float32)
-    params = model.init({"params": key, "noise": key}, x, training=False)["params"]
+    params = jax.jit(lambda k, x: model.init({"params": k, "noise": k}, x,
+                     training=False))(key, x)["params"]
 
     @jax.jit
     def eval_step(params, x):

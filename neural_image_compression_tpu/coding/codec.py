@@ -41,6 +41,7 @@ from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
 _MAGIC = b"NIC1"
 _KIND_JOINT = 1
 _KIND_FACTORIZED = 2
+_KIND_SCALABLE = 3
 
 LEAKY_SLOPE = 0.01
 
@@ -51,10 +52,15 @@ LEAKY_SLOPE = 0.01
 # ---------------------------------------------------------------------------
 
 class _HostParamNets:
-    """Masked-context conv + entropy-parameters MLP on host."""
+    """Masked-context conv + entropy-parameters MLP on host.
 
-    def __init__(self, params: Dict, M: int, K: int):
-        ctx = params["context_model"]["MaskedConv2d_0"]
+    ctx_params: the MaskedConv2d param subtree; ep_params: the
+    EntropyParameters subtree ({Conv2d_0..2}); M: this layer's latent
+    channels; K: mixture components.
+    """
+
+    def __init__(self, ctx_params: Dict, ep_params: Dict, M: int, K: int):
+        ctx = ctx_params["MaskedConv2d_0"]
         kernel = np.asarray(ctx["kernel"], np.float64)  # (5, 5, M, 2M)
         self.ctx_bias = np.asarray(ctx["bias"], np.float64)
         # mask-A positions: rows 0-1 all cols, row 2 cols 0-1
@@ -62,7 +68,7 @@ class _HostParamNets:
         self.positions = pos
         self.ctx_w = np.concatenate([kernel[r, c] for (r, c) in pos], axis=0)
         # (12*M, 2M)
-        ep = params["entropy_parameters"]
+        ep = ep_params
         self.ep = []
         for name in ("Conv2d_0", "Conv2d_1", "Conv2d_2"):
             k = np.asarray(ep[name]["kernel"], np.float64)
@@ -104,6 +110,66 @@ class _HostParamNets:
         return weights, mus, sigmas
 
 
+def _pack_gmm(params, K):
+    """(n, K, M) host params -> per-symbol (n*M, K) f32 rows."""
+    weights, mus, sigmas = params
+    wt = weights.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
+    mt = mus.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
+    st = sigmas.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
+    return wt, mt, st
+
+
+def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
+                       psi: np.ndarray) -> bytes:
+    """Encode one latent layer under its masked-context AR model.
+
+    The full y_q acts as context (mask causality guarantees each pixel's
+    features only read already-coded positions, so this matches the decoder's
+    incrementally-filled buffer bit-for-bit)."""
+    h, w = y_q.shape[:2]
+    M, K = nets.M, nets.K
+    pix, _ = wavefront_order(h, w)
+    y_pad = np.zeros((h + 4, w + 4, M))
+    y_pad[2:-2, 2:-2] = y_q
+    phi = nets.context_features(y_pad, pix)
+    psi_pix = psi[pix[:, 0], pix[:, 1]].astype(np.float64)
+    params = nets.entropy_params(phi, psi_pix)
+    sym = y_q[pix[:, 0], pix[:, 1]].astype(np.int32).reshape(-1)
+    if K == 1:
+        mu, sigma = params
+        return backend.encode_gaussian(sym, mu.reshape(-1).astype(np.float32),
+                                       sigma.reshape(-1).astype(np.float32))
+    wt, mt, st = _pack_gmm(params, K)
+    return backend.encode_gaussian(sym, mt, st, wt)
+
+
+def _ar_decode_latents(nets: _HostParamNets, dec: "backend.RansDecoder",
+                       psi: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Wavefront-decode one latent layer; returns (h, w, M) float."""
+    M, K = nets.M, nets.K
+    pix, wave_sizes = wavefront_order(h, w)
+    y_hat = np.zeros((h, w, M))
+    y_pad = np.zeros((h + 4, w + 4, M))
+    start = 0
+    for ws in wave_sizes:
+        wave_pix = pix[start:start + ws]
+        start += ws
+        phi = nets.context_features(y_pad, wave_pix)
+        psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
+        params = nets.entropy_params(phi, psi_pix)
+        if K == 1:
+            mu, sigma = params
+            vals = dec.decode_gaussian(mu.reshape(-1).astype(np.float32),
+                                       sigma.reshape(-1).astype(np.float32))
+        else:
+            wt, mt, st = _pack_gmm(params, K)
+            vals = dec.decode_gaussian(mt, st, wt)
+        vals = vals.reshape(ws, M)
+        y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
+        y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+    return y_hat
+
+
 def wavefront_order(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (pix (h*w, 2) int32 in decode order, wave_sizes list)."""
     waves: Dict[int, list] = {}
@@ -135,7 +201,9 @@ class JointARCodec:
         self.variables = variables
         self.M = model.latent_channels
         self.K = model.K
-        self._host_nets = _HostParamNets(variables["params"], self.M, self.K)
+        p = variables["params"]
+        self._host_nets = _HostParamNets(p["context_model"],
+                                         p["entropy_parameters"], self.M, self.K)
 
         # Jitted device pieces — each used identically by encode and decode.
         self._analysis = jax.jit(lambda v, x: model.apply(
@@ -150,15 +218,6 @@ class JointARCodec:
     # -- helpers --------------------------------------------------------
     def _z_tables(self, zmin: int, zmax: int):
         return factorized_tables(self.model, self.variables, zmin, zmax)
-
-    def _compute_y_params(self, y_hat: np.ndarray, psi: np.ndarray,
-                          pix: np.ndarray):
-        """Entropy params for the given pixels from current decoded state."""
-        y_pad = np.zeros((y_hat.shape[0] + 4, y_hat.shape[1] + 4, self.M))
-        y_pad[2:-2, 2:-2] = y_hat
-        phi = self._host_nets.context_features(y_pad, pix)
-        psi_pix = psi[pix[:, 0], pix[:, 1]].astype(np.float64)
-        return self._host_nets.entropy_params(phi, psi_pix)
 
     # -- encode ---------------------------------------------------------
     def compress(self, x: np.ndarray) -> bytes:
@@ -184,35 +243,12 @@ class JointARCodec:
         # --- y stream: wavefront-ordered AR coding ---------------------
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
-
-        h, w = y_q.shape[:2]
-        pix, _ = wavefront_order(h, w)
-        # Encoder walks the SAME wave schedule as the decoder so the context
-        # state (already-coded pixels) and f64 math match bit-for-bit.
-        params = self._compute_y_params(y_q, psi, pix)
-        sym = y_q[pix[:, 0], pix[:, 1]].astype(np.int32).reshape(-1)  # (n*M,)
-        if self.K == 1:
-            mu, sigma = params
-            y_bytes = backend.encode_gaussian(
-                sym, mu.reshape(-1).astype(np.float32),
-                sigma.reshape(-1).astype(np.float32))
-        else:
-            weights, mus, sigmas = params  # (n, K, M)
-            n = weights.shape[0]
-            wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-            mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-            st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-            y_bytes = backend.encode_gaussian(sym, mt, st, wt)
+        y_bytes = _ar_encode_latents(self._host_nets, y_q, psi)
 
         header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT, self.K,
                              self.M, img_h, img_w, 0, zmin, zmax,
                              len(z_bytes), len(y_bytes))
         return header + z_bytes + y_bytes
-
-    # NOTE on the encoder context: _compute_y_params uses the FULL y_q as
-    # context (all pixels present). Causality of the mask guarantees each
-    # pixel's features depend only on already-decoded positions, so the
-    # decoder's incrementally-filled buffer yields identical features.
 
     # -- decode ---------------------------------------------------------
     def decompress(self, data: bytes) -> np.ndarray:
@@ -237,31 +273,8 @@ class JointARCodec:
         # --- y: wavefront AR decode ------------------------------------
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-
-        pix, wave_sizes = wavefront_order(h, w)
-        dec = backend.RansDecoder(y_bytes)
-        y_hat = np.zeros((h, w, self.M))
-        y_pad = np.zeros((h + 4, w + 4, self.M))
-        start = 0
-        for ws in wave_sizes:
-            wave_pix = pix[start:start + ws]
-            start += ws
-            phi = self._host_nets.context_features(y_pad, wave_pix)
-            psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
-            params = self._host_nets.entropy_params(phi, psi_pix)
-            if self.K == 1:
-                mu, sigma = params
-                vals = dec.decode_gaussian(mu.reshape(-1).astype(np.float32),
-                                           sigma.reshape(-1).astype(np.float32))
-            else:
-                weights, mus, sigmas = params
-                wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                vals = dec.decode_gaussian(mt, st, wt)
-            vals = vals.reshape(ws, self.M)
-            y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
-            y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+        y_hat = _ar_decode_latents(self._host_nets, backend.RansDecoder(y_bytes),
+                                   psi, h, w)
 
         (x_hat,) = self._synthesis(self.variables,
                                    jnp.asarray(y_hat, jnp.float32)[None])
@@ -282,30 +295,8 @@ class JointARCodec:
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-        pix, wave_sizes = wavefront_order(h, w)
-        dec = backend.RansDecoder(y_bytes)
-        y_hat = np.zeros((h, w, self.M))
-        y_pad = np.zeros((h + 4, w + 4, self.M))
-        start = 0
-        for ws in wave_sizes:
-            wave_pix = pix[start:start + ws]
-            start += ws
-            phi = self._host_nets.context_features(y_pad, wave_pix)
-            psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
-            params = self._host_nets.entropy_params(phi, psi_pix)
-            if self.K == 1:
-                mu, sigma = params
-                vals = dec.decode_gaussian(mu.reshape(-1).astype(np.float32),
-                                           sigma.reshape(-1).astype(np.float32))
-            else:
-                weights, mus, sigmas = params
-                wt = weights.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                mt = mus.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                st = sigmas.transpose(0, 2, 1).reshape(-1, self.K).astype(np.float32)
-                vals = dec.decode_gaussian(mt, st, wt)
-            vals = vals.reshape(ws, self.M)
-            y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
-            y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+        y_hat = _ar_decode_latents(self._host_nets, backend.RansDecoder(y_bytes),
+                                   psi, h, w)
         return y_hat.astype(np.float32), z_q
 
 
@@ -352,6 +343,122 @@ class FactorizedPriorCodec:
         sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_q))
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Codec for ScalableImageCoding: layered bitstream, base-layer truncation
+# ---------------------------------------------------------------------------
+
+class ScalableCodec:
+    """Quality-scalable bitstream for ScalableImageCoding.
+
+    Layout: header | z stream | y1 stream | y2 stream. The enhancement
+    stream can be truncated (`truncate_base`): the decoder then reconstructs
+    only the base latents y1 — enough for the vision task via the LST head —
+    while the full stream reconstructs x_hat. (The reference's scalable
+    driver notebook was a lost blob; this realises BASELINE.json's
+    'quality-scalable bitstream truncation' config.)
+    """
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self.M1 = model.base_channels
+        self.M2 = self.M - self.M1
+        self.K = model.K
+        p = variables["params"]
+        self._nets1 = _HostParamNets(p["context_model_1"],
+                                     p["entropy_parameters_1"], self.M1, self.K)
+        self._nets2 = _HostParamNets(p["context_model_2"],
+                                     p["entropy_parameters_2"], self.M2, self.K)
+        self._analysis = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
+        self._hyper_analysis = jax.jit(lambda v, y: model.apply(
+            v, y, method=lambda mdl, y: (mdl.hyper_encoder(y),)))
+        self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
+            v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+        self._lst = jax.jit(lambda v, y1: model.apply(
+            v, y1, method=lambda mdl, y1: (mdl.LST(y1),)))
+
+    def _z_tables(self, zmin, zmax):
+        return factorized_tables(self.model, self.variables, zmin, zmax)
+
+    def compress(self, x: np.ndarray) -> bytes:
+        assert x.ndim == 4 and x.shape[0] == 1
+        img_h, img_w = x.shape[1], x.shape[2]
+        (y,) = self._analysis(self.variables, jnp.asarray(x, jnp.float32))
+        (z,) = self._hyper_analysis(self.variables, y)
+        y_q = np.asarray(jnp.round(y.astype(jnp.float32)))[0]
+        z_q = np.asarray(jnp.round(z.astype(jnp.float32)))[0]
+
+        zmin, zmax = int(z_q.min()), int(z_q.max())
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         cdfs, offsets, sizes)
+
+        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
+        psi = np.asarray(psi_dev)[0]
+        y1_bytes = _ar_encode_latents(self._nets1, y_q[..., :self.M1], psi)
+        y2_bytes = _ar_encode_latents(self._nets2, y_q[..., self.M1:], psi)
+
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_SCALABLE, self.K,
+                             self.M, img_h, img_w, self.M1, zmin, zmax,
+                             len(z_bytes), len(y1_bytes))
+        return header + z_bytes + y1_bytes + y2_bytes
+
+    def truncate_base(self, data: bytes) -> bytes:
+        """Drop the enhancement stream; the result decodes base-only."""
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        _, _, _, _, _, _, _, _, _, len_z, len_y1 = struct.unpack(fmt, data[:hs])
+        return data[:hs + len_z + len_y1]
+
+    def _decode_common(self, data: bytes):
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        magic, kind, K, M, img_h, img_w, M1, zmin, zmax, len_z, len_y1 = (
+            struct.unpack(fmt, data[:hs]))
+        assert magic == _MAGIC and kind == _KIND_SCALABLE
+        assert K == self.K and M == self.M and M1 == self.M1
+        z_bytes = data[hs:hs + len_z]
+        y1_bytes = data[hs + len_z:hs + len_z + len_y1]
+        y2_bytes = data[hs + len_z + len_y1:]
+        h, w = img_h // 16, img_w // 16
+        hz, wz = img_h // 64, img_w // 64
+
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
+            z_index, cdfs, offsets, sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
+        psi = np.asarray(psi_dev)[0]
+        y1 = _ar_decode_latents(self._nets1, backend.RansDecoder(y1_bytes),
+                                psi, h, w)
+        return y1, y2_bytes, psi, z_q, h, w
+
+    def decompress_base(self, data: bytes):
+        """Base-only decode: returns (y1, F_tilde) for the vision task."""
+        y1, _, _, _, _, _ = self._decode_common(data)
+        (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
+        return y1.astype(np.float32), np.asarray(f_tilde)
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        """Full decode -> reconstructed image."""
+        y1, y2_bytes, psi, _, h, w = self._decode_common(data)
+        if len(y2_bytes) == 0:
+            raise ValueError("enhancement stream missing (truncated bitstream); "
+                             "use decompress_base")
+        y2 = _ar_decode_latents(self._nets2, backend.RansDecoder(y2_bytes),
+                                psi, h, w)
+        y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
+        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
         return np.clip(np.asarray(x_hat), 0.0, 1.0)
 
 

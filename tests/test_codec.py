@@ -153,3 +153,33 @@ def test_factorized_prior_roundtrip():
     metrics = rd_loss(out, x, 0.005)
     actual_bits = len(data) * 8
     assert actual_bits < float(metrics["bits_total"]) * 1.08 + 8 * 48
+
+
+def test_scalable_codec_roundtrip_and_truncation():
+    from neural_image_compression_tpu.coding.codec import ScalableCodec
+    from neural_image_compression_tpu.models import ScalableImageCoding
+
+    model = ScalableImageCoding(latent_channels=12, base_channels=8, K=1)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = ScalableCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+
+    out = model.apply(variables, x, training=False)
+    # full decode reproduces the eval-forward reconstruction
+    x_hat = codec.decompress(data)
+    ref = np.clip(np.asarray(out["x_hat"]), 0, 1)
+    np.testing.assert_allclose(x_hat, ref, atol=1e-5)
+
+    # base-only decode from the truncated stream matches y1 / F_tilde
+    base = codec.truncate_base(data)
+    assert len(base) < len(data)
+    y1, f_tilde = codec.decompress_base(base)
+    np.testing.assert_array_equal(y1, np.asarray(out["y1"])[0])
+    np.testing.assert_allclose(f_tilde[0], np.asarray(out["F_tilde"])[0],
+                               atol=1e-5)
+
+    # truncated stream refuses a full decode with a clear error
+    with pytest.raises(ValueError):
+        codec.decompress(base)

@@ -34,7 +34,8 @@ def main():
     model = JointAutoregressiveHierarchical(latent_channels=M, K=K, dtype=DTYPE)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (1, 512, 768, 3), jnp.float32)
-    params = model.init({"params": key, "noise": key}, x, training=False)["params"]
+    params = jax.jit(lambda k, x: model.init({"params": k, "noise": k}, x,
+                     training=False))(key, x)["params"]
     v = {"params": params}
 
     enc = jax.jit(lambda v, x: model.apply(v, x, method=lambda m, x: m.encoder(x)))
