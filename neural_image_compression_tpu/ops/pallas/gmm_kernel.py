@@ -25,6 +25,36 @@ from jax.experimental.pallas import tpu as pltpu
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _FLOOR = 1e-9
 
+# f32 erf rational approximation (XLA's ErfImpl32 coefficients): for
+# |x| <= 4, erf(x) = x * P(x^2) / Q(x^2); saturates to +-1 outside.
+# Pallas TPU has no erf primitive, so we lower it ourselves.
+#
+# Accuracy note: absolute error ~1e-7 — bitwise-comparable to f32 erf in the
+# bulk, but in the mid-tail (likelihoods between ~1e-9 and ~1e-6) logp can
+# deviate by O(1) nats. For a trained model y ~ N(mu, sigma), such symbols
+# occur with probability < 1e-6, so the bpp estimate is unaffected to <0.01%;
+# the exact jnp path (entropy/gaussian.py) remains the default for training.
+_ERF_ALPHA = (-2.72614225801306e-10, 2.77068142495902e-08,
+              -2.10102402082508e-06, -5.69250639462346e-05,
+              -7.34990630326855e-04, -2.95459980854025e-03,
+              -1.60960333262415e-02)
+_ERF_BETA = (-1.45660718464996e-05, -2.13374055278905e-04,
+             -1.68282697438203e-03, -7.37332916720468e-03,
+             -1.42647390514189e-02)
+
+
+def _poly(x, coeffs):
+    acc = jnp.full_like(x, coeffs[0])
+    for c in coeffs[1:]:
+        acc = acc * x + c
+    return acc
+
+
+def _erf(x):
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    return x * _poly(x2, _ERF_ALPHA) / _poly(x2, _ERF_BETA)
+
 
 def _kernel(y_ref, w_ref, mu_ref, sigma_ref, out_ref, *, K: int):
     y = y_ref[:]  # (TN, M)
@@ -32,8 +62,8 @@ def _kernel(y_ref, w_ref, mu_ref, sigma_ref, out_ref, *, K: int):
     for k in range(K):
         mu = mu_ref[:, k, :]
         inv_s = 1.0 / sigma_ref[:, k, :]
-        up = 0.5 * (1.0 + jax.lax.erf((y + 0.5 - mu) * inv_s * _INV_SQRT2))
-        lo = 0.5 * (1.0 + jax.lax.erf((y - 0.5 - mu) * inv_s * _INV_SQRT2))
+        up = 0.5 * (1.0 + _erf((y + 0.5 - mu) * inv_s * _INV_SQRT2))
+        lo = 0.5 * (1.0 + _erf((y - 0.5 - mu) * inv_s * _INV_SQRT2))
         acc = acc + w_ref[:, k, :] * (up - lo)
     out_ref[:] = jnp.log(jnp.maximum(acc, _FLOOR))
 

@@ -23,6 +23,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host / multi-slice bring-up: call once per process before
+    make_mesh(); afterwards jax.devices() spans all processes and the same
+    mesh axes ride ICI within a slice and DCN across slices. No-op if JAX
+    distributed is already initialized or single-process."""
+    import jax
+
+    try:
+        if coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()  # env-driven (TPU pods autoconfigure)
+        else:
+            jax.distributed.initialize(coordinator_address=coordinator_address,
+                                       num_processes=num_processes,
+                                       process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     """1-D data mesh by default; optional 2-D (data, spatial) mesh."""

@@ -43,6 +43,7 @@ class Trainer:
                  scheduler: Optional[str] = None, max_steps: int = 10000, resume: bool = False,
                  log_interval: Optional[int] = None, img_interval: Optional[int] = None,
                  val_interval: Optional[int] = None, checkpoint_interval: Optional[int] = None,
+                 scalar_interval: int = 1,
                  log_dir: str = "runs/experiment", checkpoint_path: str = "./checkpoints/checkpoint",
                  seed: int = 0, mesh=None, example_batch=None):
         if rd_loss is None:
@@ -55,6 +56,9 @@ class Trainer:
         self.base_lr = learning_rate
         self.max_steps = max_steps
         self.step = 0
+        # Scalars default to every step (reference parity, Trainer.py:89);
+        # raise on hardware where a per-step host fetch is expensive.
+        self.scalar_interval = max(1, scalar_interval)
         self.log_interval = log_interval or max(1, int(max_steps / 200))
         self.img_interval = img_interval or max(1, int(max_steps / 25))
         self.val_interval = val_interval or max(1, int(max_steps / 200))
@@ -191,7 +195,8 @@ class Trainer:
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch, step_rng)
 
-            self._log_scalars(metrics)
+            if self.step % self.scalar_interval == 0:
+                self._log_scalars(metrics)
 
             if self.val_loader is not None and self.step % self.val_interval == 0:
                 val_loss = self._validate()

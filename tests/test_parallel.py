@@ -78,3 +78,9 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_init_distributed_noop():
+    # single-process environment: must not raise
+    from neural_image_compression_tpu.parallel import init_distributed
+    init_distributed()

@@ -92,3 +92,16 @@ def test_tensorboard_event_files_written(tmp_path, tiny_model):
     events = glob.glob(str(tmp_path / "runs" / "events.out.tfevents.*"))
     assert events, "no TensorBoard event file written"
     assert os.path.getsize(events[0]) > 1000  # contains histograms/images
+
+
+def test_scalar_interval(tmp_path, tiny_model):
+    import json
+
+    trainer = Trainer(tiny_model, _loader(), max_steps=6, scalar_interval=3,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    trainer.train()
+    metrics_file = tmp_path / "runs" / "metrics.jsonl"
+    losses = [json.loads(l) for l in open(metrics_file)
+              if json.loads(l)["tag"] == "losses/loss"]
+    assert len(losses) == 2  # steps 0 and 3 only
+    assert [l["step"] for l in losses] == [0, 3]
