@@ -32,7 +32,7 @@ def main():
     dtype_name = os.environ.get("NIC_BENCH_DTYPE", "bf16")
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     iters = int(os.environ.get("NIC_BENCH_ITERS", "24"))
-    batch = int(os.environ.get("NIC_BENCH_BATCH", "1"))
+    batch = int(os.environ.get("NIC_BENCH_BATCH", "8"))
 
     model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
     key = jax.random.PRNGKey(0)
@@ -71,7 +71,7 @@ def main():
         vs_baseline = img_per_sec / base["torch_cpu_images_per_sec"]
 
     print(json.dumps({
-        "metric": "kodak_768x512_encdec_images_per_sec_per_chip",
+        "metric": f"kodak_768x512_encdec_images_per_sec_per_chip_batch{batch}",
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
