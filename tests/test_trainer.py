@@ -105,3 +105,16 @@ def test_scalar_interval(tmp_path, tiny_model):
               if json.loads(l)["tag"] == "losses/loss"]
     assert len(losses) == 2  # steps 0 and 3 only
     assert [l["step"] for l in losses] == [0, 3]
+
+
+def test_uint8_pipeline(tmp_path, tiny_model):
+    rng = np.random.RandomState(0)
+    loader = [rng.randint(0, 256, (2, 64, 64, 3), dtype=np.uint8) for _ in range(3)]
+    trainer = Trainer(tiny_model, loader, val_loader=loader[:1], max_steps=3,
+                      val_interval=2, log_interval=2, img_interval=2,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    trainer.train()
+    import json
+    losses = [json.loads(l)["value"] for l in open(tmp_path / "runs" / "metrics.jsonl")
+              if json.loads(l)["tag"] == "losses/loss"]
+    assert len(losses) == 3 and all(np.isfinite(losses))
