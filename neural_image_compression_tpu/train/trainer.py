@@ -43,7 +43,7 @@ class Trainer:
                  scheduler: Optional[str] = None, max_steps: int = 10000, resume: bool = False,
                  log_interval: Optional[int] = None, img_interval: Optional[int] = None,
                  val_interval: Optional[int] = None, checkpoint_interval: Optional[int] = None,
-                 scalar_interval: int = 1,
+                 scalar_interval: int = 1, preemption_safe: bool = False,
                  log_dir: str = "runs/experiment", checkpoint_path: str = "./checkpoints/checkpoint",
                  seed: int = 0, mesh=None, example_batch=None):
         if rd_loss is None:
@@ -67,6 +67,20 @@ class Trainer:
         self.mesh = mesh
 
         self._train_iter = iter(train_loader)
+
+        # Failure/preemption handling (the reference's only recovery story is
+        # manual crash-and-resume, SURVEY §5): on SIGTERM/SIGINT, finish the
+        # current step, checkpoint, and return cleanly so the next invocation
+        # resumes.
+        self._stop_requested = False
+        if preemption_safe:
+            import signal
+
+            def _handler(signum, frame):
+                self._stop_requested = True
+
+            signal.signal(signal.SIGTERM, _handler)
+            signal.signal(signal.SIGINT, _handler)
 
         # --- init params/optimizer --------------------------------------
         self._rng = jax.random.PRNGKey(seed)
@@ -242,6 +256,9 @@ class Trainer:
                 self.save_checkpoint()
 
             self.step += 1
+            if self._stop_requested:
+                print(f"stop requested — checkpointing at step {self.step}")
+                break
 
         self.logger.flush()
         if self.checkpoint_path is not None:

@@ -84,3 +84,23 @@ def test_init_distributed_noop():
     # single-process environment: must not raise
     from neural_image_compression_tpu.parallel import init_distributed
     init_distributed()
+
+
+def test_spatial_sharded_eval():
+    from neural_image_compression_tpu.parallel import make_eval_step, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8, spatial=4)
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    key = jax.random.PRNGKey(0)
+    # 2 images sharded over data(2) x spatial(4): H=512 -> 128 rows/device
+    batch = jax.random.uniform(key, (2, 512, 256, 3))
+    params = model.init({"params": key, "noise": key}, batch[:1], training=True)["params"]
+    fwd = make_eval_step(model, mesh=mesh, spatial=True)
+    xsh = jax.device_put(batch, NamedSharding(mesh, P("data", "spatial")))
+    out = fwd(replicate(params, mesh), xsh)
+    assert out["x_hat"].shape == batch.shape
+    # matches the unsharded forward (XLA handles conv halo exchange)
+    ref = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))(params, batch)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]), np.asarray(ref["x_hat"]),
+                               rtol=2e-4, atol=2e-5)

@@ -118,3 +118,25 @@ def test_uint8_pipeline(tmp_path, tiny_model):
     losses = [json.loads(l)["value"] for l in open(tmp_path / "runs" / "metrics.jsonl")
               if json.loads(l)["tag"] == "losses/loss"]
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_preemption_safe_stop(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), max_steps=100, preemption_safe=True,
+                      log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=str(tmp_path / "ckpt"))
+    real_step = trainer._train_step
+
+    def stepping(*args):
+        if trainer.step == 2:
+            import os, signal
+            os.kill(os.getpid(), signal.SIGTERM)  # simulate preemption
+        return real_step(*args)
+
+    trainer._train_step = stepping
+    trainer.train()
+    assert trainer.step == 3  # stopped right after the in-flight step
+    assert os.path.isdir(str(tmp_path / "ckpt"))
+    # resume continues from the checkpoint
+    t2 = Trainer(tiny_model, _loader(), max_steps=2, resume=True,
+                 log_dir=str(tmp_path / "r2"), checkpoint_path=str(tmp_path / "ckpt"))
+    assert t2.step == 3 and t2.max_steps == 5
