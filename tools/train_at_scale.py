@@ -58,8 +58,9 @@ def main():
     import neural_image_compression_tpu as nic
 
     tr_dir, va_dir = make_synthetic_dataset(os.path.join(args.work_dir, "data"))
-    train_loader = nic.data.BatchLoader(nic.data.ImageFolderDataset(tr_dir),
-                                        batch_size=args.batch_size, shuffle=True)
+    train_loader = nic.data.BatchLoader(
+        nic.data.ImageFolderDataset(tr_dir, dtype=np.uint8),  # 4x less transfer
+        batch_size=args.batch_size, shuffle=True)
     val_loader = nic.data.BatchLoader(nic.data.ImageFolderDataset(va_dir),
                                       batch_size=1)
 
