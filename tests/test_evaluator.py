@@ -87,3 +87,18 @@ def test_vision_evaluator(tmp_path):
         assert p and os.path.exists(p)
     paths = ev.plot_samples(imgs, recons, n=1, seed=0)
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_evaluate_codec(tmp_path):
+    from neural_image_compression_tpu.coding import JointARCodec
+
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = np.zeros((1, 192, 192, 3), np.float32)
+    params = model.init({"params": KEY, "noise": KEY}, x, training=False)["params"]
+    ev = CompressionEvaluator(model, params, _loader(n=1), 0.005, str(tmp_path))
+    codec = JointARCodec(model, {"params": params})
+    metrics = ev.evaluate_codec(codec)
+    assert "BPP(bitstream)" in metrics and "BPP(analytic)" in metrics
+    # real bitstream within a few % of analytic (header overhead on one image)
+    assert metrics["BPP(bitstream)"] < metrics["BPP(analytic)"] * 1.10 + 0.02
+    assert metrics["PSNR(RGB)"] > 0
