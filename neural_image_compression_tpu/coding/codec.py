@@ -17,8 +17,8 @@ eval forward (Models.py:63-90; see SURVEY §3.2). Here compression is real:
 Determinism contract: the entropy parameters that feed the coder MUST be
 bit-identical at encode and decode time. The TPU's parallel context conv and
 a host wavefront recompute would disagree in f32 low bits, so BOTH sides
-derive the coding parameters through the same host wave loop (numpy, f64
-accumulation); the TPU still does everything heavy — analysis/synthesis
+derive the coding parameters through the same host wave loop (numpy f32,
+identical chunk shapes); the TPU still does everything heavy — analysis/synthesis
 transforms and the hyper-decoder (psi), which are shared inputs computed by
 the same jitted program on both sides.
 
@@ -48,7 +48,8 @@ LEAKY_SLOPE = 0.01
 
 # ---------------------------------------------------------------------------
 # Host-side (numpy) re-implementations of the tiny per-pixel nets.
-# f64 accumulation so encode/decode agree regardless of BLAS kernel choice.
+# Encode and decode call these with IDENTICAL chunk shapes so BLAS
+# accumulation order matches bit-for-bit.
 # ---------------------------------------------------------------------------
 
 class _HostParamNets:
@@ -59,10 +60,15 @@ class _HostParamNets:
     channels; K: mixture components.
     """
 
+    # Host math runs in float32: encode and decode execute the IDENTICAL
+    # code on identical inputs, so determinism holds at any precision, and
+    # f32 BLAS halves the wavefront-decode latency.
+    DTYPE = np.float32
+
     def __init__(self, ctx_params: Dict, ep_params: Dict, M: int, K: int):
         ctx = ctx_params["MaskedConv2d_0"]
-        kernel = np.asarray(ctx["kernel"], np.float64)  # (5, 5, M, 2M)
-        self.ctx_bias = np.asarray(ctx["bias"], np.float64)
+        kernel = np.asarray(ctx["kernel"], self.DTYPE)  # (5, 5, M, 2M)
+        self.ctx_bias = np.asarray(ctx["bias"], self.DTYPE)
         # mask-A positions: rows 0-1 all cols, row 2 cols 0-1
         pos = [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)]
         self.positions = pos
@@ -71,9 +77,9 @@ class _HostParamNets:
         ep = ep_params
         self.ep = []
         for name in ("Conv2d_0", "Conv2d_1", "Conv2d_2"):
-            k = np.asarray(ep[name]["kernel"], np.float64)
+            k = np.asarray(ep[name]["kernel"], self.DTYPE)
             self.ep.append((k.reshape(k.shape[2], k.shape[3]),
-                            np.asarray(ep[name]["bias"], np.float64)))
+                            np.asarray(ep[name]["bias"], self.DTYPE)))
         self.M = M
         self.K = K
 
@@ -81,7 +87,7 @@ class _HostParamNets:
         """y_pad: (H+4, W+4, M) zero-padded decoded latents;
         pix: (n, 2) (i, j) coords. Returns (n, 2M)."""
         n = pix.shape[0]
-        gathered = np.empty((n, len(self.positions), self.M))
+        gathered = np.empty((n, len(self.positions), self.M), self.DTYPE)
         for idx, (r, c) in enumerate(self.positions):
             gathered[:, idx, :] = y_pad[pix[:, 0] + r, pix[:, 1] + c]
         flat = gathered.reshape(n, -1)
@@ -123,24 +129,43 @@ def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
                        psi: np.ndarray) -> bytes:
     """Encode one latent layer under its masked-context AR model.
 
-    The full y_q acts as context (mask causality guarantees each pixel's
-    features only read already-coded positions, so this matches the decoder's
-    incrementally-filled buffer bit-for-bit)."""
+    The encoder walks the SAME per-wave loop as the decoder, with identical
+    chunk shapes: BLAS accumulation order can depend on the GEMM's m-dim, so
+    batching all pixels into one matmul could flip low bits vs the decoder's
+    per-wave matmuls and desynchronize the arithmetic coder. The full y_q is
+    a valid context at every wave because the mask only reads already-coded
+    positions."""
     h, w = y_q.shape[:2]
     M, K = nets.M, nets.K
-    pix, _ = wavefront_order(h, w)
-    y_pad = np.zeros((h + 4, w + 4, M))
+    pix, wave_sizes = wavefront_order(h, w)
+    y_pad = np.zeros((h + 4, w + 4, M), _HostParamNets.DTYPE)
     y_pad[2:-2, 2:-2] = y_q
-    phi = nets.context_features(y_pad, pix)
-    psi_pix = psi[pix[:, 0], pix[:, 1]].astype(np.float64)
-    params = nets.entropy_params(phi, psi_pix)
-    sym = y_q[pix[:, 0], pix[:, 1]].astype(np.int32).reshape(-1)
+    sym_parts, mu_parts, sig_parts, w_parts = [], [], [], []
+    start = 0
+    for ws in wave_sizes:
+        wave_pix = pix[start:start + ws]
+        start += ws
+        phi = nets.context_features(y_pad, wave_pix)
+        psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(_HostParamNets.DTYPE)
+        params = nets.entropy_params(phi, psi_pix)
+        sym_parts.append(y_q[wave_pix[:, 0], wave_pix[:, 1]]
+                         .astype(np.int32).reshape(-1))
+        if K == 1:
+            mu, sigma = params
+            mu_parts.append(mu.reshape(-1).astype(np.float32))
+            sig_parts.append(sigma.reshape(-1).astype(np.float32))
+        else:
+            wt, mt, st = _pack_gmm(params, K)
+            w_parts.append(wt)
+            mu_parts.append(mt)
+            sig_parts.append(st)
+    sym = np.concatenate(sym_parts)
     if K == 1:
-        mu, sigma = params
-        return backend.encode_gaussian(sym, mu.reshape(-1).astype(np.float32),
-                                       sigma.reshape(-1).astype(np.float32))
-    wt, mt, st = _pack_gmm(params, K)
-    return backend.encode_gaussian(sym, mt, st, wt)
+        return backend.encode_gaussian(sym, np.concatenate(mu_parts),
+                                       np.concatenate(sig_parts))
+    return backend.encode_gaussian(sym, np.concatenate(mu_parts),
+                                   np.concatenate(sig_parts),
+                                   np.concatenate(w_parts))
 
 
 def _ar_decode_latents(nets: _HostParamNets, dec: "backend.RansDecoder",
@@ -148,14 +173,14 @@ def _ar_decode_latents(nets: _HostParamNets, dec: "backend.RansDecoder",
     """Wavefront-decode one latent layer; returns (h, w, M) float."""
     M, K = nets.M, nets.K
     pix, wave_sizes = wavefront_order(h, w)
-    y_hat = np.zeros((h, w, M))
-    y_pad = np.zeros((h + 4, w + 4, M))
+    y_hat = np.zeros((h, w, M), _HostParamNets.DTYPE)
+    y_pad = np.zeros((h + 4, w + 4, M), _HostParamNets.DTYPE)
     start = 0
     for ws in wave_sizes:
         wave_pix = pix[start:start + ws]
         start += ws
         phi = nets.context_features(y_pad, wave_pix)
-        psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(np.float64)
+        psi_pix = psi[wave_pix[:, 0], wave_pix[:, 1]].astype(_HostParamNets.DTYPE)
         params = nets.entropy_params(phi, psi_pix)
         if K == 1:
             mu, sigma = params
