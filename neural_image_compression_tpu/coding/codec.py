@@ -27,9 +27,8 @@ Bitstream layout (version 1):
   then the z stream, then the y stream.
 """
 
-import io
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ chain into a few VPU ops. Always float32.
 """
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

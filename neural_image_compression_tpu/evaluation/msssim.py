@@ -9,9 +9,8 @@ TPU mapping: the Gaussian blur is two depthwise 1-D convs
 (`feature_group_count=C`) which XLA fuses and tiles; everything is float32.
 """
 
-import math
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ that graph functionally; the frozen activation is a pure function of captured
 statistics (nothing trainable, matching Extra.py:63-66).
 """
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

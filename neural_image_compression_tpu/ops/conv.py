@@ -17,7 +17,7 @@ Reference geometry being matched (see /root/reference):
                          capability parity).
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

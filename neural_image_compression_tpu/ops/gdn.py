@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neural_image_compression_tpu.ops.bound import PEDESTAL, nonneg, nonneg_init
+from neural_image_compression_tpu.ops.bound import nonneg, nonneg_init
 
 
 class GDN(nn.Module):

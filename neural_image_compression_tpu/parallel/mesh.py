@@ -16,7 +16,7 @@ Multi-host/multi-slice scaling uses the same mesh abstraction: call
 all processes (DCN between slices, ICI within).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -8,8 +8,7 @@ ICI on its own. Multi-λ sweeps run this same step per λ; large-image eval can
 additionally shard H over a 'spatial' axis (conv halo exchange is XLA's job).
 """
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import optax

@@ -10,8 +10,6 @@ import json
 import os
 from typing import Callable, Dict, List, Optional, Sequence
 
-import numpy as np
-
 
 def lambda_sweep(model_factory: Callable[[], object], train_loader, val_loader,
                  lambdas: Sequence[float], max_steps: int,

@@ -19,9 +19,8 @@ Differences from the reference, by design:
 """
 
 import math
-import os
 from functools import partial
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
