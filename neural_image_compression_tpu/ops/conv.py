@@ -88,6 +88,47 @@ def deconv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
     return out
 
 
+def deconv2d_phased(x: jax.Array, kernel: jax.Array,
+                    bias: Optional[jax.Array] = None,
+                    padding: int = 0, output_padding: int = 1) -> jax.Array:
+    """Stride-2 transposed conv as 4 phase convs + interleave.
+
+    Mathematically identical to deconv2d(..., stride=2) (the zero-dilated
+    input only hits kernel taps of matching parity), but expressed as dense
+    convs — an alternative lowering to XLA's lhs_dilation path for A/B
+    benchmarking on TPU. Requires output_padding == 1 (the only stride-2
+    geometry the models use).
+    """
+    assert output_padding == 1, "phased deconv implemented for op=1 only"
+    k = kernel.shape[0]
+    lo = k - 1 - padding
+
+    def phase_taps(a: int):
+        r_sel = [r for r in range(k) if r % 2 == (lo - a) % 2]
+        offs = [(a + r - lo) // 2 for r in r_sel]
+        pad_lo = -offs[0]
+        pad_hi = len(r_sel) - 1 - pad_lo
+        return r_sel, (pad_lo, pad_hi)
+
+    phases = {}
+    for a in (0, 1):
+        rs, rpad = phase_taps(a)
+        for b in (0, 1):
+            cs, cpad = phase_taps(b)
+            ker = kernel[jnp.asarray(rs)][:, jnp.asarray(cs)]
+            phases[(a, b)] = jax.lax.conv_general_dilated(
+                x, ker, (1, 1), (rpad, cpad),
+                dimension_numbers=_DIMENSION_NUMBERS)
+
+    bsz, h, w, c = phases[(0, 0)].shape
+    row0 = jnp.stack([phases[(0, 0)], phases[(0, 1)]], axis=3).reshape(bsz, h, 2 * w, c)
+    row1 = jnp.stack([phases[(1, 0)], phases[(1, 1)]], axis=3).reshape(bsz, h, 2 * w, c)
+    out = jnp.stack([row0, row1], axis=2).reshape(bsz, 2 * h, 2 * w, c)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class Conv2d(nn.Module):
     """Conv with torch-default init; NHWC in/out."""
 

@@ -145,3 +145,19 @@ class TestGDN:
         vs = m.init(rng, x)
         assert vs["params"]["beta"].shape == (16,)
         assert vs["params"]["gamma"].shape == (16, 16)
+
+
+class TestPhasedDeconv:
+    @pytest.mark.parametrize("k,p", [(5, 2), (3, 1)])
+    def test_matches_dilated(self, k, p):
+        from neural_image_compression_tpu.ops.conv import deconv2d_phased
+
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 6, 9, 4).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, k, 4, 5).astype(np.float32))
+        b = jnp.asarray(rng.randn(5).astype(np.float32))
+        ref = deconv2d(x, w, b, stride=2, padding=p, output_padding=1)
+        got = deconv2d_phased(x, w, b, padding=p, output_padding=1)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
