@@ -36,6 +36,11 @@ class GDN(nn.Module):
     beta_min: float = 1e-6
     gamma_init: float = 0.1
     dtype: Optional[Any] = None
+    # use_pallas: opt-in fused Pallas kernel (custom-VJP; f32 compute).
+    # Standalone it beats XLA 1.7x (tools/ab_bench2.py), but wired into the
+    # model it is a net LOSS (bf16 -> f32 cast + broken conv/GDN fusion:
+    # 1010 vs 1530 img/s at batch 16), so the default stays the XLA path.
+    use_pallas: Optional[bool] = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,6 +54,11 @@ class GDN(nn.Module):
 
         beta = nonneg(beta_raw, minimum=self.beta_min)
         gamma = nonneg(gamma_raw)  # (C_in, C_out); symmetric init so orientation-free
+
+        if self.use_pallas:
+            from neural_image_compression_tpu.ops.pallas.gdn_kernel import gdn_fused_op
+
+            return gdn_fused_op(x, gamma, beta, self.inverse).astype(x.dtype)
 
         compute_dtype = self.dtype or x.dtype
         xc = x.astype(compute_dtype)

@@ -27,6 +27,34 @@ def _kernel(x_ref, gamma_ref, beta_ref, out_ref, *, inverse: bool):
         out_ref[:] = x * jax.lax.rsqrt(norm)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gdn_fused_op(x: jax.Array, gamma: jax.Array, beta: jax.Array,
+                 inverse: bool = False) -> jax.Array:
+    """Differentiable fused GDN: Pallas forward (1.7x faster than XLA's
+    fusion at flagship shapes — tools/ab_bench2.py), XLA-autodiff backward."""
+    return fused_gdn(x, gamma, beta, inverse=inverse)
+
+
+def _gdn_reference(x, gamma, beta, inverse):
+    xf = x.astype(jnp.float32)
+    norm = jnp.dot(xf * xf, gamma, preferred_element_type=jnp.float32) + beta
+    return xf * (jnp.sqrt(norm) if inverse else jax.lax.rsqrt(norm))
+
+
+def _gdn_fwd(x, gamma, beta, inverse):
+    return fused_gdn(x, gamma, beta, inverse=inverse), (x, gamma, beta)
+
+
+def _gdn_bwd(inverse, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(lambda x, ga, be: _gdn_reference(x, ga, be, inverse),
+                     x, gamma, beta)
+    return vjp(g)
+
+
+gdn_fused_op.defvjp(_gdn_fwd, _gdn_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("inverse", "block_n", "interpret"))
 def fused_gdn(x: jax.Array, gamma: jax.Array, beta: jax.Array,
               inverse: bool = False, block_n: int = 512,
