@@ -89,8 +89,12 @@ class Trainer:
         if example_batch.dtype == jnp.uint8:
             example_batch = example_batch.astype(jnp.float32) / 255.0
         self._rng, init_key, noise_key = jax.random.split(self._rng, 3)
-        variables = model.init({"params": init_key, "noise": noise_key},
-                               example_batch, training=True)
+        # jitted init: unjitted flax init dispatches each primitive separately
+        # (minutes on high-latency device transports)
+        variables = jax.jit(
+            lambda ik, nk, x: model.init({"params": ik, "noise": nk}, x,
+                                         training=True)
+        )(init_key, noise_key, example_batch)
         self.params = variables["params"]
 
         if optimizer is None:
