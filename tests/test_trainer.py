@@ -140,3 +140,30 @@ def test_preemption_safe_stop(tmp_path, tiny_model):
     t2 = Trainer(tiny_model, _loader(), max_steps=2, resume=True,
                  log_dir=str(tmp_path / "r2"), checkpoint_path=str(tmp_path / "ckpt"))
     assert t2.step == 3 and t2.max_steps == 5
+
+
+def test_plateau_scheduler(tmp_path, tiny_model):
+    trainer = Trainer(tiny_model, _loader(), val_loader=_loader(n=1, batch=1),
+                      max_steps=4, val_interval=1, scheduler="plateau",
+                      learning_rate=1e-3,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    # force an immediate plateau: patience 0, huge best
+    trainer.plateau.patience = 0
+    trainer.plateau.best = -1.0
+    trainer.train()
+    assert trainer.current_lr() < 1e-3  # reduced by factor 0.5 at least once
+
+
+def test_plateau_controller_semantics():
+    from neural_image_compression_tpu.train import ReduceLROnPlateau
+
+    pl = ReduceLROnPlateau(1.0, patience=2, factor=0.5)
+    assert pl.step(10.0) == 1.0      # first metric becomes best
+    assert pl.step(10.0) == 1.0      # bad 1
+    assert pl.step(10.0) == 1.0      # bad 2
+    assert pl.step(10.0) == 0.5      # bad 3 > patience -> reduce
+    assert pl.step(1.0) == 0.5       # new best resets counter
+    d = pl.state_dict()
+    pl2 = ReduceLROnPlateau(1.0)
+    pl2.load_state_dict(d)
+    assert pl2.lr == 0.5 and pl2.best == 1.0

@@ -74,6 +74,11 @@ def main():
                   f"psnr={float(m['psnr']):.2f}  ({i/dt:.2f} steps/s)", flush=True)
     last_loss = float(m["loss"])
     dt = time.perf_counter() - t0
+    if __import__("os").environ.get("DEMO_SAVE"):
+        from neural_image_compression_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(__import__("os").environ["DEMO_SAVE"],
+                        {"params": params}, {"steps": STEPS})
+        print("saved checkpoint ->", __import__("os").environ["DEMO_SAVE"], flush=True)
     result = {
         "steps_per_sec": round(STEPS / dt, 3),
         "images_per_sec": round(STEPS * BATCH / dt, 1),
