@@ -34,8 +34,11 @@ def _restore_params(model, cfg: Config, example):
     )
 
     key = jax.random.PRNGKey(cfg.train.seed)
-    params = model.init({"params": key, "noise": key}, example,
-                        training=False)["params"]
+    import jax.numpy as jnp
+
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "noise": k}, x, training=False))(
+        key, jnp.asarray(example))["params"]
     path = cfg.train.checkpoint_path
     if path and checkpoint_exists(path):
         params = restore_raw(path)["params"]
@@ -99,6 +102,8 @@ def cmd_train(args):
                       img_interval=cfg.train.img_interval,
                       val_interval=cfg.train.val_interval,
                       checkpoint_interval=cfg.train.checkpoint_interval,
+                      scalar_interval=cfg.train.scalar_interval,
+                      preemption_safe=cfg.train.preemption_safe,
                       log_dir=cfg.train.log_dir,
                       checkpoint_path=cfg.train.checkpoint_path,
                       seed=cfg.train.seed, mesh=mesh)
@@ -132,11 +137,20 @@ def cmd_eval(args):
     ev.save_results(metrics, cfg.eval.nb_steps, cfg.eval.caption)
 
 
+def _make_codec(cfg: Config, model, params):
+    from neural_image_compression_tpu.coding import (
+        FactorizedPriorCodec, JointARCodec, ScalableCodec,
+    )
+
+    cls = {"factorized": FactorizedPriorCodec,
+           "scalable": ScalableCodec}.get(cfg.model.name, JointARCodec)
+    return cls(model, {"params": params})
+
+
 def cmd_compress(args):
     import numpy as np
 
     cfg = _load_config(args.config)
-    from neural_image_compression_tpu.coding import FactorizedPriorCodec, JointARCodec
     from neural_image_compression_tpu.data import load_image, pad_to_multiple
 
     model = build_model(cfg.model)
@@ -144,8 +158,7 @@ def cmd_compress(args):
     h, w = img.shape[1:3]
     img = pad_to_multiple(img, 64)
     params = _restore_params(model, cfg, img)
-    codec = (FactorizedPriorCodec if cfg.model.name == "factorized"
-             else JointARCodec)(model, {"params": params})
+    codec = _make_codec(cfg, model, params)
     data = codec.compress(img)
     meta = {"orig_h": h, "orig_w": w}
     with open(args.out, "wb") as f:
@@ -161,8 +174,6 @@ def cmd_decompress(args):
     from PIL import Image
 
     cfg = _load_config(args.config)
-    from neural_image_compression_tpu.coding import FactorizedPriorCodec, JointARCodec
-
     with open(args.bitstream, "rb") as f:
         mlen = int.from_bytes(f.read(2), "little")
         meta = json.loads(f.read(mlen).decode())
@@ -171,8 +182,7 @@ def cmd_decompress(args):
     model = build_model(cfg.model)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    codec = (FactorizedPriorCodec if cfg.model.name == "factorized"
-             else JointARCodec)(model, {"params": params})
+    codec = _make_codec(cfg, model, params)
     x_hat = codec.decompress(data)[0][:meta["orig_h"], :meta["orig_w"]]
     Image.fromarray((np.clip(x_hat, 0, 1) * 255).astype(np.uint8)).save(args.out)
     print(f"{args.bitstream} -> {args.out}")

@@ -48,6 +48,8 @@ class TrainConfig:
     seed: int = 0
     gamma: float = 0.0                   # vision distillation weight (scalable)
     data_parallel: bool = False          # shard the batch over all devices
+    scalar_interval: int = 1             # per-step scalar logging cadence
+    preemption_safe: bool = False        # SIGTERM -> checkpoint + clean exit
 
 
 @dataclass

@@ -99,3 +99,27 @@ def test_cli_compress_decompress(tmp_path):
               "--out", rec_path])
     rec = np.asarray(Image.open(rec_path))
     assert rec.shape == (100, 140, 3)  # cropped back from the 64-multiple pad
+
+
+def test_cli_compress_decompress_scalable(tmp_path):
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(2)
+    Image.fromarray((rng.rand(80, 90, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = "scalable"
+    cfg.model.latent_channels = 12
+    cfg.model.base_channels = 8
+    cfg.model.K = 1
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path])
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path])
+    assert np.asarray(Image.open(rec_path)).shape == (80, 90, 3)
