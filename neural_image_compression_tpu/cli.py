@@ -134,6 +134,10 @@ def cmd_eval(args):
         ev = CompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
                                   cfg.eval.save_dir)
     metrics, imgs, recons = ev.evaluate()
+    if getattr(args, "codec", False):
+        codec_metrics = ev.evaluate_codec(_make_codec(cfg, model, params))
+        metrics.update({f"codec/{k}": v for k, v in codec_metrics.items()
+                        if k.startswith("BPP")})
     ev.save_results(metrics, cfg.eval.nb_steps, cfg.eval.caption)
 
 
@@ -226,6 +230,8 @@ def main(argv=None):
     sp = sub.add_parser("eval")
     sp.add_argument("--config", default=None)
     sp.add_argument("--data_dir", default=None)
+    sp.add_argument("--codec", action="store_true",
+                    help="also run real-bitstream codec evaluation")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("compress")

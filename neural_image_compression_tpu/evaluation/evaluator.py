@@ -122,8 +122,11 @@ class CompressionEvaluator:
             x_hat = codec.decompress(data)
             real_bpps.append(len(data) * 8.0 / (h * w))
             out = self._forward(self.params, jnp.asarray(imgs))
-            analytic_bpps.append(float(default_rd_loss(out, jnp.asarray(imgs),
-                                                       self.lambda_val)["bpp_total"]))
+            # analytic rate from whatever logp_* streams the model family has
+            # (joint: logp_y + logp_z; scalable: logp_y1 + logp_y2 + logp_z)
+            bits = sum(float(-jnp.sum(v)) for k, v in out.items()
+                       if k.startswith("logp_"))
+            analytic_bpps.append(bits / math.log(2.0) / (h * w))
             metrics = compute_metrics(jnp.asarray(imgs), jnp.asarray(x_hat))
             total_metrics.append({k: float(v) for k, v in metrics.items()})
 

@@ -123,3 +123,22 @@ def test_cli_compress_decompress_scalable(tmp_path):
     cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
               "--out", rec_path])
     assert np.asarray(Image.open(rec_path)).shape == (80, 90, 3)
+
+
+def test_cli_eval_with_codec(tmp_path):
+    train_dir = str(tmp_path / "imgs")
+    _write_images(train_dir, n=1, size=192)
+    cfg = Config()
+    cfg.model.name = "factorized"
+    cfg.model.latent_channels = 8
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg.eval.data_dir = train_dir
+    cfg.eval.save_dir = str(tmp_path / "eval")
+    cfg.eval.caption = "codec"
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    cli_main(["eval", "--config", cfg_path, "--codec"])
+    txt = open(os.path.join(cfg.eval.save_dir,
+                            "eval_results_0.005_lambda_codec.txt")).read()
+    assert "codec/BPP(bitstream)" in txt
