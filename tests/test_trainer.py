@@ -167,3 +167,28 @@ def test_plateau_controller_semantics():
     pl2 = ReduceLROnPlateau(1.0)
     pl2.load_state_dict(d)
     assert pl2.lr == 0.5 and pl2.best == 1.0
+
+
+def test_tensorboard_events_readable_by_tensorboard(tmp_path, tiny_model):
+    """Our hand-built event protos must parse with TensorBoard's own reader."""
+    trainer = Trainer(tiny_model, _loader(), max_steps=2, log_interval=1,
+                      img_interval=1, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None)
+    trainer.train()
+    trainer.logger.flush()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(str(tmp_path / "runs"),
+                           size_guidance={"scalars": 0, "histograms": 0,
+                                          "images": 0})
+    acc.Reload()
+    tags = acc.Tags()
+    assert "losses/loss" in tags["scalars"]
+    assert any(t.startswith("latents/") for t in tags["histograms"])
+    assert any(t.startswith("comparison/") or t.startswith("heatmaps/")
+               for t in tags["images"])
+    scalars = acc.Scalars("losses/loss")
+    assert [s.step for s in scalars] == [0, 1]
