@@ -13,7 +13,10 @@ def main():
     import neural_image_compression_tpu as nic
 
     model = nic.models.JointAutoregressiveHierarchical(latent_channels=128, K=3)
-    params = nic.utils.restore_raw("/tmp/nic_long/ckpt")["params"]
+    import os
+
+    ckpt = os.environ.get("CAPSTONE_CKPT", "/tmp/nic_long/ckpt")
+    params = nic.utils.restore_raw(ckpt)["params"]
     variables = {"params": params}
 
     # Kodak-shaped synthetic eval image from the same generator family
