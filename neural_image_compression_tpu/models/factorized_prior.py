@@ -40,6 +40,10 @@ class FactorizedPrior(nn.Module):
         self.factorized_entropy_model = FactorizedEntropyBottleneck(channels=m)
 
     def __call__(self, x: jax.Array, training: bool = True) -> Dict[str, jax.Array]:
+        if x.shape[1] % 16 or x.shape[2] % 16:
+            raise ValueError(
+                f"H and W must be multiples of 16 (x16 transform), got "
+                f"{x.shape[1]}x{x.shape[2]}; pad first (data.pad_to_multiple)")
         y = self.encoder(x)
         if training:
             y_in = noise_quantize(y.astype(jnp.float32), self.make_rng("noise"))

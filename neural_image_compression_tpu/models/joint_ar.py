@@ -99,6 +99,11 @@ class JointAutoregressiveHierarchical(nn.Module):
         return self.entropy_parameters(combined)
 
     def __call__(self, x: jax.Array, training: bool = True) -> Dict[str, jax.Array]:
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                f"H and W must be multiples of 64 (x16 transform + x4 hyper "
+                f"downsampling), got {x.shape[1]}x{x.shape[2]}; pad first "
+                f"(e.g. data.pad_to_multiple(x, 64)) and crop the output")
         y = self.encoder(x)
         z = self.hyper_encoder(y)
 

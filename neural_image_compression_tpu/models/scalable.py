@@ -68,6 +68,10 @@ class ScalableImageCoding(nn.Module):
         return self.latent_channels - self.base_channels
 
     def __call__(self, x: jax.Array, training: bool = True) -> Dict[str, jax.Array]:
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                f"H and W must be multiples of 64, got {x.shape[1]}x{x.shape[2]}; "
+                f"pad first (data.pad_to_multiple) and crop the output")
         y = self.encoder(x)
         z = self.hyper_encoder(y)
 

@@ -116,3 +116,30 @@ class TestScalable:
         out = model.apply(vs, x, training=False)
         recon = jnp.concatenate([out["y1"], out["y2"]], axis=-1)
         np.testing.assert_array_equal(np.asarray(recon), np.asarray(out["y_in"]))
+
+
+class TestShapeValidation:
+    def test_joint_ar_rejects_odd_size(self):
+        model = JointAutoregressiveHierarchical(latent_channels=8)
+        x = jnp.zeros((1, 96, 80, 3))
+        with pytest.raises(ValueError, match="multiples of 64"):
+            model.init({"params": KEY, "noise": KEY}, x, training=False)
+
+    def test_scalable_rejects_odd_size(self):
+        model = ScalableImageCoding(latent_channels=12, base_channels=8)
+        x = jnp.zeros((1, 100, 64, 3))
+        with pytest.raises(ValueError, match="multiples of 64"):
+            model.init({"params": KEY, "noise": KEY}, x, training=False)
+
+    def test_factorized_rejects_odd_size(self):
+        model = FactorizedPrior(latent_channels=8)
+        x = jnp.zeros((1, 30, 32, 3))
+        with pytest.raises(ValueError, match="multiples of 16"):
+            model.init({"params": KEY, "noise": KEY}, x, training=False)
+
+    def test_factorized_accepts_mult16(self):
+        model = FactorizedPrior(latent_channels=8)
+        x = jnp.zeros((1, 48, 80, 3))
+        vs = model.init({"params": KEY, "noise": KEY}, x, training=False)
+        out = model.apply(vs, x, training=False)
+        assert out["x_hat"].shape == x.shape
