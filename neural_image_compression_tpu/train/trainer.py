@@ -244,14 +244,15 @@ class Trainer:
                 model_out = self._diag_forward(self.params, batch, diag_rng)
                 if self.step % self.log_interval == 0:
                     self._log_histograms(model_out)
-                    self._log_channel_activity(model_out, "y")
-                    self._log_channel_activity(model_out, "z")
+                    for name in self._latent_streams(model_out):
+                        self._log_channel_activity(model_out, name)
                     self._log_entropy_params(model_out)
                 if self.step % self.img_interval == 0:
                     self._log_paired_images(batch, model_out)
-                    for name in ("y", "z"):
-                        self._log_entropy_heatmap(model_out, name)
-                        self._log_latent_heatmap(model_out, name)
+                    for name in self._latent_streams(model_out):
+                        if name in model_out:
+                            self._log_entropy_heatmap(model_out, name)
+                            self._log_latent_heatmap(model_out, name)
                     self._log_entropy_cdf(model_out, "z")
 
             if (self.checkpoint_interval and self.step > 0
@@ -295,6 +296,12 @@ class Trainer:
         self.logger.scalar("validation/validation_psnr", psnr / n, self.step)
         return total_loss / n
 
+    @staticmethod
+    def _latent_streams(out):
+        """Latent stream names present in a model-out dict: ('y', 'z') for the
+        joint models, ('y1', 'y2', 'z') for the scalable model."""
+        return [n for n in ("y", "y1", "y2", "z") if f"logp_{n}" in out]
+
     def _log_histograms(self, out):
         ln2 = math.log(2.0)
         pairs = [("latents/y", "y"), ("latents/y_hat", "y_in"),
@@ -304,7 +311,7 @@ class Trainer:
         for tag, key in pairs:
             if key in out:
                 self.logger.histogram(tag, np.asarray(out[key]), self.step)
-        for name in ("y", "z"):
+        for name in self._latent_streams(out):
             logp = np.asarray(out[f"logp_{name}"])
             self.logger.histogram(f"entropy/{name}", -logp / ln2, self.step)
             per_comp = -logp.sum(axis=(1, 2)) / ln2  # NHWC: sum spatial -> (B, C)
@@ -323,16 +330,23 @@ class Trainer:
         self.logger.scalar(f"activity/{name}_dead_channels_by_entropy", dead, self.step)
 
     def _log_entropy_params(self, out):
-        if "mu" in out and "sigma" in out:
-            self.logger.histogram("entropy_params/mu", np.asarray(out["mu"]), self.step)
-            self.logger.histogram("entropy_params/sigma", np.asarray(out["sigma"]), self.step)
-        if "weights" in out:
-            w = np.asarray(out["weights"])  # (B,H,W,K,M)
-            self.logger.histogram("entropy_params/weights", w, self.step)
-            self.logger.histogram("entropy_params/mus", np.asarray(out["mus"]), self.step)
-            self.logger.histogram("entropy_params/sigmas", np.asarray(out["sigmas"]), self.step)
-            used = float((w > 1e-4).sum(axis=-2).mean())
-            self.logger.scalar("entropy_params/used_components_mean", used, self.step)
+        # suffix "" = joint models; "1"/"2" = scalable layers
+        for sfx in ("", "1", "2"):
+            if f"mu{sfx}" in out and f"sigma{sfx}" in out:
+                self.logger.histogram(f"entropy_params/mu{sfx}",
+                                      np.asarray(out[f"mu{sfx}"]), self.step)
+                self.logger.histogram(f"entropy_params/sigma{sfx}",
+                                      np.asarray(out[f"sigma{sfx}"]), self.step)
+            if f"weights{sfx}" in out:
+                w = np.asarray(out[f"weights{sfx}"])  # (B,H,W,K,M)
+                self.logger.histogram(f"entropy_params/weights{sfx}", w, self.step)
+                self.logger.histogram(f"entropy_params/mus{sfx}",
+                                      np.asarray(out[f"mus{sfx}"]), self.step)
+                self.logger.histogram(f"entropy_params/sigmas{sfx}",
+                                      np.asarray(out[f"sigmas{sfx}"]), self.step)
+                used = float((w > 1e-4).sum(axis=-2).mean())
+                self.logger.scalar(f"entropy_params/used_components_mean{sfx}",
+                                   used, self.step)
 
     def _log_paired_images(self, imgs, out, max_samples: int = 4):
         imgs = np.asarray(imgs)

@@ -192,3 +192,19 @@ def test_tensorboard_events_readable_by_tensorboard(tmp_path, tiny_model):
                for t in tags["images"])
     scalars = acc.Scalars("losses/loss")
     assert [s.step for s in scalars] == [0, 1]
+
+
+def test_trainer_with_scalable_model(tmp_path):
+    from neural_image_compression_tpu.models import ScalableImageCoding
+    from neural_image_compression_tpu.train.loss import vision_rd_loss
+
+    model = ScalableImageCoding(latent_channels=12, base_channels=8, K=2)
+    loss = lambda out, x, lam: vision_rd_loss(out, x, lam, 0.0)  # noqa: E731
+    trainer = Trainer(model, _loader(), max_steps=2, rd_loss=loss,
+                      log_interval=1, img_interval=1,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    trainer.train()  # must not crash in the diagnostics paths
+    import json
+    tags = {json.loads(l)["tag"] for l in open(tmp_path / "runs" / "metrics.jsonl")}
+    assert "losses/loss" in tags
+    assert "activity/y1_dead_channels_by_entropy" in tags
