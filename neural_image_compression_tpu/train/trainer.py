@@ -150,7 +150,12 @@ class Trainer:
             return next(self._train_iter)
         except StopIteration:
             self._train_iter = iter(self.train_loader)
-            return next(self._train_iter)
+            try:
+                return next(self._train_iter)
+            except StopIteration:
+                raise ValueError(
+                    "train_loader yielded no batches (empty dataset or "
+                    "batch_size > dataset size with drop_remainder)") from None
 
     def _build_train_step(self):
         model, rd_loss, lambda_val, tx = self.model, self.rd_loss, self.lambda_val, self.tx

@@ -208,3 +208,9 @@ def test_trainer_with_scalable_model(tmp_path):
     tags = {json.loads(l)["tag"] for l in open(tmp_path / "runs" / "metrics.jsonl")}
     assert "losses/loss" in tags
     assert "activity/y1_dead_channels_by_entropy" in tags
+
+
+def test_empty_loader_raises(tmp_path, tiny_model):
+    with pytest.raises(ValueError, match="no batches"):
+        Trainer(tiny_model, [], max_steps=1,
+                log_dir=str(tmp_path / "runs"), checkpoint_path=None)
