@@ -214,3 +214,22 @@ def test_empty_loader_raises(tmp_path, tiny_model):
     with pytest.raises(ValueError, match="no batches"):
         Trainer(tiny_model, [], max_steps=1,
                 log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+
+
+def test_trainer_with_mesh(tmp_path, tiny_model):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from neural_image_compression_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    loader = _loader(n=2, batch=8)  # batch divisible by mesh size
+    trainer = Trainer(tiny_model, loader, max_steps=3, mesh=mesh,
+                      log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=str(tmp_path / "ckpt"))
+    trainer.train()
+    import json
+    losses = [json.loads(l)["value"] for l in open(tmp_path / "runs" / "metrics.jsonl")
+              if json.loads(l)["tag"] == "losses/loss"]
+    assert len(losses) == 3 and all(np.isfinite(losses))
+    assert os.path.isdir(str(tmp_path / "ckpt"))
