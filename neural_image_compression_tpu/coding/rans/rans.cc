@@ -125,18 +125,25 @@ static void build_gaussian_model(const float* ws, const float* mus,
   if (R > 254) R = 254;
   int nsym = 2 * R + 2;
 
-  // pmf over d in [-R, R] + escape tail mass
+  // mixture CDF at the 2R+2 bin edges (one erfc per edge per component),
+  // then difference into the pmf — half the transcendental work of
+  // evaluating upper/lower per bin.
+  double edge[512];
+  int n_edges = 2 * R + 2;
+  for (int e = 0; e < n_edges; ++e) {
+    double t = c - R - 0.5 + e;
+    double acc = 0.0;
+    for (int k = 0; k < K; ++k) {
+      double w = (K == 1) ? 1.0 : static_cast<double>(ws[k]);
+      acc += w * std_normal_cdf((t - mus[k]) / sigmas[k]);
+    }
+    edge[e] = acc;
+  }
   double pmf[512];
   double total = 0.0;
   for (int d = -R; d <= R; ++d) {
-    double p = 0.0;
-    for (int k = 0; k < K; ++k) {
-      double w = (K == 1) ? 1.0 : static_cast<double>(ws[k]);
-      double mu = mus[k], s = sigmas[k];
-      double up = std_normal_cdf((c + d + 0.5 - mu) / s);
-      double lo = std_normal_cdf((c + d - 0.5 - mu) / s);
-      p += w * (up - lo);
-    }
+    double p = edge[d + R + 1] - edge[d + R];
+    if (p < 0.0) p = 0.0;
     pmf[d + R] = p;
     total += p;
   }
