@@ -51,6 +51,76 @@ def lambda_sweep(model_factory: Callable[[], object], train_loader, val_loader,
     return points
 
 
+def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
+                         steps: int, learning_rate: float = 1e-4,
+                         seed: int = 0, rd_loss=None):
+    """Train one model PER λ simultaneously with a vmapped train step.
+
+    TPU-idiomatic sweep: instead of L sequential runs, the step is vmapped
+    over a leading λ axis of stacked parameters — the chip sees one big
+    batched program (L small matmuls fuse into fatter ones), so the whole RD
+    curve trains in roughly the time of one run.
+
+    model: a flax module; train_iter: yields (B, H, W, 3) batches shared by
+    all replicas. Returns (params_per_lambda: list of pytrees, losses:
+    (L,) final losses).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neural_image_compression_tpu.train.loss import rd_loss as default_rd
+    rd_loss = rd_loss or default_rd
+
+    lambdas_arr = jnp.asarray(list(lambdas), jnp.float32)
+    L = lambdas_arr.shape[0]
+    batch0 = jnp.asarray(next(iter(train_iter)))
+    if batch0.dtype == jnp.uint8:
+        batch0 = batch0.astype(jnp.float32) / 255.0
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), L)
+    init_one = lambda k: model.init({"params": k, "noise": k}, batch0,  # noqa: E731
+                                    training=True)["params"]
+    params = jax.jit(jax.vmap(init_one))(keys)  # stacked along axis 0
+
+    tx = optax.adam(learning_rate)
+    opt_state = jax.jit(jax.vmap(tx.init))(params)
+
+    def one_step(p, o, lam, batch, rng):
+        def lf(p):
+            out = model.apply({"params": p}, batch, training=True,
+                              rngs={"noise": rng})
+            return rd_loss(out, batch, lam)["loss"]
+
+        loss, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o)
+        return optax.apply_updates(p, u), o, loss
+
+    @jax.jit
+    def sweep_step(params, opt_state, batch, rngs):
+        if batch.dtype == jnp.uint8:
+            batch = batch.astype(jnp.float32) / 255.0
+        return jax.vmap(one_step, in_axes=(0, 0, 0, None, 0))(
+            params, opt_state, lambdas_arr, batch, rngs)
+
+    rng = jax.random.PRNGKey(seed + 1)
+    it = iter(train_iter)
+    losses = None
+    for i in range(steps):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(train_iter)
+            batch = next(it)
+        rng, sub = jax.random.split(rng)
+        step_rngs = jax.random.split(sub, L)
+        params, opt_state, losses = sweep_step(params, opt_state,
+                                               jnp.asarray(batch), step_rngs)
+
+    per_lambda = [jax.tree.map(lambda a, i=i: a[i], params) for i in range(L)]
+    return per_lambda, losses
+
+
 def plot_rd_curve(points: List[Dict[str, float]], save_path: str,
                   metric: str = "psnr"):
     import matplotlib

@@ -24,3 +24,30 @@ def test_lambda_sweep(tmp_path):
     assert {p["lambda"] for p in saved} == {0.001, 0.05}
     p = plot_rd_curve(points, str(tmp_path / "rd.png"))
     assert os.path.exists(p)
+
+
+def test_vmapped_lambda_sweep():
+    import jax
+    import jax.numpy as jnp
+
+    from neural_image_compression_tpu.train import vmapped_lambda_sweep
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    rng = np.random.RandomState(0)
+    train = [rng.rand(2, 64, 64, 3).astype(np.float32) for _ in range(2)]
+    model = FactorizedPrior(latent_channels=4)
+    lambdas = [0.001, 0.05]
+    per_lambda, losses = vmapped_lambda_sweep(model, lambdas, train, steps=8,
+                                              learning_rate=1e-3)
+    assert len(per_lambda) == 2
+    assert losses.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(losses)))
+    # the two replicas actually trained toward different objectives
+    a = jax.tree.leaves(per_lambda[0])
+    b = jax.tree.leaves(per_lambda[1])
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+    # each unstacked replica is a working parameter set
+    x = jnp.asarray(train[0])
+    out = model.apply({"params": per_lambda[0]}, x, training=False)
+    assert np.isfinite(float(rd_loss(out, x, 0.001)["loss"]))
