@@ -81,6 +81,19 @@ class _HostParamNets:
                             np.asarray(ep[name]["bias"], self.DTYPE)))
         self.M = M
         self.K = K
+        if K > 1:
+            # Permute the final layer's output columns from the model's
+            # (kind, k, m) order to coder-friendly (kind, m, k) so mixture
+            # params come out (n, M, K)-contiguous — no per-wave transpose
+            # copies. Column dot-products are independent, and encode/decode
+            # share this object, so determinism is unaffected.
+            t_idx, k_idx, m_idx = np.meshgrid(np.arange(3), np.arange(K),
+                                              np.arange(M), indexing="ij")
+            src = (t_idx * K * M + k_idx * M + m_idx)          # (3, K, M)
+            perm = src.transpose(0, 2, 1).reshape(-1)          # (3, M, K) order
+            w3, b3 = self.ep[2]
+            self.ep[2] = (np.ascontiguousarray(w3[:, perm]),
+                          np.ascontiguousarray(b3[perm]))
 
     def context_features(self, y_pad: np.ndarray, pix: np.ndarray) -> np.ndarray:
         """y_pad: (H+4, W+4, M) zero-padded decoded latents;
@@ -94,7 +107,8 @@ class _HostParamNets:
 
     def entropy_params(self, phi: np.ndarray, psi: np.ndarray):
         """phi, psi: (n, 2M). Returns mean-scale (mu, sigma) each (n, M) for
-        K==1, or (weights, mus, sigmas) each (n, K, M)."""
+        K==1, or (weights, mus, sigmas) each (n, M, K) — coder layout, the
+        final layer's columns having been permuted at init."""
         h = np.concatenate([phi, psi], axis=1)
         for li, (w, b) in enumerate(self.ep):
             h = h @ w + b
@@ -106,22 +120,20 @@ class _HostParamNets:
             sigma = np.logaddexp(0.0, sraw) + 1e-6  # softplus
             return mu, sigma
         n = h.shape[0]
-        w_raw = h[:, :k * m].reshape(n, k, m)
-        mus = h[:, k * m:2 * k * m].reshape(n, k, m)
-        s_raw = h[:, 2 * k * m:].reshape(n, k, m)
-        w_exp = np.exp(w_raw - w_raw.max(axis=1, keepdims=True))
-        weights = w_exp / w_exp.sum(axis=1, keepdims=True)
+        w_raw = h[:, :k * m].reshape(n, m, k)
+        mus = h[:, k * m:2 * k * m].reshape(n, m, k)
+        s_raw = h[:, 2 * k * m:].reshape(n, m, k)
+        w_exp = np.exp(w_raw - w_raw.max(axis=-1, keepdims=True))
+        weights = w_exp / w_exp.sum(axis=-1, keepdims=True)
         sigmas = np.logaddexp(0.0, s_raw) + 1e-6
         return weights, mus, sigmas
 
 
 def _pack_gmm(params, K):
-    """(n, K, M) host params -> per-symbol (n*M, K) f32 rows."""
+    """(n, M, K) host params (coder layout) -> per-symbol (n*M, K) f32 rows —
+    a contiguous reshape, no copies."""
     weights, mus, sigmas = params
-    wt = weights.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
-    mt = mus.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
-    st = sigmas.transpose(0, 2, 1).reshape(-1, K).astype(np.float32)
-    return wt, mt, st
+    return (weights.reshape(-1, K), mus.reshape(-1, K), sigmas.reshape(-1, K))
 
 
 def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
