@@ -183,3 +183,37 @@ def test_scalable_codec_roundtrip_and_truncation():
     # truncated stream refuses a full decode with a clear error
     with pytest.raises(ValueError):
         codec.decompress(base)
+
+
+def test_scalable_codec_gmm_roundtrip():
+    """K>1 scalable path exercises the permuted-EP coder layout per layer."""
+    from neural_image_compression_tpu.coding.codec import ScalableCodec
+    from neural_image_compression_tpu.models import ScalableImageCoding
+
+    model = ScalableImageCoding(latent_channels=12, base_channels=8, K=3)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = ScalableCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    out = model.apply(variables, x, training=False)
+    x_hat = codec.decompress(data)
+    np.testing.assert_allclose(x_hat, np.clip(np.asarray(out["x_hat"]), 0, 1),
+                               atol=1e-5)
+    y1, _ = codec.decompress_base(codec.truncate_base(data))
+    np.testing.assert_array_equal(y1, np.asarray(out["y1"])[0])
+
+
+def test_joint_ar_codec_bf16_model():
+    """Codec must round-trip a bf16-transform model (the serving config)."""
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=3,
+                                            dtype=jnp.bfloat16)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    y_dec, z_dec = codec.decode_latents(data)
+    out = model.apply(variables, x, training=False)
+    np.testing.assert_array_equal(z_dec, np.asarray(out["z_in"])[0])
+    np.testing.assert_array_equal(y_dec, np.asarray(out["y_in"])[0])
