@@ -233,3 +233,20 @@ def test_trainer_with_mesh(tmp_path, tiny_model):
               if json.loads(l)["tag"] == "losses/loss"]
     assert len(losses) == 3 and all(np.isfinite(losses))
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+def test_trainer_with_mesh_and_validation(tmp_path, tiny_model):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from neural_image_compression_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8)
+    trainer = Trainer(tiny_model, _loader(n=2, batch=8),
+                      val_loader=_loader(n=1, batch=1),
+                      max_steps=2, val_interval=1, mesh=mesh,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    trainer.train()
+    import json
+    tags = {json.loads(l)["tag"] for l in open(tmp_path / "runs" / "metrics.jsonl")}
+    assert "validation/validation_loss" in tags
