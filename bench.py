@@ -32,7 +32,7 @@ def main():
     dtype_name = os.environ.get("NIC_BENCH_DTYPE", "bf16")
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     iters = int(os.environ.get("NIC_BENCH_ITERS", "24"))
-    batch = int(os.environ.get("NIC_BENCH_BATCH", "24"))
+    batch = int(os.environ.get("NIC_BENCH_BATCH", "48"))
 
     model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
     key = jax.random.PRNGKey(0)
