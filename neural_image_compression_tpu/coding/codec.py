@@ -255,9 +255,20 @@ class JointARCodec:
     def _z_tables(self, zmin: int, zmax: int):
         return factorized_tables(self.model, self.variables, zmin, zmax)
 
+    @staticmethod
+    def _tile_bounds(n: int, parts: int):
+        edges = np.linspace(0, n, parts + 1).astype(int)
+        return list(zip(edges[:-1], edges[1:]))
+
     # -- encode ---------------------------------------------------------
-    def compress(self, x: np.ndarray) -> bytes:
-        """x: (1, H, W, 3) float32 in [0,1], H and W multiples of 64."""
+    def compress(self, x: np.ndarray, tiles=None) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1], H and W multiples of 64.
+
+        tiles=(a, b): split the latent grid into a x b INDEPENDENT AR tiles
+        (context resets at tile borders — costs a fraction of a percent of
+        rate) so each tile's stream decodes in parallel on a multicore host.
+        tiles=None: one stream (default).
+        """
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(x, jnp.float32)
@@ -276,25 +287,39 @@ class JointARCodec:
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
                                          cdfs, offsets, sizes)
 
-        # --- y stream: wavefront-ordered AR coding ---------------------
+        # --- y stream(s): wavefront-ordered AR coding -------------------
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
-        y_bytes = _ar_encode_latents(self._host_nets, y_q, psi)
+
+        ta, tb = tiles if tiles else (1, 1)
+        h, w = y_q.shape[:2]
+        streams = []
+        for (r0, r1) in self._tile_bounds(h, ta):
+            for (c0, c1) in self._tile_bounds(w, tb):
+                streams.append(_ar_encode_latents(
+                    self._host_nets, y_q[r0:r1, c0:c1], psi[r0:r1, c0:c1]))
+        if len(streams) == 1:
+            y_payload = streams[0]
+        else:
+            table = struct.pack(f"<{len(streams)}I", *[len(s) for s in streams])
+            y_payload = table + b"".join(streams)
 
         header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT, self.K,
-                             self.M, img_h, img_w, 0, zmin, zmax,
-                             len(z_bytes), len(y_bytes))
-        return header + z_bytes + y_bytes
+                             self.M, img_h, img_w, (ta << 8) | tb, zmin, zmax,
+                             len(z_bytes), len(y_payload))
+        return header + z_bytes + y_payload
 
     # -- decode ---------------------------------------------------------
-    def decompress(self, data: bytes) -> np.ndarray:
-        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = (
-            struct.unpack("<4sBBHHHHhhII", data[:struct.calcsize("<4sBBHHHHhhII")]))
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode (y_q, z_q) from a bitstream (single or tiled)."""
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        magic, kind, K, M, img_h, img_w, tiles, zmin, zmax, len_z, len_y = (
+            struct.unpack(fmt, data[:hs]))
         assert magic == _MAGIC and kind == _KIND_JOINT
         assert K == self.K and M == self.M
-        off = struct.calcsize("<4sBBHHHHhhII")
-        z_bytes = data[off:off + len_z]
-        y_bytes = data[off + len_z:off + len_z + len_y]
+        z_bytes = data[hs:hs + len_z]
+        y_payload = data[hs + len_z:hs + len_z + len_y]
 
         h, w = img_h // 16, img_w // 16
         hz, wz = img_h // 64, img_w // 64
@@ -306,34 +331,37 @@ class JointARCodec:
             z_index, cdfs, offsets, sizes)
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
 
-        # --- y: wavefront AR decode ------------------------------------
+        # --- y: wavefront AR decode (per independent tile) ---------------
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-        y_hat = _ar_decode_latents(self._host_nets, backend.RansDecoder(y_bytes),
-                                   psi, h, w)
 
+        ta, tb = max(1, tiles >> 8), max(1, tiles & 0xFF)
+        if ta == 1 and tb == 1:
+            y_hat = _ar_decode_latents(self._host_nets,
+                                       backend.RansDecoder(y_payload), psi, h, w)
+        else:
+            n = ta * tb
+            lens = struct.unpack(f"<{n}I", y_payload[:4 * n])
+            off = 4 * n
+            y_hat = np.zeros((h, w, self.M), np.float32)
+            i = 0
+            # tiles are independent streams — decodable in parallel on a
+            # multicore host; sequential here
+            for (r0, r1) in self._tile_bounds(h, ta):
+                for (c0, c1) in self._tile_bounds(w, tb):
+                    tile = y_payload[off:off + lens[i]]
+                    off += lens[i]
+                    i += 1
+                    y_hat[r0:r1, c0:c1] = _ar_decode_latents(
+                        self._host_nets, backend.RansDecoder(tile),
+                        psi[r0:r1, c0:c1], r1 - r0, c1 - c0)
+        return y_hat.astype(np.float32), z_q
+
+    def decompress(self, data: bytes) -> np.ndarray:
+        y_hat, _ = self.decode_latents(data)
         (x_hat,) = self._synthesis(self.variables,
                                    jnp.asarray(y_hat, jnp.float32)[None])
         return np.clip(np.asarray(x_hat), 0.0, 1.0)
-
-    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode only (y_q, z_q) — for round-trip testing."""
-        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = (
-            struct.unpack("<4sBBHHHHhhII", data[:struct.calcsize("<4sBBHHHHhhII")]))
-        off = struct.calcsize("<4sBBHHHHhhII")
-        z_bytes = data[off:off + len_z]
-        y_bytes = data[off + len_z:off + len_z + len_y]
-        hz, wz = img_h // 64, img_w // 64
-        h, w = img_h // 16, img_w // 16
-        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
-        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-        z_sym = backend.RansDecoder(z_bytes).decode_indexed(z_index, cdfs, offsets, sizes)
-        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
-        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
-        psi = np.asarray(psi_dev)[0]
-        y_hat = _ar_decode_latents(self._host_nets, backend.RansDecoder(y_bytes),
-                                   psi, h, w)
-        return y_hat.astype(np.float32), z_q
 
 
 # ---------------------------------------------------------------------------
