@@ -1,7 +1,10 @@
-"""Build + ctypes bindings for the native rANS coder (coding/rans/rans.cc).
+"""Build + ctypes bindings for the native coders (coding/rans/*.cc):
+the generic rANS stream coder and the autoregressive wavefront codec.
 
-Compiled on first use with g++ -O3 into a cached shared object next to the
-source (falls back to a user cache dir if the package is read-only).
+Compiled on first use with g++ -O3 -march=native into a cached shared object
+next to the source (falls back to a user cache dir if the package is
+read-only). The cache key hashes every source file, so editing any of them
+triggers a rebuild.
 """
 
 import ctypes
@@ -12,7 +15,9 @@ import tempfile
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rans", "rans.cc")
+_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rans")
+_SOURCES = [os.path.join(_SRC_DIR, n) for n in ("rans.cc", "ar_wavefront.cc")]
+_HEADERS = [os.path.join(_SRC_DIR, "rans_core.h")]
 _LIB = None
 
 PROB_BITS = 16
@@ -20,10 +25,13 @@ PROB_SCALE = 1 << 16
 
 
 def _build_lib() -> str:
-    with open(_SRC, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    h = hashlib.sha256()
+    for path in _SOURCES + _HEADERS:
+        with open(path, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     so_name = f"librans_{digest}.so"
-    candidates = [os.path.join(os.path.dirname(_SRC), so_name),
+    candidates = [os.path.join(_SRC_DIR, so_name),
                   os.path.join(tempfile.gettempdir(), so_name)]
     for so_path in candidates:
         if os.path.exists(so_path):
@@ -31,7 +39,8 @@ def _build_lib() -> str:
     for so_path in candidates:
         try:
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", so_path],
+                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                 "-std=c++17", *_SOURCES, "-o", so_path],
                 check=True, capture_output=True)
             return so_path
         except (subprocess.CalledProcessError, OSError):
@@ -62,6 +71,15 @@ def get_lib() -> ctypes.CDLL:
                                         ctypes.c_int, i32p, i32p, i8p, ctypes.c_int]
     lib.rans_dec_indexed.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int, u32p,
                                      ctypes.c_int, i32p, i32p, i32p]
+    lib.arwave_create.restype = ctypes.c_void_p
+    lib.arwave_create.argtypes = ([ctypes.c_int] * 6) + ([f32p] * 8)
+    lib.arwave_destroy.argtypes = [ctypes.c_void_p]
+    lib.arwave_encode.restype = ctypes.c_int
+    lib.arwave_encode.argtypes = [ctypes.c_void_p, f32p, f32p, ctypes.c_int,
+                                  ctypes.c_int, i8p, ctypes.c_int]
+    lib.arwave_decode.restype = ctypes.c_int
+    lib.arwave_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
+                                  ctypes.c_int, ctypes.c_int, f32p]
     _LIB = lib
     return lib
 
@@ -165,3 +183,63 @@ def encode_indexed(symbols: np.ndarray, index: np.ndarray, cdfs: np.ndarray,
     if ln < 0:
         raise RuntimeError("rANS encode overflow")
     return out[:ln].tobytes()
+
+
+class ArWaveCoder:
+    """Native autoregressive wavefront codec over one latent layer.
+
+    Runs the full wavefront loop (context gather, entropy-parameter GEMMs,
+    Gaussian/GMM model build, rANS) in one native call per image/tile —
+    encode and decode execute the identical machine code so the coding
+    parameters are bit-identical on both sides.
+
+    ctx_w: (12M, 2M) mask-A context weights in gather order (rows 0-1 all
+    cols, row 2 cols 0-1); w1: (2M + psi_dim, hidden); w3's columns must
+    already be in coder layout (kind, m, k) for K > 1 — i.e. pass the arrays
+    `_HostParamNets` assembles.
+    """
+
+    def __init__(self, ctx_w, ctx_b, w1, b1, w2, b2, w3, b3, M: int, K: int):
+        self._lib = get_lib()
+        self.M = M
+        self.K = K
+        arrs = [np.ascontiguousarray(a, np.float32)
+                for a in (ctx_w, ctx_b, w1, b1, w2, b2, w3, b3)]
+        self._arrs = arrs  # keep alive (arwave_create copies, but be safe)
+        phi_dim = arrs[0].shape[1]
+        psi_dim = arrs[2].shape[0] - phi_dim
+        hidden = arrs[2].shape[1]
+        out_dim = arrs[6].shape[1]
+        assert arrs[0].shape[0] == 12 * M and phi_dim == 2 * M
+        assert out_dim == (2 * M if K == 1 else 3 * K * M)
+        self._handle = self._lib.arwave_create(
+            M, K, phi_dim, psi_dim, hidden, out_dim,
+            *[_ptr(a, ctypes.c_float) for a in arrs])
+
+    def encode(self, y_q: np.ndarray, psi: np.ndarray) -> bytes:
+        """y_q: (H, W, M) integer-valued floats; psi: (H, W, psi_dim)."""
+        y_q = np.ascontiguousarray(y_q, np.float32)
+        psi = np.ascontiguousarray(psi, np.float32)
+        h, w = y_q.shape[:2]
+        cap = max(1024, h * w * self.M * 8 + 64)
+        out = np.empty(cap, np.uint8)
+        ln = self._lib.arwave_encode(self._handle, _ptr(y_q, ctypes.c_float),
+                                     _ptr(psi, ctypes.c_float), h, w,
+                                     _ptr(out, ctypes.c_uint8), cap)
+        if ln < 0:
+            raise RuntimeError("rANS encode overflow")
+        return out[:ln].tobytes()
+
+    def decode(self, data: bytes, psi: np.ndarray, h: int, w: int) -> np.ndarray:
+        psi = np.ascontiguousarray(psi, np.float32)
+        buf = np.frombuffer(data, np.uint8)
+        y_out = np.empty((h, w, self.M), np.float32)
+        self._lib.arwave_decode(self._handle, _ptr(buf, ctypes.c_uint8),
+                                len(data), _ptr(psi, ctypes.c_float), h, w,
+                                _ptr(y_out, ctypes.c_float))
+        return y_out
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.arwave_destroy(self._handle)
+            self._handle = None

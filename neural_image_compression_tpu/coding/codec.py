@@ -27,6 +27,7 @@ Bitstream layout (version 1):
   then the z stream, then the y stream.
 """
 
+import os
 import struct
 from typing import Dict, Tuple
 
@@ -43,6 +44,13 @@ _KIND_FACTORIZED = 2
 _KIND_SCALABLE = 3
 
 LEAKY_SLOPE = 0.01
+
+# The native (C++) wavefront codec runs the whole per-wave loop in one call
+# per image/tile (~10x faster than the numpy wave loop). Both paths are
+# self-consistent (encode and decode share one code path), but their
+# bitstreams are NOT interchangeable: a stream must be decoded with the same
+# path that encoded it. Set NIC_DISABLE_NATIVE_AR=1 to force the numpy path.
+NATIVE_AR = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +102,16 @@ class _HostParamNets:
             w3, b3 = self.ep[2]
             self.ep[2] = (np.ascontiguousarray(w3[:, perm]),
                           np.ascontiguousarray(b3[perm]))
+        self._native = None
+
+    def native_coder(self) -> "backend.ArWaveCoder":
+        """The C++ wavefront codec over these same (coder-layout) weights."""
+        if self._native is None:
+            (w1, b1), (w2, b2), (w3, b3) = self.ep
+            self._native = backend.ArWaveCoder(
+                self.ctx_w, self.ctx_bias, w1, b1, w2, b2, w3, b3,
+                self.M, self.K)
+        return self._native
 
     def context_features(self, y_pad: np.ndarray, pix: np.ndarray) -> np.ndarray:
         """y_pad: (H+4, W+4, M) zero-padded decoded latents;
@@ -140,12 +158,16 @@ def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
                        psi: np.ndarray) -> bytes:
     """Encode one latent layer under its masked-context AR model.
 
-    The encoder walks the SAME per-wave loop as the decoder, with identical
-    chunk shapes: BLAS accumulation order can depend on the GEMM's m-dim, so
-    batching all pixels into one matmul could flip low bits vs the decoder's
-    per-wave matmuls and desynchronize the arithmetic coder. The full y_q is
-    a valid context at every wave because the mask only reads already-coded
+    Default path: the native (C++) wavefront codec — one call per layer.
+    Numpy fallback (NIC_DISABLE_NATIVE_AR=1): the encoder walks the SAME
+    per-wave loop as the decoder, with identical chunk shapes: BLAS
+    accumulation order can depend on the GEMM's m-dim, so batching all
+    pixels into one matmul could flip low bits vs the decoder's per-wave
+    matmuls and desynchronize the arithmetic coder. The full y_q is a valid
+    context at every wave because the mask only reads already-coded
     positions."""
+    if NATIVE_AR:
+        return nets.native_coder().encode(y_q, psi)
     h, w = y_q.shape[:2]
     M, K = nets.M, nets.K
     pix, wave_sizes = wavefront_order(h, w)
@@ -179,9 +201,12 @@ def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
                                    np.concatenate(w_parts))
 
 
-def _ar_decode_latents(nets: _HostParamNets, dec: "backend.RansDecoder",
+def _ar_decode_latents(nets: _HostParamNets, data: bytes,
                        psi: np.ndarray, h: int, w: int) -> np.ndarray:
     """Wavefront-decode one latent layer; returns (h, w, M) float."""
+    if NATIVE_AR:
+        return nets.native_coder().decode(data, psi, h, w)
+    dec = backend.RansDecoder(data)
     M, K = nets.M, nets.K
     pix, wave_sizes = wavefront_order(h, w)
     y_hat = np.zeros((h, w, M), _HostParamNets.DTYPE)
@@ -337,8 +362,7 @@ class JointARCodec:
 
         ta, tb = max(1, tiles >> 8), max(1, tiles & 0xFF)
         if ta == 1 and tb == 1:
-            y_hat = _ar_decode_latents(self._host_nets,
-                                       backend.RansDecoder(y_payload), psi, h, w)
+            y_hat = _ar_decode_latents(self._host_nets, y_payload, psi, h, w)
         else:
             n = ta * tb
             lens = struct.unpack(f"<{n}I", y_payload[:4 * n])
@@ -353,7 +377,7 @@ class JointARCodec:
                     off += lens[i]
                     i += 1
                     y_hat[r0:r1, c0:c1] = _ar_decode_latents(
-                        self._host_nets, backend.RansDecoder(tile),
+                        self._host_nets, tile,
                         psi[r0:r1, c0:c1], r1 - r0, c1 - c0)
         return y_hat.astype(np.float32), z_q
 
@@ -503,8 +527,7 @@ class ScalableCodec:
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-        y1 = _ar_decode_latents(self._nets1, backend.RansDecoder(y1_bytes),
-                                psi, h, w)
+        y1 = _ar_decode_latents(self._nets1, y1_bytes, psi, h, w)
         return y1, y2_bytes, psi, z_q, h, w
 
     def decompress_base(self, data: bytes):
@@ -519,8 +542,7 @@ class ScalableCodec:
         if len(y2_bytes) == 0:
             raise ValueError("enhancement stream missing (truncated bitstream); "
                              "use decompress_base")
-        y2 = _ar_decode_latents(self._nets2, backend.RansDecoder(y2_bytes),
-                                psi, h, w)
+        y2 = _ar_decode_latents(self._nets2, y2_bytes, psi, h, w)
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
         return np.clip(np.asarray(x_hat), 0.0, 1.0)

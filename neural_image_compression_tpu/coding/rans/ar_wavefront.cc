@@ -1,0 +1,340 @@
+// Native autoregressive wavefront codec for the masked-conv context model.
+//
+// The reference never decodes from a bitstream — its "decode" is the parallel
+// eval forward (Models.py:63-90). Real AR decoding must recompute each
+// pixel's entropy parameters from already-decoded neighbors. The Python/numpy
+// wavefront path (coding/codec.py) is correctness-first but pays ~8 numpy +
+// ctypes crossings per wave (141 waves for a Kodak-sized latent grid). This
+// file runs the ENTIRE wavefront loop in one native call:
+//
+//   per wave t = 3*i + j (dependency-safe for the 5x5 mask-A context):
+//     gather the 12 causal neighbor positions  -> A   (n, 12*M)
+//     phi = A @ ctx_w + ctx_b                  -> (n, 2*M)    [masked conv]
+//     h1  = phi @ W1_phi + P[pixels]           -> (n, hidden) [EP layer 1]
+//     h2  = lrelu(h1) @ W2 + b2, lrelu         -> (n, hidden)
+//     h3  = h2 @ W3 + b3                       -> (n, out)
+//     per pixel/channel: softmax/softplus -> Gaussian/GMM model -> rANS
+//
+// P = psi @ W1_psi + b1 is precomputed once per image (the psi half of EP
+// layer 1 does not depend on decoded context), saving ~30% of the per-wave
+// GEMM work and one concat.
+//
+// Determinism contract: encode and decode call the SAME noinline GEMM and
+// activation routines with IDENTICAL shapes and inputs (causality guarantees
+// the gathered context matches), so every float — and hence every quantized
+// CDF — is bit-identical on both sides. All GEMMs use a fixed k-outer loop
+// order; no threading, no reassociation beyond what the (shared) machine
+// code does. Streams are self-consistent per build: encode and decode must
+// run the same shared object (cross-machine bit-exactness would additionally
+// require a fixed-point parameter path; the reference has no codec at all).
+
+#include <cstdlib>
+
+#include "rans_core.h"
+
+using nic::Decoder;
+using nic::Encoder;
+using nic::SymbolModel;
+using nic::build_gaussian_model;
+using nic::cdf_find;
+
+namespace {
+
+// out (n, md) += A (n, kd) @ W (kd, md). k-outer so W streams sequentially
+// exactly once per call and `out` (a few rows) stays cache-resident;
+// unrolled 4 k-steps per pass to quarter the out-row L2 traffic. Measured
+// 36 GFLOP/s on the flagship wave shapes vs 23 un-unrolled and 4.5 for a
+// register-tiled k-inner kernel (k-strided W accesses thrash once W exceeds
+// L2). noinline: encode and decode must execute the same machine code for
+// bit-identical accumulation.
+__attribute__((noinline)) void gemm_acc(const float* A, int n, int kd,
+                                        const float* W, int md, float* out) {
+  int k = 0;
+  for (; k + 4 <= kd; k += 4) {
+    const float* w0 = W + static_cast<size_t>(k) * md;
+    const float* w1 = w0 + md;
+    const float* w2 = w1 + md;
+    const float* w3 = w2 + md;
+    for (int i = 0; i < n; ++i) {
+      const float* arow = A + static_cast<size_t>(i) * kd + k;
+      const float a0 = arow[0], a1 = arow[1], a2 = arow[2], a3 = arow[3];
+      float* orow = out + static_cast<size_t>(i) * md;
+      for (int j = 0; j < md; ++j)
+        orow[j] += a0 * w0[j] + a1 * w1[j] + a2 * w2[j] + a3 * w3[j];
+    }
+  }
+  for (; k < kd; ++k) {
+    const float* wrow = W + static_cast<size_t>(k) * md;
+    for (int i = 0; i < n; ++i) {
+      const float a = A[static_cast<size_t>(i) * kd + k];
+      float* orow = out + static_cast<size_t>(i) * md;
+      for (int j = 0; j < md; ++j) orow[j] += a * wrow[j];
+    }
+  }
+}
+
+__attribute__((noinline)) void leaky_relu(float* x, size_t n) {
+  for (size_t i = 0; i < n; ++i) x[i] = x[i] >= 0.0f ? x[i] : 0.01f * x[i];
+}
+
+inline float softplus(float x) {
+  return x > 0.0f ? x + std::log1p(std::exp(-x)) : std::log1p(std::exp(x));
+}
+
+struct ArNets {
+  int M, K, phi_dim, psi_dim, hidden, out_dim;
+  std::vector<float> ctx_w, ctx_b;    // (12M, phi_dim), (phi_dim,)
+  std::vector<float> w1_phi, w1_psi;  // (phi_dim, hidden), (psi_dim, hidden)
+  std::vector<float> b1, w2, b2, w3, b3;
+
+  // Per-image state (sized lazily in prepare()).
+  int H = 0, W = 0, nmax = 0;
+  std::vector<float> P;      // (H*W, hidden): psi @ w1_psi + b1
+  std::vector<float> y_pad;  // (H+4, W+4, M), zero border
+  std::vector<float> A, phi, h1, h2, h3;  // wave scratch
+  std::vector<int> wave_i, wave_j;        // current wave's pixel coords
+
+  void prepare(const float* psi, int h, int w) {
+    H = h;
+    W = w;
+    nmax = (W + 2) / 3 < H ? (W + 2) / 3 : H;
+    const size_t hw = static_cast<size_t>(H) * W;
+    P.assign(hw * hidden, 0.0f);
+    for (size_t p = 0; p < hw; ++p)
+      std::memcpy(&P[p * hidden], b1.data(), hidden * sizeof(float));
+    gemm_acc(psi, static_cast<int>(hw), psi_dim, w1_psi.data(), hidden,
+             P.data());
+    y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * M, 0.0f);
+    A.resize(static_cast<size_t>(nmax) * 12 * M);
+    phi.resize(static_cast<size_t>(nmax) * phi_dim);
+    h1.resize(static_cast<size_t>(nmax) * hidden);
+    h2.resize(static_cast<size_t>(nmax) * hidden);
+    h3.resize(static_cast<size_t>(nmax) * out_dim);
+    wave_i.resize(nmax);
+    wave_j.resize(nmax);
+  }
+
+  inline const float* pad_at(int i, int j) const {  // un-offset coords
+    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * M];
+  }
+  inline float* pad_at(int i, int j) {
+    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * M];
+  }
+
+  // Collect wave t's pixels (ascending i, matching the Python order).
+  int collect_wave(int t) {
+    int n = 0;
+    int i_lo = (t - W + 1 + 2) / 3;  // ceil((t - W + 1) / 3)
+    if (i_lo < 0) i_lo = 0;
+    int i_hi = t / 3 < H - 1 ? t / 3 : H - 1;
+    for (int i = i_lo; i <= i_hi; ++i) {
+      int j = t - 3 * i;
+      if (j < 0 || j >= W) continue;
+      wave_i[n] = i;
+      wave_j[n] = j;
+      ++n;
+    }
+    return n;
+  }
+
+  // Gather causal context and run the shared per-wave GEMM stack; h3 holds
+  // the raw entropy-parameter outputs for the wave's n pixels afterwards.
+  void wave_params(int n) {
+    // mask-A positions: rows 0-1 all 5 cols, row 2 cols 0-1 — the order the
+    // ctx_w rows were concatenated in (codec.py _HostParamNets).
+    for (int p = 0; p < n; ++p) {
+      float* dst = &A[static_cast<size_t>(p) * 12 * M];
+      const int i = wave_i[p], j = wave_j[p];
+      for (int r = 0; r < 2; ++r)
+        std::memcpy(dst + r * 5 * M, pad_at(i + r, j), 5 * M * sizeof(float));
+      std::memcpy(dst + 10 * M, pad_at(i + 2, j), 2 * M * sizeof(float));
+    }
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&phi[static_cast<size_t>(p) * phi_dim], ctx_b.data(),
+                  phi_dim * sizeof(float));
+    gemm_acc(A.data(), n, 12 * M, ctx_w.data(), phi_dim, phi.data());
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&h1[static_cast<size_t>(p) * hidden],
+                  &P[(static_cast<size_t>(wave_i[p]) * W + wave_j[p]) * hidden],
+                  hidden * sizeof(float));
+    gemm_acc(phi.data(), n, phi_dim, w1_phi.data(), hidden, h1.data());
+    leaky_relu(h1.data(), static_cast<size_t>(n) * hidden);
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&h2[static_cast<size_t>(p) * hidden], b2.data(),
+                  hidden * sizeof(float));
+    gemm_acc(h1.data(), n, hidden, w2.data(), hidden, h2.data());
+    leaky_relu(h2.data(), static_cast<size_t>(n) * hidden);
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&h3[static_cast<size_t>(p) * out_dim], b3.data(),
+                  out_dim * sizeof(float));
+    gemm_acc(h2.data(), n, hidden, w3.data(), out_dim, h3.data());
+  }
+
+  // Post-process pixel p's h3 row into per-channel coder params.
+  // K==1: mu/sigma (M,) each, ws unused. K>1: (M, K) rows in coder layout
+  // (the W3 columns were permuted to (kind, m, k) at create time).
+  __attribute__((noinline)) void pixel_params(int p, float* ws, float* mu,
+                                              float* sigma) const {
+    const float* row = &h3[static_cast<size_t>(p) * out_dim];
+    if (K == 1) {
+      for (int m = 0; m < M; ++m) {
+        mu[m] = row[m];
+        sigma[m] = softplus(row[M + m]) + 1e-6f;
+      }
+      return;
+    }
+    const int MK = M * K;
+    for (int m = 0; m < M; ++m) {
+      const float* wr = row + m * K;
+      float mx = wr[0];
+      for (int k = 1; k < K; ++k) mx = wr[k] > mx ? wr[k] : mx;
+      float sum = 0.0f;
+      for (int k = 0; k < K; ++k) {
+        const float e = std::exp(wr[k] - mx);
+        ws[m * K + k] = e;
+        sum += e;
+      }
+      for (int k = 0; k < K; ++k) ws[m * K + k] /= sum;
+      for (int k = 0; k < K; ++k) {
+        mu[m * K + k] = row[MK + m * K + k];
+        sigma[m * K + k] = softplus(row[2 * MK + m * K + k]) + 1e-6f;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ctx_w: (12*M, phi_dim); w1: (phi_dim + psi_dim, hidden) — split here;
+// w3: (hidden, out_dim), ALREADY column-permuted to coder layout for K > 1.
+void* arwave_create(int M, int K, int phi_dim, int psi_dim, int hidden,
+                    int out_dim, const float* ctx_w, const float* ctx_b,
+                    const float* w1, const float* b1, const float* w2,
+                    const float* b2, const float* w3, const float* b3) {
+  ArNets* n = new ArNets();
+  n->M = M;
+  n->K = K;
+  n->phi_dim = phi_dim;
+  n->psi_dim = psi_dim;
+  n->hidden = hidden;
+  n->out_dim = out_dim;
+  n->ctx_w.assign(ctx_w, ctx_w + static_cast<size_t>(12) * M * phi_dim);
+  n->ctx_b.assign(ctx_b, ctx_b + phi_dim);
+  n->w1_phi.assign(w1, w1 + static_cast<size_t>(phi_dim) * hidden);
+  n->w1_psi.assign(w1 + static_cast<size_t>(phi_dim) * hidden,
+                   w1 + static_cast<size_t>(phi_dim + psi_dim) * hidden);
+  n->b1.assign(b1, b1 + hidden);
+  n->w2.assign(w2, w2 + static_cast<size_t>(hidden) * hidden);
+  n->b2.assign(b2, b2 + hidden);
+  n->w3.assign(w3, w3 + static_cast<size_t>(hidden) * out_dim);
+  n->b3.assign(b3, b3 + out_dim);
+  return n;
+}
+
+void arwave_destroy(void* h) { delete static_cast<ArNets*>(h); }
+
+// y_q: (H, W, M) float32 holding integers; psi: (H, W, psi_dim) float32.
+// Returns stream length, or -1 on overflow.
+int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
+                  int W, uint8_t* out, int cap) {
+  ArNets& net = *static_cast<ArNets*>(handle);
+  const int M = net.M, K = net.K;
+  net.prepare(psi, H, W);
+  // The full y_q is a valid context at every wave (the mask only reads
+  // already-coded positions), so fill the padded buffer up front.
+  for (int i = 0; i < H; ++i)
+    std::memcpy(net.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
+                static_cast<size_t>(W) * M * sizeof(float));
+
+  const size_t n_sym = static_cast<size_t>(H) * W * M;
+  std::vector<int32_t> sym(n_sym);
+  std::vector<float> mus(n_sym * K), sigmas(n_sym * K);
+  std::vector<float> wsv(K > 1 ? n_sym * K : 0);
+
+  const int t_max = 3 * (H - 1) + W;  // exclusive
+  size_t s = 0;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = net.collect_wave(t);
+    if (n == 0) continue;
+    net.wave_params(n);
+    for (int p = 0; p < n; ++p) {
+      net.pixel_params(p, K > 1 ? &wsv[s * K] : nullptr, &mus[s * K],
+                       &sigmas[s * K]);
+      const float* yrow =
+          y_q + (static_cast<size_t>(net.wave_i[p]) * W + net.wave_j[p]) * M;
+      for (int m = 0; m < M; ++m)
+        sym[s + m] = static_cast<int32_t>(std::lrintf(yrow[m]));
+      s += M;
+    }
+  }
+
+  Encoder enc;
+  enc.bytes.reserve(n_sym * 2 + 16);
+  SymbolModel sm;
+  for (size_t i = n_sym; i-- > 0;) {
+    const float* w = K > 1 ? &wsv[i * K] : nullptr;
+    build_gaussian_model(w, &mus[i * K], &sigmas[i * K], K, &sm);
+    const int d = sym[i] - sm.c;
+    if (d >= -sm.R && d <= sm.R) {
+      const int j = d + sm.R;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    } else {
+      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
+      enc.put_raw16(v & 0xffffu);
+      enc.put_raw16((v >> 16) & 0xffffu);
+      const int j = sm.nsym - 1;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    }
+  }
+  return enc.flush(out, cap);
+}
+
+// Decodes (H, W, M) float32 latents into y_out. Returns 0.
+int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
+                  int H, int W, float* y_out) {
+  ArNets& net = *static_cast<ArNets*>(handle);
+  const int M = net.M, K = net.K;
+  net.prepare(psi, H, W);
+  Decoder dec;
+  dec.init(buf, len);
+
+  std::vector<float> ws(K > 1 ? static_cast<size_t>(M) * K : 0);
+  std::vector<float> mu(static_cast<size_t>(M) * K),
+      sigma(static_cast<size_t>(M) * K);
+  SymbolModel sm;
+
+  const int t_max = 3 * (H - 1) + W;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = net.collect_wave(t);
+    if (n == 0) continue;
+    net.wave_params(n);
+    for (int p = 0; p < n; ++p) {
+      net.pixel_params(p, K > 1 ? ws.data() : nullptr, mu.data(),
+                       sigma.data());
+      const int i = net.wave_i[p], j = net.wave_j[p];
+      float* dst = y_out + (static_cast<size_t>(i) * W + j) * M;
+      for (int m = 0; m < M; ++m) {
+        build_gaussian_model(K > 1 ? &ws[m * K] : nullptr, &mu[m * K],
+                             &sigma[m * K], K, &sm);
+        const uint32_t cf = dec.peek();
+        const int jj = cdf_find(sm.cum, sm.nsym, cf);
+        dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
+        int32_t v;
+        if (jj == sm.nsym - 1) {
+          const uint32_t hi = dec.get_raw16();
+          const uint32_t lo = dec.get_raw16();
+          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+        } else {
+          v = sm.c + (jj - sm.R);
+        }
+        dst[m] = static_cast<float>(v);
+      }
+      std::memcpy(net.pad_at(i + 2, j + 2), dst, M * sizeof(float));
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

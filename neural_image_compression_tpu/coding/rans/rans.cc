@@ -20,176 +20,17 @@
 // Symbol model for Gaussian/GMM paths: alphabet centered at the (mixture)
 // mean c = lrint(E[y]), span d in [-R, R] with R = clamp(ceil(6*std)+2, 2, 254),
 // plus an ESC symbol carrying outliers as two raw 16-bit halves.
+//
+// Core primitives live in rans_core.h (shared with ar_wavefront.cc, the
+// native autoregressive wavefront codec).
 
-#include <cmath>
-#include <cstdint>
-#include <cstring>
-#include <vector>
+#include "rans_core.h"
 
-namespace {
-
-constexpr uint32_t kProbBits = 16;
-constexpr uint32_t kProbScale = 1u << kProbBits;
-constexpr uint32_t kRansL = 1u << 23;  // lower bound of the state interval
-
-// ---------------------------------------------------------------------------
-// rANS primitives
-// ---------------------------------------------------------------------------
-
-struct Encoder {
-  uint32_t x = kRansL;
-  std::vector<uint8_t> bytes;  // emitted backwards; reversed at flush
-
-  inline void put(uint32_t cum, uint32_t freq) {
-    uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
-    while (x >= x_max) {
-      bytes.push_back(static_cast<uint8_t>(x & 0xff));
-      x >>= 8;
-    }
-    x = ((x / freq) << kProbBits) + (x % freq) + cum;
-  }
-
-  inline void put_raw16(uint32_t v) { put(v, 1); }  // uniform: 16 bits
-
-  // Returns total byte length; writes into out (caller-sized).
-  int flush(uint8_t* out, int cap) {
-    bytes.push_back(static_cast<uint8_t>(x & 0xff));
-    bytes.push_back(static_cast<uint8_t>((x >> 8) & 0xff));
-    bytes.push_back(static_cast<uint8_t>((x >> 16) & 0xff));
-    bytes.push_back(static_cast<uint8_t>((x >> 24) & 0xff));
-    int n = static_cast<int>(bytes.size());
-    if (n > cap) return -1;
-    for (int i = 0; i < n; ++i) out[i] = bytes[n - 1 - i];
-    return n;
-  }
-};
-
-struct Decoder {
-  uint32_t x = 0;
-  const uint8_t* buf = nullptr;
-  int len = 0;
-  int pos = 0;
-
-  void init(const uint8_t* b, int l) {
-    buf = b;
-    len = l;
-    pos = 0;
-    x = 0;
-    for (int i = 0; i < 4 && pos < len; ++i) x = (x << 8) | buf[pos++];
-  }
-
-  inline uint32_t peek() const { return x & (kProbScale - 1); }
-
-  inline void advance(uint32_t cum, uint32_t freq) {
-    x = freq * (x >> kProbBits) + (x & (kProbScale - 1)) - cum;
-    while (x < kRansL && pos < len) x = (x << 8) | buf[pos++];
-  }
-
-  inline uint32_t get_raw16() {
-    uint32_t v = peek();
-    advance(v, 1);
-    return v;
-  }
-};
-
-// ---------------------------------------------------------------------------
-// Deterministic per-symbol CDF construction
-// ---------------------------------------------------------------------------
-
-inline double std_normal_cdf(double v) { return 0.5 * std::erfc(-v * M_SQRT1_2); }
-
-// Scratch for one symbol's quantized model.
-struct SymbolModel {
-  int c;          // alphabet center
-  int R;          // span: d in [-R, R]
-  int nsym;       // 2R + 2 (incl. escape, last index)
-  std::vector<uint32_t> cum;  // size nsym + 1, cum[nsym] == kProbScale
-};
-
-// Builds the quantized CDF for a (mixture-of-)Gaussian symbol.
-// mus/sigmas/ws point to K components (K==1: plain Gaussian, w ignored).
-static void build_gaussian_model(const float* ws, const float* mus,
-                                 const float* sigmas, int K, SymbolModel* m) {
-  double mean = 0.0, m2 = 0.0;
-  for (int k = 0; k < K; ++k) {
-    double w = (K == 1) ? 1.0 : static_cast<double>(ws[k]);
-    double mu = mus[k], s = sigmas[k];
-    mean += w * mu;
-    m2 += w * (s * s + mu * mu);
-  }
-  double var = m2 - mean * mean;
-  double stdd = std::sqrt(var > 1e-12 ? var : 1e-12);
-  int c = static_cast<int>(std::lrint(mean));
-  int R = static_cast<int>(std::ceil(6.0 * stdd)) + 2;
-  if (R < 2) R = 2;
-  if (R > 254) R = 254;
-  int nsym = 2 * R + 2;
-
-  // mixture CDF at the 2R+2 bin edges (one erfc per edge per component),
-  // then difference into the pmf — half the transcendental work of
-  // evaluating upper/lower per bin.
-  double edge[512];
-  int n_edges = 2 * R + 2;
-  for (int e = 0; e < n_edges; ++e) {
-    double t = c - R - 0.5 + e;
-    double acc = 0.0;
-    for (int k = 0; k < K; ++k) {
-      double w = (K == 1) ? 1.0 : static_cast<double>(ws[k]);
-      acc += w * std_normal_cdf((t - mus[k]) / sigmas[k]);
-    }
-    edge[e] = acc;
-  }
-  double pmf[512];
-  double total = 0.0;
-  for (int d = -R; d <= R; ++d) {
-    double p = edge[d + R + 1] - edge[d + R];
-    if (p < 0.0) p = 0.0;
-    pmf[d + R] = p;
-    total += p;
-  }
-  double esc = 1.0 - total;
-  if (esc < 0.0) esc = 0.0;
-  pmf[nsym - 1] = esc;
-  total += esc;
-  if (total <= 0.0) total = 1.0;
-
-  // Quantize: every symbol gets freq >= 1; remainder to the most likely one.
-  m->c = c;
-  m->R = R;
-  m->nsym = nsym;
-  m->cum.resize(nsym + 1);
-  uint32_t budget = kProbScale - static_cast<uint32_t>(nsym);
-  uint32_t acc = 0;
-  int argmax = 0;
-  double pmax = -1.0;
-  std::vector<uint32_t> freq(nsym);
-  for (int j = 0; j < nsym; ++j) {
-    double p = pmf[j] / total;
-    uint32_t f = 1 + static_cast<uint32_t>(p * budget);
-    freq[j] = f;
-    acc += f;
-    if (pmf[j] > pmax) {
-      pmax = pmf[j];
-      argmax = j;
-    }
-  }
-  freq[argmax] += kProbScale - acc;
-  m->cum[0] = 0;
-  for (int j = 0; j < nsym; ++j) m->cum[j + 1] = m->cum[j] + freq[j];
-}
-
-// Binary search: find j with cum[j] <= cf < cum[j+1].
-static inline int cdf_find(const uint32_t* cum, int nsym, uint32_t cf) {
-  int lo = 0, hi = nsym;
-  while (hi - lo > 1) {
-    int mid = (lo + hi) >> 1;
-    if (cum[mid] <= cf) lo = mid;
-    else hi = mid;
-  }
-  return lo;
-}
-
-}  // namespace
+using nic::Decoder;
+using nic::Encoder;
+using nic::SymbolModel;
+using nic::build_gaussian_model;
+using nic::cdf_find;
 
 // ---------------------------------------------------------------------------
 // C API
@@ -247,7 +88,7 @@ void rans_dec_gaussian(void* p, const float* ws, const float* mus,
     build_gaussian_model(w, mus + static_cast<size_t>(i) * K,
                          sigmas + static_cast<size_t>(i) * K, K, &m);
     uint32_t cf = dec.peek();
-    int j = cdf_find(m.cum.data(), m.nsym, cf);
+    int j = cdf_find(m.cum, m.nsym, cf);
     dec.advance(m.cum[j], m.cum[j + 1] - m.cum[j]);
     if (j == m.nsym - 1) {  // escape: two raw halves follow
       uint32_t hi = dec.get_raw16();

@@ -204,6 +204,30 @@ def test_scalable_codec_gmm_roundtrip():
     np.testing.assert_array_equal(y1, np.asarray(out["y1"])[0])
 
 
+@pytest.mark.parametrize("K", [1, 3])
+def test_numpy_fallback_path_roundtrip(K, monkeypatch):
+    """NIC_DISABLE_NATIVE_AR=1 must still round-trip exactly (and both paths
+    must recover the same quantized latents)."""
+    from neural_image_compression_tpu.coding import codec as codec_mod
+
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=K)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    out = model.apply(variables, x, training=False)
+    y_ref = np.asarray(out["y_in"])[0]
+
+    data_native = codec.compress(np.asarray(x))
+    monkeypatch.setattr(codec_mod, "NATIVE_AR", False)
+    data_numpy = codec.compress(np.asarray(x))
+    y_np, _ = codec.decode_latents(data_numpy)
+    np.testing.assert_array_equal(y_np, y_ref)
+    monkeypatch.setattr(codec_mod, "NATIVE_AR", True)
+    y_nat, _ = codec.decode_latents(data_native)
+    np.testing.assert_array_equal(y_nat, y_ref)
+
+
 def test_joint_ar_codec_bf16_model():
     """Codec must round-trip a bf16-transform model (the serving config)."""
     model = JointAutoregressiveHierarchical(latent_channels=8, K=3,
