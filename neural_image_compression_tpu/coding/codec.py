@@ -29,6 +29,7 @@ Bitstream layout (version 1):
 
 import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Tuple
 
 import jax
@@ -265,6 +266,7 @@ class JointARCodec:
         p = variables["params"]
         self._host_nets = _HostParamNets(p["context_model"],
                                          p["entropy_parameters"], self.M, self.K)
+        self._z_cache = {}
 
         # Jitted device pieces — each used identically by encode and decode.
         self._analysis = jax.jit(lambda v, x: model.apply(
@@ -278,7 +280,12 @@ class JointARCodec:
 
     # -- helpers --------------------------------------------------------
     def _z_tables(self, zmin: int, zmax: int):
-        return factorized_tables(self.model, self.variables, zmin, zmax)
+        # cached: encode AND decode of every image rebuild the same tables
+        key = (zmin, zmax)
+        if key not in self._z_cache:
+            self._z_cache[key] = factorized_tables(self.model, self.variables,
+                                                   zmin, zmax)
+        return self._z_cache[key]
 
     @staticmethod
     def _tile_bounds(n: int, parts: int):
@@ -368,17 +375,25 @@ class JointARCodec:
             lens = struct.unpack(f"<{n}I", y_payload[:4 * n])
             off = 4 * n
             y_hat = np.zeros((h, w, self.M), np.float32)
+            jobs = []
             i = 0
-            # tiles are independent streams — decodable in parallel on a
-            # multicore host; sequential here
             for (r0, r1) in self._tile_bounds(h, ta):
                 for (c0, c1) in self._tile_bounds(w, tb):
                     tile = y_payload[off:off + lens[i]]
                     off += lens[i]
                     i += 1
-                    y_hat[r0:r1, c0:c1] = _ar_decode_latents(
-                        self._host_nets, tile,
-                        psi[r0:r1, c0:c1], r1 - r0, c1 - c0)
+                    jobs.append((r0, r1, c0, c1, tile))
+            # tiles are independent streams, and the native decoder releases
+            # the GIL — decode them concurrently on a multicore host
+            def _one(job):
+                r0, r1, c0, c1, tile = job
+                return r0, r1, c0, c1, _ar_decode_latents(
+                    self._host_nets, tile,
+                    np.ascontiguousarray(psi[r0:r1, c0:c1]), r1 - r0, c1 - c0)
+            with ThreadPoolExecutor(max_workers=min(len(jobs),
+                                                    os.cpu_count() or 1)) as ex:
+                for r0, r1, c0, c1, block in ex.map(_one, jobs):
+                    y_hat[r0:r1, c0:c1] = block
         return y_hat.astype(np.float32), z_q
 
     def decompress(self, data: bytes) -> np.ndarray:
@@ -401,9 +416,14 @@ class FactorizedPriorCodec:
             v, x, method=lambda mdl, x: (mdl.encoder(x),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+        self._y_cache = {}
 
     def _tables(self, ymin, ymax):
-        return factorized_tables(self.model, self.variables, ymin, ymax)
+        key = (ymin, ymax)
+        if key not in self._y_cache:
+            self._y_cache[key] = factorized_tables(self.model, self.variables,
+                                                   ymin, ymax)
+        return self._y_cache[key]
 
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
@@ -471,9 +491,14 @@ class ScalableCodec:
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
         self._lst = jax.jit(lambda v, y1: model.apply(
             v, y1, method=lambda mdl, y1: (mdl.LST(y1),)))
+        self._z_cache = {}
 
     def _z_tables(self, zmin, zmax):
-        return factorized_tables(self.model, self.variables, zmin, zmax)
+        key = (zmin, zmax)
+        if key not in self._z_cache:
+            self._z_cache[key] = factorized_tables(self.model, self.variables,
+                                                   zmin, zmax)
+        return self._z_cache[key]
 
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1

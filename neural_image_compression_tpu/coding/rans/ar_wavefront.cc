@@ -81,44 +81,50 @@ inline float softplus(float x) {
   return x > 0.0f ? x + std::log1p(std::exp(-x)) : std::log1p(std::exp(x));
 }
 
+// Weights only — const after create, so one handle is safely shared by
+// concurrent encode/decode calls (independent tile streams decode in
+// parallel from Python threads; ctypes releases the GIL).
 struct ArNets {
   int M, K, phi_dim, psi_dim, hidden, out_dim;
   std::vector<float> ctx_w, ctx_b;    // (12M, phi_dim), (phi_dim,)
   std::vector<float> w1_phi, w1_psi;  // (phi_dim, hidden), (psi_dim, hidden)
   std::vector<float> b1, w2, b2, w3, b3;
+};
 
-  // Per-image state (sized lazily in prepare()).
-  int H = 0, W = 0, nmax = 0;
+// Per-call state: one per encode/decode invocation (stack-owned).
+struct Scratch {
+  const ArNets& net;
+  int H, W, nmax;
   std::vector<float> P;      // (H*W, hidden): psi @ w1_psi + b1
   std::vector<float> y_pad;  // (H+4, W+4, M), zero border
   std::vector<float> A, phi, h1, h2, h3;  // wave scratch
   std::vector<int> wave_i, wave_j;        // current wave's pixel coords
 
-  void prepare(const float* psi, int h, int w) {
-    H = h;
-    W = w;
+  Scratch(const ArNets& n, const float* psi, int h, int w)
+      : net(n), H(h), W(w) {
     nmax = (W + 2) / 3 < H ? (W + 2) / 3 : H;
     const size_t hw = static_cast<size_t>(H) * W;
-    P.assign(hw * hidden, 0.0f);
+    P.assign(hw * net.hidden, 0.0f);
     for (size_t p = 0; p < hw; ++p)
-      std::memcpy(&P[p * hidden], b1.data(), hidden * sizeof(float));
-    gemm_acc(psi, static_cast<int>(hw), psi_dim, w1_psi.data(), hidden,
-             P.data());
-    y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * M, 0.0f);
-    A.resize(static_cast<size_t>(nmax) * 12 * M);
-    phi.resize(static_cast<size_t>(nmax) * phi_dim);
-    h1.resize(static_cast<size_t>(nmax) * hidden);
-    h2.resize(static_cast<size_t>(nmax) * hidden);
-    h3.resize(static_cast<size_t>(nmax) * out_dim);
+      std::memcpy(&P[p * net.hidden], net.b1.data(),
+                  net.hidden * sizeof(float));
+    gemm_acc(psi, static_cast<int>(hw), net.psi_dim, net.w1_psi.data(),
+             net.hidden, P.data());
+    y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * net.M, 0.0f);
+    A.resize(static_cast<size_t>(nmax) * 12 * net.M);
+    phi.resize(static_cast<size_t>(nmax) * net.phi_dim);
+    h1.resize(static_cast<size_t>(nmax) * net.hidden);
+    h2.resize(static_cast<size_t>(nmax) * net.hidden);
+    h3.resize(static_cast<size_t>(nmax) * net.out_dim);
     wave_i.resize(nmax);
     wave_j.resize(nmax);
   }
 
   inline const float* pad_at(int i, int j) const {  // un-offset coords
-    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * M];
+    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * net.M];
   }
   inline float* pad_at(int i, int j) {
-    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * M];
+    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * net.M];
   }
 
   // Collect wave t's pixels (ascending i, matching the Python order).
@@ -140,6 +146,7 @@ struct ArNets {
   // Gather causal context and run the shared per-wave GEMM stack; h3 holds
   // the raw entropy-parameter outputs for the wave's n pixels afterwards.
   void wave_params(int n) {
+    const int M = net.M;
     // mask-A positions: rows 0-1 all 5 cols, row 2 cols 0-1 — the order the
     // ctx_w rows were concatenated in (codec.py _HostParamNets).
     for (int p = 0; p < n; ++p) {
@@ -150,24 +157,26 @@ struct ArNets {
       std::memcpy(dst + 10 * M, pad_at(i + 2, j), 2 * M * sizeof(float));
     }
     for (int p = 0; p < n; ++p)
-      std::memcpy(&phi[static_cast<size_t>(p) * phi_dim], ctx_b.data(),
-                  phi_dim * sizeof(float));
-    gemm_acc(A.data(), n, 12 * M, ctx_w.data(), phi_dim, phi.data());
+      std::memcpy(&phi[static_cast<size_t>(p) * net.phi_dim],
+                  net.ctx_b.data(), net.phi_dim * sizeof(float));
+    gemm_acc(A.data(), n, 12 * M, net.ctx_w.data(), net.phi_dim, phi.data());
     for (int p = 0; p < n; ++p)
-      std::memcpy(&h1[static_cast<size_t>(p) * hidden],
-                  &P[(static_cast<size_t>(wave_i[p]) * W + wave_j[p]) * hidden],
-                  hidden * sizeof(float));
-    gemm_acc(phi.data(), n, phi_dim, w1_phi.data(), hidden, h1.data());
-    leaky_relu(h1.data(), static_cast<size_t>(n) * hidden);
+      std::memcpy(
+          &h1[static_cast<size_t>(p) * net.hidden],
+          &P[(static_cast<size_t>(wave_i[p]) * W + wave_j[p]) * net.hidden],
+          net.hidden * sizeof(float));
+    gemm_acc(phi.data(), n, net.phi_dim, net.w1_phi.data(), net.hidden,
+             h1.data());
+    leaky_relu(h1.data(), static_cast<size_t>(n) * net.hidden);
     for (int p = 0; p < n; ++p)
-      std::memcpy(&h2[static_cast<size_t>(p) * hidden], b2.data(),
-                  hidden * sizeof(float));
-    gemm_acc(h1.data(), n, hidden, w2.data(), hidden, h2.data());
-    leaky_relu(h2.data(), static_cast<size_t>(n) * hidden);
+      std::memcpy(&h2[static_cast<size_t>(p) * net.hidden], net.b2.data(),
+                  net.hidden * sizeof(float));
+    gemm_acc(h1.data(), n, net.hidden, net.w2.data(), net.hidden, h2.data());
+    leaky_relu(h2.data(), static_cast<size_t>(n) * net.hidden);
     for (int p = 0; p < n; ++p)
-      std::memcpy(&h3[static_cast<size_t>(p) * out_dim], b3.data(),
-                  out_dim * sizeof(float));
-    gemm_acc(h2.data(), n, hidden, w3.data(), out_dim, h3.data());
+      std::memcpy(&h3[static_cast<size_t>(p) * net.out_dim], net.b3.data(),
+                  net.out_dim * sizeof(float));
+    gemm_acc(h2.data(), n, net.hidden, net.w3.data(), net.out_dim, h3.data());
   }
 
   // Post-process pixel p's h3 row into per-channel coder params.
@@ -175,7 +184,8 @@ struct ArNets {
   // (the W3 columns were permuted to (kind, m, k) at create time).
   __attribute__((noinline)) void pixel_params(int p, float* ws, float* mu,
                                               float* sigma) const {
-    const float* row = &h3[static_cast<size_t>(p) * out_dim];
+    const int M = net.M, K = net.K;
+    const float* row = &h3[static_cast<size_t>(p) * net.out_dim];
     if (K == 1) {
       for (int m = 0; m < M; ++m) {
         mu[m] = row[m];
@@ -239,13 +249,13 @@ void arwave_destroy(void* h) { delete static_cast<ArNets*>(h); }
 // Returns stream length, or -1 on overflow.
 int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
                   int W, uint8_t* out, int cap) {
-  ArNets& net = *static_cast<ArNets*>(handle);
+  const ArNets& net = *static_cast<ArNets*>(handle);
   const int M = net.M, K = net.K;
-  net.prepare(psi, H, W);
+  Scratch sc(net, psi, H, W);
   // The full y_q is a valid context at every wave (the mask only reads
   // already-coded positions), so fill the padded buffer up front.
   for (int i = 0; i < H; ++i)
-    std::memcpy(net.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
+    std::memcpy(sc.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
                 static_cast<size_t>(W) * M * sizeof(float));
 
   const size_t n_sym = static_cast<size_t>(H) * W * M;
@@ -256,14 +266,14 @@ int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
   const int t_max = 3 * (H - 1) + W;  // exclusive
   size_t s = 0;
   for (int t = 0; t < t_max; ++t) {
-    const int n = net.collect_wave(t);
+    const int n = sc.collect_wave(t);
     if (n == 0) continue;
-    net.wave_params(n);
+    sc.wave_params(n);
     for (int p = 0; p < n; ++p) {
-      net.pixel_params(p, K > 1 ? &wsv[s * K] : nullptr, &mus[s * K],
-                       &sigmas[s * K]);
+      sc.pixel_params(p, K > 1 ? &wsv[s * K] : nullptr, &mus[s * K],
+                      &sigmas[s * K]);
       const float* yrow =
-          y_q + (static_cast<size_t>(net.wave_i[p]) * W + net.wave_j[p]) * M;
+          y_q + (static_cast<size_t>(sc.wave_i[p]) * W + sc.wave_j[p]) * M;
       for (int m = 0; m < M; ++m)
         sym[s + m] = static_cast<int32_t>(std::lrintf(yrow[m]));
       s += M;
@@ -294,9 +304,9 @@ int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
 // Decodes (H, W, M) float32 latents into y_out. Returns 0.
 int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
                   int H, int W, float* y_out) {
-  ArNets& net = *static_cast<ArNets*>(handle);
+  const ArNets& net = *static_cast<ArNets*>(handle);
   const int M = net.M, K = net.K;
-  net.prepare(psi, H, W);
+  Scratch sc(net, psi, H, W);
   Decoder dec;
   dec.init(buf, len);
 
@@ -307,13 +317,13 @@ int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
 
   const int t_max = 3 * (H - 1) + W;
   for (int t = 0; t < t_max; ++t) {
-    const int n = net.collect_wave(t);
+    const int n = sc.collect_wave(t);
     if (n == 0) continue;
-    net.wave_params(n);
+    sc.wave_params(n);
     for (int p = 0; p < n; ++p) {
-      net.pixel_params(p, K > 1 ? ws.data() : nullptr, mu.data(),
-                       sigma.data());
-      const int i = net.wave_i[p], j = net.wave_j[p];
+      sc.pixel_params(p, K > 1 ? ws.data() : nullptr, mu.data(),
+                      sigma.data());
+      const int i = sc.wave_i[p], j = sc.wave_j[p];
       float* dst = y_out + (static_cast<size_t>(i) * W + j) * M;
       for (int m = 0; m < M; ++m) {
         build_gaussian_model(K > 1 ? &ws[m * K] : nullptr, &mu[m * K],
@@ -331,7 +341,7 @@ int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
         }
         dst[m] = static_cast<float>(v);
       }
-      std::memcpy(net.pad_at(i + 2, j + 2), dst, M * sizeof(float));
+      std::memcpy(sc.pad_at(i + 2, j + 2), dst, M * sizeof(float));
     }
   }
   return 0;
