@@ -297,9 +297,12 @@ class JointARCodec:
         """x: (1, H, W, 3) float32 in [0,1], H and W multiples of 64.
 
         tiles=(a, b): split the latent grid into a x b INDEPENDENT AR tiles
-        (context resets at tile borders — costs a fraction of a percent of
-        rate) so each tile's stream decodes in parallel on a multicore host.
-        tiles=None: one stream (default).
+        (context resets at tile borders) so each tile's stream decodes in
+        parallel on a multicore host. Latency/rate trade-off: measured +40%
+        rate at 2x2 on a trained flagship (border pixels lose their causal
+        context), negligible on an untrained model. tiles=None: one stream
+        (default). For throughput over many images prefer compress_batch,
+        which parallelizes across images at no rate cost.
         """
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
         img_h, img_w = x.shape[1], x.shape[2]
@@ -400,6 +403,98 @@ class JointARCodec:
         y_hat, _ = self.decode_latents(data)
         (x_hat,) = self._synthesis(self.variables,
                                    jnp.asarray(y_hat, jnp.float32)[None])
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+    # -- batched serving path --------------------------------------------
+    def compress_batch(self, xs: np.ndarray, workers: int = None) -> list:
+        """Encode a batch at serving throughput: the TPU transforms run as
+        ONE batched program over all images; the host AR stage (the serial
+        part) runs per-image in parallel threads (the native coder is
+        reentrant and releases the GIL). Streams are identical to
+        per-image compress() — each image's params depend only on its own
+        latents. xs: (B, H, W, 3); returns B bitstreams."""
+        assert xs.ndim == 4
+        img_h, img_w = xs.shape[1], xs.shape[2]
+        x = jnp.asarray(xs, jnp.float32)
+        (y,) = self._analysis(self.variables, x)
+        (z,) = self._hyper_analysis(self.variables, y)
+        y_q = np.asarray(jnp.round(y))            # (B, h, w, M)
+        z_q = np.asarray(jnp.round(z))            # (B, hz, wz, M)
+        # psi through the SAME batch-1 program as compress()/decompress():
+        # a B-batched program is not guaranteed bit-identical to batch-1,
+        # and psi feeds the deterministic coding path — streams must stay
+        # interchangeable with the single-image API.
+        psi = np.concatenate([
+            np.asarray(self._hyper_synthesis(self.variables,
+                                             jnp.asarray(z_q[b])[None])[0])
+            for b in range(z_q.shape[0])])        # (B, h, w, 2M)
+
+        def _one(b):
+            zb = z_q[b]
+            zmin, zmax = int(zb.min()), int(zb.max())
+            cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+            z_sym = zb.reshape(-1, self.M).astype(np.int32)
+            z_index = np.tile(np.arange(self.M, dtype=np.int32),
+                              z_sym.shape[0])
+            z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                             cdfs, offsets, sizes)
+            y_payload = _ar_encode_latents(self._host_nets, y_q[b], psi[b])
+            header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT, self.K,
+                                 self.M, img_h, img_w, (1 << 8) | 1,
+                                 zmin, zmax, len(z_bytes), len(y_payload))
+            return header + z_bytes + y_payload
+
+        n = xs.shape[0]
+        # warm the z-table cache serially (it's a jitted device call)
+        for b in range(n):
+            zb = z_q[b]
+            self._z_tables(int(zb.min()), int(zb.max()))
+        with ThreadPoolExecutor(
+                max_workers=workers or min(n, os.cpu_count() or 1)) as ex:
+            return list(ex.map(_one, range(n)))
+
+    def decompress_batch(self, datas: list, workers: int = None) -> np.ndarray:
+        """Decode B same-shape bitstreams: z streams + AR wavefronts decode
+        per-image in parallel threads; hyper-synthesis and synthesis run as
+        single batched TPU programs. Returns (B, H, W, 3)."""
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        heads = [struct.unpack(fmt, d[:hs]) for d in datas]
+        img_h, img_w = heads[0][4], heads[0][5]
+        assert all(h[4] == img_h and h[5] == img_w for h in heads), \
+            "decompress_batch requires same-shape bitstreams"
+        h, w = img_h // 16, img_w // 16
+        hz, wz = img_h // 64, img_w // 64
+
+        # z decode (cheap, serial — warms/uses the table cache safely)
+        z_all = np.empty((len(datas), hz, wz, self.M), np.float32)
+        for b, (head, d) in enumerate(zip(heads, datas)):
+            zmin, zmax, len_z = head[7], head[8], head[9]
+            cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+            z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+            z_sym = backend.RansDecoder(d[hs:hs + len_z]).decode_indexed(
+                z_index, cdfs, offsets, sizes)
+            z_all[b] = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+        # batch-1 hyper-synthesis per image: see compress_batch determinism note
+        psi = np.concatenate([
+            np.asarray(self._hyper_synthesis(self.variables,
+                                             jnp.asarray(z_all[b])[None])[0])
+            for b in range(z_all.shape[0])])
+
+        def _one(b):
+            head, d = heads[b], datas[b]
+            len_z, len_y = head[9], head[10]
+            assert head[6] == (1 << 8) | 1, \
+                "decompress_batch handles untiled streams"
+            return _ar_decode_latents(self._host_nets,
+                                      d[hs + len_z:hs + len_z + len_y],
+                                      psi[b], h, w)
+        with ThreadPoolExecutor(
+                max_workers=workers or min(len(datas),
+                                           os.cpu_count() or 1)) as ex:
+            y_all = np.stack(list(ex.map(_one, range(len(datas)))))
+        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_all))
         return np.clip(np.asarray(x_hat), 0.0, 1.0)
 
 

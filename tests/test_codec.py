@@ -204,6 +204,45 @@ def test_scalable_codec_gmm_roundtrip():
     np.testing.assert_array_equal(y1, np.asarray(out["y1"])[0])
 
 
+def test_compress_batch_matches_single_and_roundtrips():
+    """Batched serving APIs: streams byte-identical to single-image
+    compress(), cross-API decodable, batch decode == eval forward."""
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=3)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (3, 64, 128, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x[:1],
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    streams = codec.compress_batch(np.asarray(x))
+    out = model.apply(variables, x, training=False)
+
+    # byte-identical to the single-image API (shared deterministic path)
+    assert streams[0] == codec.compress(np.asarray(x[:1]))
+    # batch-encoded streams decode with the single-image API
+    for b, s in enumerate(streams):
+        y_dec, _ = codec.decode_latents(s)
+        np.testing.assert_array_equal(y_dec, np.asarray(out["y_in"])[b])
+    # threaded batch decode reproduces the eval forward
+    xb = codec.decompress_batch(streams)
+    np.testing.assert_allclose(xb, np.clip(np.asarray(out["x_hat"]), 0, 1),
+                               atol=1e-5)
+
+
+def test_joint_ar_roundtrip_k2_nonsquare():
+    """K=2 mixture + non-square image (distinct H/W latent dims) through the
+    native wavefront codec; M=12 exercises the GEMM's non-multiple-of-16
+    column remainder (out_dim = 3*2*12 = 72)."""
+    model = JointAutoregressiveHierarchical(latent_channels=12, K=2)
+    x = jax.random.uniform(jax.random.PRNGKey(11), (1, 64, 192, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    out = model.apply(variables, x, training=False)
+    y_dec, z_dec = codec.decode_latents(data)
+    np.testing.assert_array_equal(y_dec, np.asarray(out["y_in"])[0])
+    np.testing.assert_array_equal(z_dec, np.asarray(out["z_in"])[0])
+
+
 @pytest.mark.parametrize("K", [1, 3])
 def test_numpy_fallback_path_roundtrip(K, monkeypatch):
     """NIC_DISABLE_NATIVE_AR=1 must still round-trip exactly (and both paths
