@@ -151,6 +151,13 @@ def _make_codec(cfg: Config, model, params):
     return cls(model, {"params": params})
 
 
+def _write_stream(path, meta, data):
+    with open(path, "wb") as f:
+        f.write(len(json.dumps(meta)).to_bytes(2, "little"))
+        f.write(json.dumps(meta).encode())
+        f.write(data)
+
+
 def cmd_compress(args):
     import numpy as np
 
@@ -158,19 +165,27 @@ def cmd_compress(args):
     from neural_image_compression_tpu.data import load_image, pad_to_multiple
 
     model = build_model(cfg.model)
-    img = load_image(args.image)[None]
-    h, w = img.shape[1:3]
-    img = pad_to_multiple(img, 64)
-    params = _restore_params(model, cfg, img)
+    imgs = [load_image(p)[None] for p in args.image]
+    sizes = [im.shape[1:3] for im in imgs]
+    padded = [pad_to_multiple(im, 64) for im in imgs]
+    params = _restore_params(model, cfg, padded[0])
     codec = _make_codec(cfg, model, params)
-    data = codec.compress(img)
-    meta = {"orig_h": h, "orig_w": w}
-    with open(args.out, "wb") as f:
-        f.write(len(json.dumps(meta)).to_bytes(2, "little"))
-        f.write(json.dumps(meta).encode())
-        f.write(data)
-    bpp = len(data) * 8 / (h * w)
-    print(f"{args.image} -> {args.out}: {len(data)} bytes, {bpp:.4f} bpp")
+
+    multi = len(imgs) > 1
+    outs = ([os.path.join(args.out, os.path.splitext(
+                os.path.basename(p))[0] + ".nic") for p in args.image]
+            if multi else [args.out])
+    if multi:
+        os.makedirs(args.out, exist_ok=True)
+    same_shape = len({p.shape for p in padded}) == 1
+    if multi and same_shape and hasattr(codec, "compress_batch"):
+        streams = codec.compress_batch(np.concatenate(padded))
+    else:
+        streams = [codec.compress(p) for p in padded]
+    for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
+        _write_stream(out, {"orig_h": h, "orig_w": w}, data)
+        print(f"{src} -> {out}: {len(data)} bytes, "
+              f"{len(data) * 8 / (h * w):.4f} bpp")
 
 
 def cmd_decompress(args):
@@ -178,18 +193,33 @@ def cmd_decompress(args):
     from PIL import Image
 
     cfg = _load_config(args.config)
-    with open(args.bitstream, "rb") as f:
-        mlen = int.from_bytes(f.read(2), "little")
-        meta = json.loads(f.read(mlen).decode())
-        data = f.read()
+    metas, datas = [], []
+    for path in args.bitstream:
+        with open(path, "rb") as f:
+            mlen = int.from_bytes(f.read(2), "little")
+            metas.append(json.loads(f.read(mlen).decode()))
+            datas.append(f.read())
 
     model = build_model(cfg.model)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
     codec = _make_codec(cfg, model, params)
-    x_hat = codec.decompress(data)[0][:meta["orig_h"], :meta["orig_w"]]
-    Image.fromarray((np.clip(x_hat, 0, 1) * 255).astype(np.uint8)).save(args.out)
-    print(f"{args.bitstream} -> {args.out}")
+
+    multi = len(datas) > 1
+    outs = ([os.path.join(args.out, os.path.splitext(
+                os.path.basename(p))[0] + ".png") for p in args.bitstream]
+            if multi else [args.out])
+    if multi:
+        os.makedirs(args.out, exist_ok=True)
+    same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
+    if multi and same_shape and hasattr(codec, "decompress_batch"):
+        recons = list(codec.decompress_batch(datas))
+    else:
+        recons = [codec.decompress(d)[0] for d in datas]
+    for path, out, meta, x_hat in zip(args.bitstream, outs, metas, recons):
+        x_hat = x_hat[:meta["orig_h"], :meta["orig_w"]]
+        Image.fromarray((np.clip(x_hat, 0, 1) * 255).astype(np.uint8)).save(out)
+        print(f"{path} -> {out}")
 
 
 def cmd_bench(args):
@@ -236,14 +266,18 @@ def main(argv=None):
 
     sp = sub.add_parser("compress")
     sp.add_argument("--config", default=None)
-    sp.add_argument("--image", required=True)
-    sp.add_argument("--out", required=True)
+    sp.add_argument("--image", required=True, nargs="+",
+                    help="one or more images; several same-size images "
+                         "encode as one batched TPU pass + threaded host AR")
+    sp.add_argument("--out", required=True,
+                    help="output file (single image) or directory (several)")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")
     sp.add_argument("--config", default=None)
-    sp.add_argument("--bitstream", required=True)
-    sp.add_argument("--out", required=True)
+    sp.add_argument("--bitstream", required=True, nargs="+")
+    sp.add_argument("--out", required=True,
+                    help="output file (single stream) or directory (several)")
     sp.set_defaults(fn=cmd_decompress)
 
     sp = sub.add_parser("bench")

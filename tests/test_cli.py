@@ -101,6 +101,38 @@ def test_cli_compress_decompress(tmp_path):
     assert rec.shape == (100, 140, 3)  # cropped back from the 64-multiple pad
 
 
+def test_cli_compress_decompress_multi(tmp_path):
+    """Several same-size images route through the batched codec path and
+    land in output directories."""
+    rng = np.random.RandomState(4)
+    img_paths = []
+    for i in range(2):
+        p = str(tmp_path / f"in{i}.png")
+        Image.fromarray((rng.rand(70, 90, 3) * 255).astype(np.uint8)).save(p)
+        img_paths.append(p)
+
+    cfg = Config()
+    cfg.model.name = "joint_ar"
+    cfg.model.latent_channels = 8
+    cfg.model.K = 3
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    bits_dir = str(tmp_path / "bits")
+    rec_dir = str(tmp_path / "recs")
+    cli_main(["compress", "--config", cfg_path, "--image", *img_paths,
+              "--out", bits_dir])
+    bit_paths = [os.path.join(bits_dir, f"in{i}.nic") for i in range(2)]
+    assert all(os.path.getsize(p) > 0 for p in bit_paths)
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", *bit_paths,
+              "--out", rec_dir])
+    for i in range(2):
+        rec = np.asarray(Image.open(os.path.join(rec_dir, f"in{i}.png")))
+        assert rec.shape == (70, 90, 3)
+
+
 def test_cli_compress_decompress_scalable(tmp_path):
     img_path = str(tmp_path / "in.png")
     rng = np.random.RandomState(2)
