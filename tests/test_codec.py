@@ -204,6 +204,47 @@ def test_scalable_codec_gmm_roundtrip():
     np.testing.assert_array_equal(y1, np.asarray(out["y1"])[0])
 
 
+class TestArWaveCoderFuzz:
+    """Direct fuzz of the native wavefront coder with raw random weights —
+    no model involved. Exercises odd channel counts (GEMM remainders),
+    degenerate 1-row/1-col latent grids, outlier escapes, and weights that
+    produce extreme sigmas (R clamped at 254)."""
+
+    @staticmethod
+    def _coder(rng, M, K, hidden=33, psi_dim=None, scale=0.2):
+        psi_dim = psi_dim if psi_dim is not None else 2 * M
+        out_dim = 2 * M if K == 1 else 3 * K * M
+        r = lambda *s: (rng.randn(*s) * scale).astype(np.float32)
+        return backend.ArWaveCoder(
+            r(12 * M, 2 * M), r(2 * M), r(2 * M + psi_dim, hidden), r(hidden),
+            r(hidden, hidden), r(hidden), r(hidden, out_dim), r(out_dim), M, K)
+
+    @pytest.mark.parametrize("K,M,h,w", [
+        (1, 5, 7, 9), (3, 5, 7, 9), (3, 8, 1, 13), (1, 8, 13, 1),
+        (3, 16, 2, 2), (2, 7, 3, 17),
+    ])
+    def test_roundtrip_shapes(self, K, M, h, w):
+        rng = np.random.RandomState(M * 100 + K)
+        coder = self._coder(rng, M, K)
+        y_q = np.round(rng.randn(h, w, M) * 3).astype(np.float32)
+        y_q[0, 0, 0] = 100000.0   # escape path
+        y_q[-1, -1, -1] = -77777.0
+        psi = rng.randn(h, w, 2 * M).astype(np.float32)
+        data = coder.encode(y_q, psi)
+        out = coder.decode(data, psi, h, w)
+        np.testing.assert_array_equal(out, y_q)
+
+    def test_roundtrip_extreme_sigma_weights(self):
+        """Large-magnitude weights drive softplus sigmas huge (R caps at 254)
+        and mixture means far off; round-trip must still be exact."""
+        rng = np.random.RandomState(0)
+        coder = self._coder(rng, M=6, K=3, scale=3.0)
+        y_q = np.round(rng.randn(5, 11, 6) * 50).astype(np.float32)
+        psi = (rng.randn(5, 11, 12) * 5).astype(np.float32)
+        data = coder.encode(y_q, psi)
+        np.testing.assert_array_equal(coder.decode(data, psi, 5, 11), y_q)
+
+
 def test_compress_batch_matches_single_and_roundtrips():
     """Batched serving APIs: streams byte-identical to single-image
     compress(), cross-API decodable, batch decode == eval forward."""
