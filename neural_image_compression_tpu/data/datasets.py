@@ -30,21 +30,33 @@ def load_image(path: str, dtype=np.float32) -> np.ndarray:
 
 
 class ImageFolderDataset:
-    """Folder of jpg/jpeg/png images (Dataloader.py:11-27 analogue)."""
+    """Folder of jpg/jpeg/png images (Dataloader.py:11-27 analogue).
+
+    cache=True keeps decoded arrays in RAM after first use — for patch-sized
+    training sets the working set is tiny (1k 256-square uint8 patches are
+    ~200 MB) while repeated PIL decodes can bottleneck a step-based trainer
+    that cycles the dataset many times (Trainer.py:133-138 semantics)."""
 
     EXTS = ("*.jpg", "*.jpeg", "*.png")
 
-    def __init__(self, root_dir: str, dtype=np.float32):
+    def __init__(self, root_dir: str, dtype=np.float32, cache: bool = False):
         images = []
         for ext in self.EXTS:
             images.extend(glob.glob(os.path.join(root_dir, ext)))
         self.images = sorted(images)
         self.dtype = dtype
+        self._cache = {} if cache else None
 
     def __len__(self) -> int:
         return len(self.images)
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None:
+            arr = self._cache.get(idx)
+            if arr is None:
+                arr = load_image(self.images[idx], self.dtype)
+                self._cache[idx] = arr
+            return arr
         return load_image(self.images[idx], self.dtype)
 
 

@@ -98,3 +98,12 @@ def test_pad_to_multiple():
     np.testing.assert_array_equal(out[:, :100, :130], x)
     # edge padding replicates border
     np.testing.assert_array_equal(out[:, 100:, :130], np.zeros((1, 28, 130, 3)))
+
+
+def test_image_folder_dataset_cache(tmp_path):
+    _save_random_images(tmp_path, n=2)
+    ds = ImageFolderDataset(str(tmp_path), cache=True)
+    a = ds[0]
+    b = ds[0]
+    assert a is b  # second access served from RAM
+    np.testing.assert_array_equal(a, ImageFolderDataset(str(tmp_path))[0])

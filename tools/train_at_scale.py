@@ -59,7 +59,7 @@ def main():
 
     tr_dir, va_dir = make_synthetic_dataset(os.path.join(args.work_dir, "data"))
     train_loader = nic.data.BatchLoader(
-        nic.data.ImageFolderDataset(tr_dir, dtype=np.uint8),  # 4x less transfer
+        nic.data.ImageFolderDataset(tr_dir, dtype=np.uint8, cache=True),
         batch_size=args.batch_size, shuffle=True)
     val_loader = nic.data.BatchLoader(nic.data.ImageFolderDataset(va_dir),
                                       batch_size=1)
