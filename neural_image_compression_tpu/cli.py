@@ -167,8 +167,8 @@ def cmd_compress(args):
     model = build_model(cfg.model)
     imgs = [load_image(p)[None] for p in args.image]
     sizes = [im.shape[1:3] for im in imgs]
-    padded = [pad_to_multiple(im, 64) for im in imgs]
-    params = _restore_params(model, cfg, padded[0])
+    # codecs pad internally (pad-code-crop); the example is only for init
+    params = _restore_params(model, cfg, pad_to_multiple(imgs[0], 64))
     codec = _make_codec(cfg, model, params)
 
     multi = len(imgs) > 1
@@ -177,11 +177,11 @@ def cmd_compress(args):
             if multi else [args.out])
     if multi:
         os.makedirs(args.out, exist_ok=True)
-    same_shape = len({p.shape for p in padded}) == 1
+    same_shape = len({p.shape for p in imgs}) == 1
     if multi and same_shape and hasattr(codec, "compress_batch"):
-        streams = codec.compress_batch(np.concatenate(padded))
+        streams = codec.compress_batch(np.concatenate(imgs))
     else:
-        streams = [codec.compress(p) for p in padded]
+        streams = [codec.compress(p) for p in imgs]
     for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
         _write_stream(out, {"orig_h": h, "orig_w": w}, data)
         print(f"{src} -> {out}: {len(data)} bytes, "

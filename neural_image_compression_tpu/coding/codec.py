@@ -54,6 +54,31 @@ LEAKY_SLOPE = 0.01
 NATIVE_AR = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
 
 
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
+
+
+def _pad_input(x, mult: int) -> np.ndarray:
+    """Pad-code-crop rule for arbitrary image sizes (SURVEY §7.3): the input
+    is edge-replicate-padded so H, W divide the model's total downsampling,
+    latents are coded over the PADDED grid, the header records the TRUE size,
+    and decompress crops the synthesis output back. bpp is reported per true
+    pixel (the padding cost is real bits and is charged to the image)."""
+    x = np.asarray(x, np.float32)
+    _, h, w, _ = x.shape
+    ph, pw = _round_up(h, mult) - h, _round_up(w, mult) - w
+    if ph == 0 and pw == 0:
+        return x
+    return np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+
+
+def _stream_size(data: bytes) -> Tuple[int, int]:
+    """True (unpadded) image size from a bitstream header (common prefix
+    across all kinds: magic, kind, K, M, img_h, img_w, ...)."""
+    _, _, _, _, img_h, img_w = struct.unpack("<4sBBHHH", data[:12])
+    return img_h, img_w
+
+
 # ---------------------------------------------------------------------------
 # Host-side (numpy) re-implementations of the tiny per-pixel nets.
 # Encode and decode call these with IDENTICAL chunk shapes so BLAS
@@ -294,7 +319,8 @@ class JointARCodec:
 
     # -- encode ---------------------------------------------------------
     def compress(self, x: np.ndarray, tiles=None) -> bytes:
-        """x: (1, H, W, 3) float32 in [0,1], H and W multiples of 64.
+        """x: (1, H, W, 3) float32 in [0,1], any size (padded internally to
+        multiples of 64 and cropped back at decompress).
 
         tiles=(a, b): split the latent grid into a x b INDEPENDENT AR tiles
         (context resets at tile borders) so each tile's stream decodes in
@@ -306,7 +332,7 @@ class JointARCodec:
         """
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
         img_h, img_w = x.shape[1], x.shape[2]
-        x = jnp.asarray(x, jnp.float32)
+        x = jnp.asarray(_pad_input(x, 64))
 
         (y,) = self._analysis(self.variables, x)
         (z,) = self._hyper_analysis(self.variables, y)
@@ -356,8 +382,9 @@ class JointARCodec:
         z_bytes = data[hs:hs + len_z]
         y_payload = data[hs + len_z:hs + len_z + len_y]
 
-        h, w = img_h // 16, img_w // 16
-        hz, wz = img_h // 64, img_w // 64
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)  # coded grid
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
 
         # --- z ---------------------------------------------------------
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
@@ -403,7 +430,8 @@ class JointARCodec:
         y_hat, _ = self.decode_latents(data)
         (x_hat,) = self._synthesis(self.variables,
                                    jnp.asarray(y_hat, jnp.float32)[None])
-        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+        img_h, img_w = _stream_size(data)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
     # -- batched serving path --------------------------------------------
     def compress_batch(self, xs: np.ndarray, workers: int = None) -> list:
@@ -412,10 +440,11 @@ class JointARCodec:
         part) runs per-image in parallel threads (the native coder is
         reentrant and releases the GIL). Streams are identical to
         per-image compress() — each image's params depend only on its own
-        latents. xs: (B, H, W, 3); returns B bitstreams."""
+        latents. xs: (B, H, W, 3), any size (padded internally); returns B
+        bitstreams."""
         assert xs.ndim == 4
         img_h, img_w = xs.shape[1], xs.shape[2]
-        x = jnp.asarray(xs, jnp.float32)
+        x = jnp.asarray(_pad_input(xs, 64))
         (y,) = self._analysis(self.variables, x)
         (z,) = self._hyper_analysis(self.variables, y)
         y_q = np.asarray(jnp.round(y))            # (B, h, w, M)
@@ -463,8 +492,9 @@ class JointARCodec:
         img_h, img_w = heads[0][4], heads[0][5]
         assert all(h[4] == img_h and h[5] == img_w for h in heads), \
             "decompress_batch requires same-shape bitstreams"
-        h, w = img_h // 16, img_w // 16
-        hz, wz = img_h // 64, img_w // 64
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
 
         # z decode (cheap, serial — warms/uses the table cache safely)
         z_all = np.empty((len(datas), hz, wz, self.M), np.float32)
@@ -495,7 +525,7 @@ class JointARCodec:
                                            os.cpu_count() or 1)) as ex:
             y_all = np.stack(list(ex.map(_one, range(len(datas)))))
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_all))
-        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 
 # ---------------------------------------------------------------------------
@@ -523,7 +553,7 @@ class FactorizedPriorCodec:
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        (y,) = self._analysis(self.variables, jnp.asarray(x, jnp.float32))
+        (y,) = self._analysis(self.variables, jnp.asarray(_pad_input(x, 16)))
         y_q = np.asarray(jnp.round(y))[0]
         ymin, ymax = int(y_q.min()), int(y_q.max())
         cdfs, offsets, sizes = self._tables(ymin, ymax)
@@ -540,13 +570,13 @@ class FactorizedPriorCodec:
             struct.unpack(fmt, data[:struct.calcsize(fmt)]))
         assert magic == _MAGIC and kind == _KIND_FACTORIZED and M == self.M
         y_bytes = data[struct.calcsize(fmt):]
-        h, w = img_h // 16, img_w // 16
+        h, w = _round_up(img_h, 16) // 16, _round_up(img_w, 16) // 16
         cdfs, offsets, sizes = self._tables(ymin, ymax)
         index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
         sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_q))
-        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +628,7 @@ class ScalableCodec:
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        (y,) = self._analysis(self.variables, jnp.asarray(x, jnp.float32))
+        (y,) = self._analysis(self.variables, jnp.asarray(_pad_input(x, 64)))
         (z,) = self._hyper_analysis(self.variables, y)
         y_q = np.asarray(jnp.round(y.astype(jnp.float32)))[0]
         z_q = np.asarray(jnp.round(z.astype(jnp.float32)))[0]
@@ -637,8 +667,9 @@ class ScalableCodec:
         z_bytes = data[hs:hs + len_z]
         y1_bytes = data[hs + len_z:hs + len_z + len_y1]
         y2_bytes = data[hs + len_z + len_y1:]
-        h, w = img_h // 16, img_w // 16
-        hz, wz = img_h // 64, img_w // 64
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
 
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
@@ -651,7 +682,9 @@ class ScalableCodec:
         return y1, y2_bytes, psi, z_q, h, w
 
     def decompress_base(self, data: bytes):
-        """Base-only decode: returns (y1, F_tilde) for the vision task."""
+        """Base-only decode: returns (y1, F_tilde) for the vision task.
+        Both cover the PADDED latent grid when the coded image size was not
+        a multiple of 64 (use _stream_size(data) to recover the true size)."""
         y1, _, _, _, _, _ = self._decode_common(data)
         (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
         return y1.astype(np.float32), np.asarray(f_tilde)
@@ -665,7 +698,8 @@ class ScalableCodec:
         y2 = _ar_decode_latents(self._nets2, y2_bytes, psi, h, w)
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
-        return np.clip(np.asarray(x_hat), 0.0, 1.0)
+        img_h, img_w = _stream_size(data)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 
 def bitstream_bpp(data: bytes, img_h: int, img_w: int) -> float:

@@ -344,3 +344,55 @@ def test_joint_ar_tiled_roundtrip():
                                atol=1e-5)
     # tiling overhead: 3 extra rANS flushes + length table + context reset
     assert len(data_t) < len(data_1) * 1.25 + 64
+
+
+class TestArbitrarySize:
+    """Pad-code-crop (SURVEY §7.3): any image size round-trips; the stream is
+    byte-identical (past the size header) to coding the padded image."""
+
+    def test_joint_ar(self):
+        model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+        x_init = jax.random.uniform(KEY, (1, 64, 128, 3))
+        variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                          x_init, training=False)["params"]}
+        codec = JointARCodec(model, variables)
+        from neural_image_compression_tpu.coding.codec import _pad_input
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (1, 50, 100, 3)))
+        data = codec.compress(x)
+        x_hat = codec.decompress(data)
+        assert x_hat.shape == (1, 50, 100, 3)
+        # identical coded payload as the explicitly padded image
+        data_pad = codec.compress(_pad_input(x, 64))
+        assert data[12:] == data_pad[12:]
+        np.testing.assert_array_equal(
+            x_hat, codec.decompress(data_pad)[:, :50, :100])
+        # batch APIs agree with the single-image path
+        xs = np.concatenate([x, np.asarray(
+            jax.random.uniform(jax.random.PRNGKey(8), (1, 50, 100, 3)))])
+        streams = codec.compress_batch(xs)
+        assert streams[0] == data
+        recon = codec.decompress_batch(streams)
+        assert recon.shape == (2, 50, 100, 3)
+        np.testing.assert_array_equal(recon[0], x_hat[0])
+
+    def test_factorized(self):
+        model = FactorizedPrior(latent_channels=8)
+        x_init = jax.random.uniform(KEY, (1, 32, 32, 3))
+        variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                          x_init, training=False)["params"]}
+        codec = FactorizedPriorCodec(model, variables)
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(9), (1, 40, 70, 3)))
+        x_hat = codec.decompress(codec.compress(x))
+        assert x_hat.shape == (1, 40, 70, 3)
+
+    def test_scalable(self):
+        from neural_image_compression_tpu.coding.codec import ScalableCodec
+        from neural_image_compression_tpu.models import ScalableImageCoding
+        model = ScalableImageCoding(latent_channels=12, base_channels=8, K=1)
+        x_init = jax.random.uniform(KEY, (1, 64, 64, 3))
+        variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                          x_init, training=False)["params"]}
+        codec = ScalableCodec(model, variables)
+        x = np.asarray(jax.random.uniform(jax.random.PRNGKey(10), (1, 70, 90, 3)))
+        x_hat = codec.decompress(codec.compress(x))
+        assert x_hat.shape == (1, 70, 90, 3)
