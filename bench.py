@@ -31,7 +31,7 @@ def main():
 
     dtype_name = os.environ.get("NIC_BENCH_DTYPE", "bf16")
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
-    iters = int(os.environ.get("NIC_BENCH_ITERS", "24"))
+    iters = int(os.environ.get("NIC_BENCH_ITERS", "96"))
     batch = int(os.environ.get("NIC_BENCH_BATCH", "48"))
 
     model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
@@ -44,7 +44,14 @@ def main():
     def eval_step(params, x):
         out = model.apply({"params": params}, x, training=False)
         m = rd_loss(out, x, 0.005)
-        return out["x_hat"], m["bpp_total"]
+        # Return scalars only. PSNR depends on x_hat, so the synthesis
+        # transform stays live (no DCE) — but the 48x512x768x3 reconstruction
+        # is NOT a call result: over the tunneled single-chip backend, call
+        # results are transferred to the host eagerly, and returning x_hat
+        # turns the benchmark into a tunnel-bandwidth measurement (~860
+        # img/s) instead of a chip-throughput one. In serving, x_hat stays
+        # on device (or leaves at HBM/PCIe bandwidth, not a debug tunnel's).
+        return m["psnr"], m["bpp_total"]
 
     # Distinct inputs so no caching effect; rotate through 4 buffers.
     inputs = [jax.random.uniform(jax.random.PRNGKey(i), x.shape, jnp.float32)
@@ -52,12 +59,12 @@ def main():
 
     # warmup / compile. NOTE: on the tunneled TPU backend block_until_ready
     # is unreliable; a host scalar fetch is the only real completion barrier.
-    _, bpp = eval_step(params, inputs[0])
+    psnr, bpp = eval_step(params, inputs[0])
     float(bpp)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        _, bpp = eval_step(params, inputs[i % len(inputs)])
+        psnr, bpp = eval_step(params, inputs[i % len(inputs)])
     float(bpp)  # device executes enqueued programs in order; this waits for all
     dt = time.perf_counter() - t0
     img_per_sec = iters * batch / dt
