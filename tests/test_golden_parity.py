@@ -101,3 +101,59 @@ def test_rd_loss_golden():
     np.testing.assert_allclose(float(res["loss"]), float(fx["loss"]), rtol=1e-5)
     for k in ("bpp_y", "bpp_z", "bpp_total", "mse", "psnr", "bits_total"):
         np.testing.assert_allclose(float(res[k]), float(fx[k]), rtol=1e-4)
+
+
+class TestContextAndEntropyParamsGolden:
+    """Masked-conv context model and EntropyParameters net vs the reference
+    oracle (ContextModels.py:23-36, ParametersModels.py:8-64) — checks the
+    causal mask, torch->NHWC weight mapping, and the GMM chunk/reshape/
+    softmax order end to end."""
+
+    @pytest.fixture(scope="class")
+    def fixture(self):
+        return np.load(os.path.join(GOLDEN, "context_ep_ref.npz"))
+
+    def test_context_model(self, fixture):
+        from neural_image_compression_tpu.ops.masked_conv import ContextModel
+
+        fx = fixture
+        m = fx["y"].shape[1]
+        model = ContextModel(latent_channels=m)
+        params = {"MaskedConv2d_0": {
+            "kernel": jnp.asarray(np.transpose(fx["ctx_w"], (2, 3, 1, 0))),
+            "bias": jnp.asarray(fx["ctx_b"])}}
+        phi = model.apply({"params": params}, jnp.asarray(_nchw_to_nhwc(fx["y"])))
+        np.testing.assert_allclose(np.asarray(phi), _nchw_to_nhwc(fx["phi"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def _ep_apply(self, fx, K):
+        from neural_image_compression_tpu.models.parameters import EntropyParameters
+
+        m = fx["y"].shape[1]
+        model = EntropyParameters(latent_channels=m, hyper_latent_channels=m, K=K)
+        params = {}
+        for li in range(3):
+            params[f"Conv2d_{li}"] = {
+                "kernel": jnp.asarray(np.transpose(fx[f"ep{K}_w{li}"], (2, 3, 1, 0))),
+                "bias": jnp.asarray(fx[f"ep{K}_b{li}"])}
+        return model.apply({"params": params},
+                           jnp.asarray(_nchw_to_nhwc(fx["combined"])))
+
+    def test_entropy_parameters_k1(self, fixture):
+        mu, sigma = self._ep_apply(fixture, 1)
+        np.testing.assert_allclose(np.asarray(mu), _nchw_to_nhwc(fixture["ep1_mu"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sigma),
+                                   _nchw_to_nhwc(fixture["ep1_sigma"]),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_entropy_parameters_k3_gmm(self, fixture):
+        w, mus, sigmas = self._ep_apply(fixture, 3)
+        # reference layout (B, K, M, H, W) -> ours (B, H, W, K, M)
+        to_ours = lambda a: np.transpose(a, (0, 3, 4, 1, 2))
+        np.testing.assert_allclose(np.asarray(w), to_ours(fixture["ep3_w"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mus), to_ours(fixture["ep3_mu"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sigmas), to_ours(fixture["ep3_sigma"]),
+                                   rtol=1e-5, atol=1e-5)

@@ -94,7 +94,45 @@ def export_rd_loss():
     print("rd_loss:", float(res["loss"]))
 
 
+def export_context_ep():
+    """Context model (masked 5x5 conv) + EntropyParameters net, K=1 and K=3
+    (ContextModels.py:23-36, ParametersModels.py:8-64): verifies the full
+    phi/psi -> entropy-parameter wiring incl. the GMM chunk/reshape order."""
+    from ContextModels import ContextModel
+    from ParametersModels import EntropyParameters
+
+    torch.manual_seed(3)
+    M = 8
+    rng = np.random.RandomState(7)
+    y = (rng.randn(2, M, 6, 7) * 3).astype(np.float32)
+    ctx = ContextModel(latent_channels=M)
+    with torch.no_grad():
+        phi = ctx(torch.from_numpy(y)).numpy()
+    data = {"y": y, "phi": phi,
+            "ctx_w": ctx.masked.weight.detach().numpy(),
+            "ctx_b": ctx.masked.bias.detach().numpy()}
+
+    combined = rng.randn(2, 4 * M, 6, 7).astype(np.float32)
+    data["combined"] = combined
+    for K in (1, 3):
+        ep = EntropyParameters(latent_channels=M, hyper_latent_channels=M, K=K)
+        with torch.no_grad():
+            outs = ep(torch.from_numpy(combined))
+        for li, idx in enumerate((0, 2, 4)):
+            data[f"ep{K}_w{li}"] = ep.net[idx].weight.detach().numpy()
+            data[f"ep{K}_b{li}"] = ep.net[idx].bias.detach().numpy()
+        if K == 1:
+            data["ep1_mu"], data["ep1_sigma"] = [o.numpy() for o in outs]
+        else:
+            data["ep3_w"], data["ep3_mu"], data["ep3_sigma"] = [
+                o.numpy() for o in outs]
+    np.savez(os.path.join(OUT, "context_ep_ref.npz"), **data)
+    print("context_ep: phi", phi.shape)
+
+
+
 if __name__ == "__main__":
     export_factorized()
     export_gaussian()
     export_rd_loss()
+    export_context_ep()
