@@ -39,7 +39,7 @@ def _build_lib() -> str:
     for so_path in candidates:
         try:
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
                  "-std=c++17", *_SOURCES, "-o", so_path],
                 check=True, capture_output=True)
             return so_path
@@ -80,6 +80,14 @@ def get_lib() -> ctypes.CDLL:
     lib.arwave_decode.restype = ctypes.c_int
     lib.arwave_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
                                   ctypes.c_int, ctypes.c_int, f32p]
+    lib.arwave_encode_n.restype = ctypes.c_int
+    lib.arwave_encode_n.argtypes = [ctypes.c_void_p, f32p, f32p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int, i8p,
+                                    ctypes.c_int]
+    lib.arwave_decode_n.restype = ctypes.c_int
+    lib.arwave_decode_n.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
+                                    ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                    f32p]
     _LIB = lib
     return lib
 
@@ -229,6 +237,36 @@ class ArWaveCoder:
         if ln < 0:
             raise RuntimeError("rANS encode overflow")
         return out[:ln].tobytes()
+
+    def encode_n(self, y_q: np.ndarray, psi: np.ndarray, n_streams: int) -> bytes:
+        """N-way interleaved encode (symbol s -> stream s % N): same entropy
+        params and CDFs as encode(), rate cost ~4*(N-1) bytes, and decode_n
+        pulls the N streams concurrently with EXACT context (no tile reset)."""
+        y_q = np.ascontiguousarray(y_q, np.float32)
+        psi = np.ascontiguousarray(psi, np.float32)
+        h, w = y_q.shape[:2]
+        cap = max(1024, h * w * self.M * 8 + 64 + 8 * n_streams)
+        out = np.empty(cap, np.uint8)
+        ln = self._lib.arwave_encode_n(self._handle, _ptr(y_q, ctypes.c_float),
+                                       _ptr(psi, ctypes.c_float), h, w,
+                                       n_streams, _ptr(out, ctypes.c_uint8),
+                                       cap)
+        if ln < 0:
+            raise RuntimeError("rANS encode overflow")
+        return out[:ln].tobytes()
+
+    def decode_n(self, data: bytes, psi: np.ndarray, h: int, w: int,
+                 n_streams: int) -> np.ndarray:
+        psi = np.ascontiguousarray(psi, np.float32)
+        buf = np.frombuffer(data, np.uint8)
+        y_out = np.empty((h, w, self.M), np.float32)
+        rc = self._lib.arwave_decode_n(self._handle, _ptr(buf, ctypes.c_uint8),
+                                       len(data), _ptr(psi, ctypes.c_float),
+                                       h, w, n_streams,
+                                       _ptr(y_out, ctypes.c_float))
+        if rc != 0:
+            raise ValueError("corrupt interleaved stream")
+        return y_out
 
     def decode(self, data: bytes, psi: np.ndarray, h: int, w: int) -> np.ndarray:
         psi = np.ascontiguousarray(psi, np.float32)

@@ -318,19 +318,34 @@ class JointARCodec:
         return list(zip(edges[:-1], edges[1:]))
 
     # -- encode ---------------------------------------------------------
-    def compress(self, x: np.ndarray, tiles=None) -> bytes:
+    def compress(self, x: np.ndarray, tiles=None, n_streams: int = 1) -> bytes:
         """x: (1, H, W, 3) float32 in [0,1], any size (padded internally to
         multiples of 64 and cropped back at decompress).
 
+        n_streams=N (N>1): N-way INTERLEAVED rANS — symbol s goes to stream
+        s % N with UNCHANGED entropy params/context, so the rate cost is
+        ~4*(N-1) bytes per image and a multicore decoder pulls the streams
+        concurrently inside each wavefront (exact context; one thread per
+        stream). This is the rate-neutral way to parallelize single-image
+        decode. Requires the native coder.
+
         tiles=(a, b): split the latent grid into a x b INDEPENDENT AR tiles
         (context resets at tile borders) so each tile's stream decodes in
-        parallel on a multicore host. Latency/rate trade-off: measured +40%
-        rate at 2x2 on a trained flagship (border pixels lose their causal
-        context), negligible on an untrained model. tiles=None: one stream
-        (default). For throughput over many images prefer compress_batch,
-        which parallelizes across images at no rate cost.
+        parallel AND offers spatial random access. Latency/rate trade-off:
+        measured +40% rate at 2x2 on a trained flagship (border pixels lose
+        their causal context; exact-context rectangular tiles are impossible
+        — the 5x5 mask-A halo creates cyclic left/right inter-tile deps).
+        Prefer n_streams for parallel decode; tiles only for random access.
+
+        For throughput over many images prefer compress_batch, which
+        parallelizes across images at no rate cost.
         """
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        assert n_streams == 1 or tiles is None, "n_streams and tiles are exclusive"
+        assert 1 <= n_streams <= 255
+        if n_streams > 1 and not NATIVE_AR:
+            raise RuntimeError("n_streams > 1 requires the native coder "
+                               "(unset NIC_DISABLE_NATIVE_AR)")
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
 
@@ -352,21 +367,28 @@ class JointARCodec:
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
 
-        ta, tb = tiles if tiles else (1, 1)
         h, w = y_q.shape[:2]
-        streams = []
-        for (r0, r1) in self._tile_bounds(h, ta):
-            for (c0, c1) in self._tile_bounds(w, tb):
-                streams.append(_ar_encode_latents(
-                    self._host_nets, y_q[r0:r1, c0:c1], psi[r0:r1, c0:c1]))
-        if len(streams) == 1:
-            y_payload = streams[0]
+        if n_streams > 1:
+            y_payload = self._host_nets.native_coder().encode_n(
+                y_q, psi, n_streams)
+            layout = 0x8000 | n_streams
         else:
-            table = struct.pack(f"<{len(streams)}I", *[len(s) for s in streams])
-            y_payload = table + b"".join(streams)
+            ta, tb = tiles if tiles else (1, 1)
+            layout = (ta << 8) | tb
+            streams = []
+            for (r0, r1) in self._tile_bounds(h, ta):
+                for (c0, c1) in self._tile_bounds(w, tb):
+                    streams.append(_ar_encode_latents(
+                        self._host_nets, y_q[r0:r1, c0:c1], psi[r0:r1, c0:c1]))
+            if len(streams) == 1:
+                y_payload = streams[0]
+            else:
+                table = struct.pack(f"<{len(streams)}I",
+                                    *[len(s) for s in streams])
+                y_payload = table + b"".join(streams)
 
         header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT, self.K,
-                             self.M, img_h, img_w, (ta << 8) | tb, zmin, zmax,
+                             self.M, img_h, img_w, layout, zmin, zmax,
                              len(z_bytes), len(y_payload))
         return header + z_bytes + y_payload
 
@@ -397,6 +419,10 @@ class JointARCodec:
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
 
+        if tiles & 0x8000:  # N-way interleaved rANS (exact context)
+            y_hat = self._host_nets.native_coder().decode_n(
+                y_payload, psi, h, w, tiles & 0xFF)
+            return y_hat.astype(np.float32), z_q
         ta, tb = max(1, tiles >> 8), max(1, tiles & 0xFF)
         if ta == 1 and tb == 1:
             y_hat = _ar_decode_latents(self._host_nets, y_payload, psi, h, w)

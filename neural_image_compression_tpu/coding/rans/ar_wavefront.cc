@@ -213,6 +213,56 @@ struct Scratch {
   }
 };
 
+// Forward parameter sweep shared by the single-stream and N-stream encoders:
+// walks the wavefront exactly like decode does (same Scratch calls, same GEMM
+// shapes) and materializes every symbol + its entropy params in coding order.
+void collect_all_params(const ArNets& net, Scratch& sc, const float* y_q,
+                        int H, int W, int32_t* sym, float* mus, float* sigmas,
+                        float* wsv) {
+  const int M = net.M, K = net.K;
+  const int t_max = 3 * (H - 1) + W;
+  size_t s = 0;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = sc.collect_wave(t);
+    if (n == 0) continue;
+    sc.wave_params(n);
+    for (int p = 0; p < n; ++p) {
+      sc.pixel_params(p, wsv ? &wsv[s * K] : nullptr, &mus[s * K],
+                      &sigmas[s * K]);
+      const float* yrow =
+          y_q + (static_cast<size_t>(sc.wave_i[p]) * W + sc.wave_j[p]) * M;
+      for (int m = 0; m < M; ++m)
+        sym[s + m] = static_cast<int32_t>(std::lrintf(yrow[m]));
+      s += M;
+    }
+  }
+}
+
+// Encode symbols [of one residue class] backwards into enc. Identical
+// model construction to the decoder (shared build_gaussian_model).
+void encode_class(const int32_t* sym, const float* mus, const float* sigmas,
+                  const float* wsv, int K, int64_t n_sym, int64_t k,
+                  int64_t step, Encoder& enc) {
+  SymbolModel sm;
+  if (n_sym - 1 < k) return;
+  const int64_t hi = ((n_sym - 1 - k) / step) * step + k;
+  for (int64_t i = hi; i >= 0; i -= step) {
+    const float* w = wsv ? &wsv[i * K] : nullptr;
+    build_gaussian_model(w, &mus[i * K], &sigmas[i * K], K, &sm);
+    const int d = sym[i] - sm.c;
+    if (d >= -sm.R && d <= sm.R) {
+      const int j = d + sm.R;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    } else {
+      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
+      enc.put_raw16(v & 0xffffu);
+      enc.put_raw16((v >> 16) & 0xffffu);
+      const int j = sm.nsym - 1;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -262,43 +312,67 @@ int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
   std::vector<int32_t> sym(n_sym);
   std::vector<float> mus(n_sym * K), sigmas(n_sym * K);
   std::vector<float> wsv(K > 1 ? n_sym * K : 0);
-
-  const int t_max = 3 * (H - 1) + W;  // exclusive
-  size_t s = 0;
-  for (int t = 0; t < t_max; ++t) {
-    const int n = sc.collect_wave(t);
-    if (n == 0) continue;
-    sc.wave_params(n);
-    for (int p = 0; p < n; ++p) {
-      sc.pixel_params(p, K > 1 ? &wsv[s * K] : nullptr, &mus[s * K],
-                      &sigmas[s * K]);
-      const float* yrow =
-          y_q + (static_cast<size_t>(sc.wave_i[p]) * W + sc.wave_j[p]) * M;
-      for (int m = 0; m < M; ++m)
-        sym[s + m] = static_cast<int32_t>(std::lrintf(yrow[m]));
-      s += M;
-    }
-  }
+  collect_all_params(net, sc, y_q, H, W, sym.data(), mus.data(),
+                     sigmas.data(), K > 1 ? wsv.data() : nullptr);
 
   Encoder enc;
   enc.bytes.reserve(n_sym * 2 + 16);
-  SymbolModel sm;
-  for (size_t i = n_sym; i-- > 0;) {
-    const float* w = K > 1 ? &wsv[i * K] : nullptr;
-    build_gaussian_model(w, &mus[i * K], &sigmas[i * K], K, &sm);
-    const int d = sym[i] - sm.c;
-    if (d >= -sm.R && d <= sm.R) {
-      const int j = d + sm.R;
-      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
-    } else {
-      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
-      enc.put_raw16(v & 0xffffu);
-      enc.put_raw16((v >> 16) & 0xffffu);
-      const int j = sm.nsym - 1;
-      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
-    }
-  }
+  encode_class(sym.data(), mus.data(), sigmas.data(),
+               K > 1 ? wsv.data() : nullptr, K,
+               static_cast<int64_t>(n_sym), 0, 1, enc);
   return enc.flush(out, cap);
+}
+
+// N-way interleaved variant: symbol s goes to stream s % nstreams. Entropy
+// params and per-symbol CDFs are IDENTICAL to the single-stream coder (same
+// forward sweep, same model code), so the rate cost is nstreams-1 extra
+// rANS flush constants (~4 bytes each) — there is NO context reset and NO
+// rate penalty, unlike independent tiles. A multicore decoder pulls the
+// streams concurrently (one thread per stream) inside each wavefront while
+// context stays exact. Payload: u32 lens[nstreams] | stream 0 | ... | N-1.
+int arwave_encode_n(void* handle, const float* y_q, const float* psi, int H,
+                    int W, int nstreams, uint8_t* out, int cap) {
+  const ArNets& net = *static_cast<ArNets*>(handle);
+  const int M = net.M, K = net.K;
+  Scratch sc(net, psi, H, W);
+  for (int i = 0; i < H; ++i)
+    std::memcpy(sc.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
+                static_cast<size_t>(W) * M * sizeof(float));
+
+  const int64_t n_sym = static_cast<int64_t>(H) * W * M;
+  std::vector<int32_t> sym(n_sym);
+  std::vector<float> mus(n_sym * K), sigmas(n_sym * K);
+  std::vector<float> wsv(K > 1 ? n_sym * K : 0);
+  collect_all_params(net, sc, y_q, H, W, sym.data(), mus.data(),
+                     sigmas.data(), K > 1 ? wsv.data() : nullptr);
+
+  std::vector<std::vector<uint8_t>> parts(nstreams);
+#pragma omp parallel for schedule(static, 1)
+  for (int k = 0; k < nstreams; ++k) {
+    Encoder enc;
+    enc.bytes.reserve(n_sym * 2 / nstreams + 16);
+    encode_class(sym.data(), mus.data(), sigmas.data(),
+                 K > 1 ? wsv.data() : nullptr, K, n_sym, k, nstreams, enc);
+    parts[k].resize(enc.bytes.size() + 8);
+    const int ln = enc.flush(parts[k].data(),
+                             static_cast<int>(parts[k].size()));
+    parts[k].resize(ln);
+  }
+
+  int64_t total = 4 * static_cast<int64_t>(nstreams);
+  for (int k = 0; k < nstreams; ++k) total += parts[k].size();
+  if (total > cap) return -1;
+  uint8_t* p = out;
+  for (int k = 0; k < nstreams; ++k) {
+    const uint32_t ln = static_cast<uint32_t>(parts[k].size());
+    std::memcpy(p, &ln, 4);
+    p += 4;
+  }
+  for (int k = 0; k < nstreams; ++k) {
+    std::memcpy(p, parts[k].data(), parts[k].size());
+    p += parts[k].size();
+  }
+  return static_cast<int>(total);
 }
 
 // Decodes (H, W, M) float32 latents into y_out. Returns 0.
@@ -343,6 +417,84 @@ int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
       }
       std::memcpy(sc.pad_at(i + 2, j + 2), dst, M * sizeof(float));
     }
+  }
+  return 0;
+}
+
+// Decode an N-way interleaved stream (see arwave_encode_n). Per wave: the
+// shared GEMM stack computes every pixel's entropy params, then the
+// nstreams rANS streams are pulled independently (parallel when OpenMP
+// threads are available — each stream's symbols form a residue class, and
+// within a wave all models are already known, so streams never interact).
+int arwave_decode_n(void* handle, const uint8_t* buf, int len,
+                    const float* psi, int H, int W, int nstreams,
+                    float* y_out) {
+  const ArNets& net = *static_cast<ArNets*>(handle);
+  const int M = net.M, K = net.K;
+  if (len < 4 * nstreams) return -1;
+  std::vector<Decoder> decs(nstreams);
+  {
+    int64_t off = 4 * static_cast<int64_t>(nstreams);
+    for (int k = 0; k < nstreams; ++k) {
+      uint32_t ln;
+      std::memcpy(&ln, buf + 4 * k, 4);
+      if (off + ln > len) return -1;
+      decs[k].init(buf + off, static_cast<int>(ln));
+      off += ln;
+    }
+  }
+  Scratch sc(net, psi, H, W);
+
+  // Per-wave parameter staging: (p, m, k) layout matching pixel_params.
+  const size_t wave_cap = static_cast<size_t>(sc.nmax) * M * K;
+  std::vector<float> wmu(wave_cap), wsig(wave_cap),
+      wws(K > 1 ? wave_cap : 0);
+  std::vector<float> val(static_cast<size_t>(sc.nmax) * M);
+
+  const int t_max = 3 * (H - 1) + W;
+  int64_t s_base = 0;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = sc.collect_wave(t);
+    if (n == 0) continue;
+    sc.wave_params(n);
+    for (int p = 0; p < n; ++p)
+      sc.pixel_params(p, K > 1 ? &wws[static_cast<size_t>(p) * M * K] : nullptr,
+                      &wmu[static_cast<size_t>(p) * M * K],
+                      &wsig[static_cast<size_t>(p) * M * K]);
+
+    const int64_t n_wave = static_cast<int64_t>(n) * M;
+#pragma omp parallel for schedule(static, 1)
+    for (int k = 0; k < nstreams; ++k) {
+      SymbolModel sm;
+      Decoder& dec = decs[k];
+      // first rel >= 0 with (s_base + rel) % nstreams == k
+      int64_t rel = (k - (s_base % nstreams) + nstreams) % nstreams;
+      for (; rel < n_wave; rel += nstreams) {
+        const size_t idx = static_cast<size_t>(rel);
+        build_gaussian_model(K > 1 ? &wws[idx * K] : nullptr, &wmu[idx * K],
+                             &wsig[idx * K], K, &sm);
+        const uint32_t cf = dec.peek();
+        const int jj = cdf_find(sm.cum, sm.nsym, cf);
+        dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
+        int32_t v;
+        if (jj == sm.nsym - 1) {
+          const uint32_t hi = dec.get_raw16();
+          const uint32_t lo = dec.get_raw16();
+          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+        } else {
+          v = sm.c + (jj - sm.R);
+        }
+        val[idx] = static_cast<float>(v);
+      }
+    }
+
+    for (int p = 0; p < n; ++p) {
+      const int i = sc.wave_i[p], j = sc.wave_j[p];
+      float* dst = y_out + (static_cast<size_t>(i) * W + j) * M;
+      std::memcpy(dst, &val[static_cast<size_t>(p) * M], M * sizeof(float));
+      std::memcpy(sc.pad_at(i + 2, j + 2), dst, M * sizeof(float));
+    }
+    s_base += n_wave;
   }
   return 0;
 }

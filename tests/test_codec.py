@@ -396,3 +396,44 @@ class TestArbitrarySize:
         x = np.asarray(jax.random.uniform(jax.random.PRNGKey(10), (1, 70, 90, 3)))
         x_hat = codec.decompress(codec.compress(x))
         assert x_hat.shape == (1, 70, 90, 3)
+
+
+class TestInterleavedStreams:
+    """N-way interleaved rANS (n_streams): rate-neutral parallel decode.
+    Symbol s -> stream s % N with unchanged entropy params, so decoded
+    latents must equal the single-stream path exactly and the overhead is
+    bounded by the per-stream flush + length table (~8 bytes/stream)."""
+
+    @pytest.mark.parametrize("K", [1, 3])
+    def test_matches_single_stream(self, K):
+        model = JointAutoregressiveHierarchical(latent_channels=8, K=K)
+        x = jax.random.uniform(jax.random.PRNGKey(K), (1, 128, 128, 3))
+        variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                          training=False)["params"]}
+        codec = JointARCodec(model, variables)
+        base = codec.compress(np.asarray(x))
+        y_ref, z_ref = codec.decode_latents(base)
+        for N in (2, 8):
+            data = codec.compress(np.asarray(x), n_streams=N)
+            assert len(data) - len(base) <= 8 * N
+            y_dec, z_dec = codec.decode_latents(data)
+            np.testing.assert_array_equal(y_dec, y_ref)
+            np.testing.assert_array_equal(z_dec, z_ref)
+        # full image path too
+        np.testing.assert_array_equal(
+            codec.decompress(codec.compress(np.asarray(x), n_streams=4)),
+            codec.decompress(base))
+
+    @pytest.mark.parametrize("K,M,h,w,N", [
+        (1, 5, 7, 9, 3), (3, 7, 5, 17, 4), (3, 8, 1, 13, 8), (1, 8, 13, 1, 2),
+    ])
+    def test_fuzz_raw_weights_with_escapes(self, K, M, h, w, N):
+        rng = np.random.RandomState(M * 10 + K + N)
+        coder = TestArWaveCoderFuzz._coder(rng, M, K)
+        y_q = np.round(rng.randn(h, w, M) * 3).astype(np.float32)
+        y_q[0, 0, 0] = 100000.0
+        y_q[-1, -1, -1] = -77777.0
+        psi = rng.randn(h, w, 2 * M).astype(np.float32)
+        data = coder.encode_n(y_q, psi, N)
+        out = coder.decode_n(data, psi, h, w, N)
+        np.testing.assert_array_equal(out, y_q)
