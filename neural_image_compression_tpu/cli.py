@@ -177,11 +177,17 @@ def cmd_compress(args):
             if multi else [args.out])
     if multi:
         os.makedirs(args.out, exist_ok=True)
+    n_streams = getattr(args, "streams", 1)
+    if n_streams > 1 and cfg.model.name in ("factorized", "scalable"):
+        sys.exit("--streams applies to the joint-AR models only (the "
+                 "factorized codec is already fully parallel; the scalable "
+                 "codec's layers decode concurrently)")
+    kw = {"n_streams": n_streams} if n_streams > 1 else {}
     same_shape = len({p.shape for p in imgs}) == 1
-    if multi and same_shape and hasattr(codec, "compress_batch"):
+    if multi and same_shape and not kw and hasattr(codec, "compress_batch"):
         streams = codec.compress_batch(np.concatenate(imgs))
     else:
-        streams = [codec.compress(p) for p in imgs]
+        streams = [codec.compress(p, **kw) for p in imgs]
     for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
         _write_stream(out, {"orig_h": h, "orig_w": w}, data)
         print(f"{src} -> {out}: {len(data)} bytes, "
@@ -271,6 +277,9 @@ def main(argv=None):
                          "encode as one batched TPU pass + threaded host AR")
     sp.add_argument("--out", required=True,
                     help="output file (single image) or directory (several)")
+    sp.add_argument("--streams", type=int, default=1,
+                    help="N-way interleaved rANS (rate-neutral multicore "
+                         "decode; joint-AR models only)")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")

@@ -174,3 +174,28 @@ def test_cli_eval_with_codec(tmp_path):
     txt = open(os.path.join(cfg.eval.save_dir,
                             "eval_results_0.005_lambda_codec.txt")).read()
     assert "codec/BPP(bitstream)" in txt
+
+
+def test_cli_compress_streams(tmp_path):
+    """--streams N routes through the interleaved coder; decompress needs no
+    extra flag (N is in the bitstream header)."""
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(7)
+    Image.fromarray((rng.rand(70, 70, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = "joint_ar"
+    cfg.model.latent_channels = 8
+    cfg.model.K = 1
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path, "--streams", "4"])
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path])
+    assert np.asarray(Image.open(rec_path)).shape == (70, 70, 3)
