@@ -668,8 +668,12 @@ class ScalableCodec:
 
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-        y1_bytes = _ar_encode_latents(self._nets1, y_q[..., :self.M1], psi)
-        y2_bytes = _ar_encode_latents(self._nets2, y_q[..., self.M1:], psi)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(_ar_encode_latents, self._nets1,
+                           np.ascontiguousarray(y_q[..., :self.M1]), psi)
+            f2 = ex.submit(_ar_encode_latents, self._nets2,
+                           np.ascontiguousarray(y_q[..., self.M1:]), psi)
+            y1_bytes, y2_bytes = f1.result(), f2.result()
 
         header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_SCALABLE, self.K,
                              self.M, img_h, img_w, self.M1, zmin, zmax,
@@ -704,24 +708,30 @@ class ScalableCodec:
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
-        y1 = _ar_decode_latents(self._nets1, y1_bytes, psi, h, w)
-        return y1, y2_bytes, psi, z_q, h, w
+        return y1_bytes, y2_bytes, psi, z_q, h, w
 
     def decompress_base(self, data: bytes):
         """Base-only decode: returns (y1, F_tilde) for the vision task.
         Both cover the PADDED latent grid when the coded image size was not
         a multiple of 64 (use _stream_size(data) to recover the true size)."""
-        y1, _, _, _, _, _ = self._decode_common(data)
+        y1_bytes, _, psi, _, h, w = self._decode_common(data)
+        y1 = _ar_decode_latents(self._nets1, y1_bytes, psi, h, w)
         (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
         return y1.astype(np.float32), np.asarray(f_tilde)
 
     def decompress(self, data: bytes) -> np.ndarray:
         """Full decode -> reconstructed image."""
-        y1, y2_bytes, psi, _, h, w = self._decode_common(data)
+        y1_bytes, y2_bytes, psi, _, h, w = self._decode_common(data)
         if len(y2_bytes) == 0:
             raise ValueError("enhancement stream missing (truncated bitstream); "
                              "use decompress_base")
-        y2 = _ar_decode_latents(self._nets2, y2_bytes, psi, h, w)
+        # The two layers' AR decodes are independent (separate context models
+        # and streams, shared psi) — run them concurrently; the native coder
+        # is reentrant and releases the GIL.
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f1 = ex.submit(_ar_decode_latents, self._nets1, y1_bytes, psi, h, w)
+            f2 = ex.submit(_ar_decode_latents, self._nets2, y2_bytes, psi, h, w)
+            y1, y2 = f1.result(), f2.result()
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
         img_h, img_w = _stream_size(data)
