@@ -30,6 +30,10 @@
 
 #include <cstdlib>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 #include "rans_core.h"
 
 using nic::Decoder;
@@ -37,18 +41,84 @@ using nic::Encoder;
 using nic::SymbolModel;
 using nic::build_gaussian_model;
 using nic::cdf_find;
+using nic::fast_exp;
 
 namespace {
 
-// out (n, md) += A (n, kd) @ W (kd, md). k-outer so W streams sequentially
-// exactly once per call and `out` (a few rows) stays cache-resident;
-// unrolled 4 k-steps per pass to quarter the out-row L2 traffic. Measured
-// 36 GFLOP/s on the flagship wave shapes vs 23 un-unrolled and 4.5 for a
-// register-tiled k-inner kernel (k-strided W accesses thrash once W exceeds
-// L2). noinline: encode and decode must execute the same machine code for
-// bit-identical accumulation.
-__attribute__((noinline)) void gemm_acc(const float* A, int n, int kd,
-                                        const float* W, int md, float* out) {
+// out (n, md) += A (n, kd) @ W (kd, md).
+//
+// Two kernels, dispatched ONLY on n (identical shapes at encode and decode,
+// so the dispatch — and hence every accumulation order — matches on both
+// sides; streams stay self-consistent per build as documented at the top):
+//
+//  * n >= 32 (the whole-image psi @ W1 precompute, and waves of large
+//    images): AVX-512 register-blocked micro-kernel — up to 4 rows x 64
+//    columns of accumulators live in zmm registers across the whole k loop,
+//    so each k step amortizes 4 W-vector loads over 16 FMAs. Measured 46
+//    GFLOP/s at n=1536 vs 31 for the streaming form (this vCPU sustains
+//    ~48 GFLOP/s peak — a single AVX-512 FMA port at reduced clock; both
+//    kernels are at machine speed for their regime).
+//  * small n (typical wave shapes, n <= 16 at Kodak size): k-outer
+//    streaming form — W streams sequentially once per call and the few out
+//    rows stay cache-resident (40 GFLOP/s measured; the register kernel
+//    loses here because masked W reloads per row-block dominate).
+#if defined(__AVX512F__)
+
+// One 4-row x 64-col accumulator tile; cols beyond md are masked out.
+template <int RB>
+inline void gemm_tile(const float* A, int i0, int kd, const float* W, int md,
+                      int j0, float* out) {
+  __mmask16 msk[4];
+  for (int v = 0; v < 4; ++v) {
+    const int rem = md - (j0 + 16 * v);
+    msk[v] = rem >= 16 ? 0xffff
+                       : (rem <= 0 ? 0 : static_cast<__mmask16>(
+                                             (1u << rem) - 1u));
+  }
+  __m512 acc[RB][4];
+  for (int r = 0; r < RB; ++r) {
+    const float* orow = out + static_cast<size_t>(i0 + r) * md + j0;
+    for (int v = 0; v < 4; ++v)
+      acc[r][v] = _mm512_maskz_loadu_ps(msk[v], orow + 16 * v);
+  }
+  for (int k = 0; k < kd; ++k) {
+    const float* wrow = W + static_cast<size_t>(k) * md + j0;
+    __m512 wv[4];
+    for (int v = 0; v < 4; ++v)
+      wv[v] = _mm512_maskz_loadu_ps(msk[v], wrow + 16 * v);
+    for (int r = 0; r < RB; ++r) {
+      const __m512 a =
+          _mm512_set1_ps(A[static_cast<size_t>(i0 + r) * kd + k]);
+      for (int v = 0; v < 4; ++v)
+        acc[r][v] = _mm512_fmadd_ps(a, wv[v], acc[r][v]);
+    }
+  }
+  for (int r = 0; r < RB; ++r) {
+    float* orow = out + static_cast<size_t>(i0 + r) * md + j0;
+    for (int v = 0; v < 4; ++v)
+      _mm512_mask_storeu_ps(orow + 16 * v, msk[v], acc[r][v]);
+  }
+}
+
+__attribute__((noinline)) void gemm_acc_blocked(const float* A, int n, int kd,
+                                                const float* W, int md,
+                                                float* out) {
+  for (int j0 = 0; j0 < md; j0 += 64) {
+    int i0 = 0;
+    for (; i0 + 4 <= n; i0 += 4) gemm_tile<4>(A, i0, kd, W, md, j0, out);
+    switch (n - i0) {
+      case 3: gemm_tile<3>(A, i0, kd, W, md, j0, out); break;
+      case 2: gemm_tile<2>(A, i0, kd, W, md, j0, out); break;
+      case 1: gemm_tile<1>(A, i0, kd, W, md, j0, out); break;
+      default: break;
+    }
+  }
+}
+#endif
+
+__attribute__((noinline)) void gemm_acc_stream(const float* A, int n, int kd,
+                                               const float* W, int md,
+                                               float* out) {
   int k = 0;
   for (; k + 4 <= kd; k += 4) {
     const float* w0 = W + static_cast<size_t>(k) * md;
@@ -73,13 +143,25 @@ __attribute__((noinline)) void gemm_acc(const float* A, int n, int kd,
   }
 }
 
+inline void gemm_acc(const float* A, int n, int kd, const float* W, int md,
+                     float* out) {
+#if defined(__AVX512F__)
+  if (n >= 32) {
+    gemm_acc_blocked(A, n, kd, W, md, out);
+    return;
+  }
+#endif
+  gemm_acc_stream(A, n, kd, W, md, out);
+}
+
 __attribute__((noinline)) void leaky_relu(float* x, size_t n) {
   for (size_t i = 0; i < n; ++i) x[i] = x[i] >= 0.0f ? x[i] : 0.01f * x[i];
 }
 
-inline float softplus(float x) {
-  return x > 0.0f ? x + std::log1p(std::exp(-x)) : std::log1p(std::exp(x));
-}
+// sigma/weight post-processing runs ~1.2M transcendentals per Kodak image;
+// the fast-path exp/log (rans_core.h) keep libm out and let the loops
+// vectorize. Same code at encode and decode — bit-identical params.
+inline float softplus(float x) { return nic::fast_softplus(x); }
 
 // Weights only — const after create, so one handle is safely shared by
 // concurrent encode/decode calls (independent tile streams decode in
@@ -200,7 +282,7 @@ struct Scratch {
       for (int k = 1; k < K; ++k) mx = wr[k] > mx ? wr[k] : mx;
       float sum = 0.0f;
       for (int k = 0; k < K; ++k) {
-        const float e = std::exp(wr[k] - mx);
+        const float e = fast_exp(wr[k] - mx);
         ws[m * K + k] = e;
         sum += e;
       }

@@ -90,9 +90,10 @@ inline double std_normal_cdf(double v) { return 0.5 * std::erfc(-v * M_SQRT1_2);
 
 // --- Fast float normal CDF (no libm in the hot loop) ------------------------
 // e^x for x <= 0 via 2^t split + degree-5 polynomial; ~1e-7 relative error.
-// Branch-free except the underflow clamp (becomes a blend under SIMD).
+// Fully branch-free (the underflow clamp is a max, e^-87 ~ 1.6e-38 ~ 0 for
+// CDF purposes) so the per-edge loop in build_gaussian_model vectorizes.
 inline float fast_exp(float x) {
-  if (x < -87.0f) return 0.0f;
+  x = x < -87.0f ? -87.0f : x;
   const float t = x * 1.44269504089f;  // x * log2(e)
   const float fi = std::floor(t);
   const float f = t - fi;
@@ -109,6 +110,38 @@ inline float fast_exp(float x) {
   } s;
   s.u = static_cast<uint32_t>(i + 127) << 23;
   return p * s.fl;
+}
+
+// ln(y) for y > 0 via exponent split + atanh series on the mantissa
+// (t = (m-1)/(m+1), |t| <= 0.172 -> series error ~1e-8). Branch-light,
+// deterministic, vectorizable.
+inline float fast_log(float y) {
+  union {
+    float f;
+    uint32_t u;
+  } v;
+  v.f = y;
+  int e = static_cast<int>((v.u >> 23) & 0xffu) - 127;
+  v.u = (v.u & 0x007fffffu) | 0x3f800000u;  // mantissa in [1, 2)
+  float m = v.f;
+  const bool hi = m > 1.41421356f;
+  m = hi ? 0.5f * m : m;  // [0.707, 1.414)
+  e += hi ? 1 : 0;
+  const float t = (m - 1.0f) / (m + 1.0f);
+  const float t2 = t * t;
+  const float p =
+      2.0f * t *
+      (1.0f + t2 * (0.33333334f +
+                    t2 * (0.2f + t2 * (0.14285715f + t2 * 0.11111111f))));
+  return p + static_cast<float>(e) * 0.69314718f;
+}
+
+// softplus(x) = log(1 + e^x) = max(x, 0) + log1p(e^-|x|), all-fast-path.
+// ~1e-7 absolute error — invisible to the 16-bit CDF quantizer downstream.
+inline float fast_softplus(float x) {
+  const float ax = x > 0.0f ? x : -x;
+  const float mx = x > 0.0f ? x : 0.0f;
+  return mx + fast_log(1.0f + fast_exp(-ax));
 }
 
 // Standard normal CDF via Abramowitz–Stegun 7.1.26 erf (max abs err 1.5e-7)
