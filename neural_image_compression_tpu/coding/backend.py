@@ -84,6 +84,8 @@ def get_lib() -> ctypes.CDLL:
     lib.arwave_encode_n.argtypes = [ctypes.c_void_p, f32p, f32p, ctypes.c_int,
                                     ctypes.c_int, ctypes.c_int, i8p,
                                     ctypes.c_int]
+    lib.nic_fastmath_eval.argtypes = [f32p, ctypes.c_int, f32p, f32p, f32p,
+                                      f32p]
     lib.arwave_decode_n.restype = ctypes.c_int
     lib.arwave_decode_n.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,

@@ -582,3 +582,20 @@ int arwave_decode_n(void* handle, const uint8_t* buf, int len,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Test shim: evaluate the deterministic fast-math primitives over an array
+// so accuracy is pinned by unit tests (tests/test_codec.py). log_out is
+// computed for x > 0 inputs only (callers restrict the domain).
+void nic_fastmath_eval(const float* x, int n, float* exp_out, float* log_out,
+                       float* softplus_out, float* cdf_out) {
+  for (int i = 0; i < n; ++i) {
+    exp_out[i] = nic::fast_exp(x[i] > 0.0f ? -x[i] : x[i]);  // domain <= 0
+    log_out[i] = x[i] > 0.0f ? nic::fast_log(x[i]) : 0.0f;
+    softplus_out[i] = nic::fast_softplus(x[i]);
+    cdf_out[i] = nic::fast_normal_cdf(x[i]);
+  }
+}
+
+}  // extern "C"

@@ -89,7 +89,8 @@ struct Decoder {
 inline double std_normal_cdf(double v) { return 0.5 * std::erfc(-v * M_SQRT1_2); }
 
 // --- Fast float normal CDF (no libm in the hot loop) ------------------------
-// e^x for x <= 0 via 2^t split + degree-5 polynomial; ~1e-7 relative error.
+// e^x for x <= 0 via 2^t split + degree-5 Chebyshev polynomial; ~1.2e-7
+// relative error (test-pinned).
 // Fully branch-free (the underflow clamp is a max, e^-87 ~ 1.6e-38 ~ 0 for
 // CDF purposes) so the per-edge loop in build_gaussian_model vectorizes.
 inline float fast_exp(float x) {
@@ -98,12 +99,15 @@ inline float fast_exp(float x) {
   const float fi = std::floor(t);
   const float f = t - fi;
   const int i = static_cast<int>(fi);
-  // 2^f on [0, 1): minimax-ish degree-5 (coeffs of the Taylor ln2 series)
+  // 2^f on [0, 1): degree-5 Chebyshev fit, max rel err 1.2e-7 with f32
+  // coefficients (the truncated Taylor series this replaces was ~1.5e-4 at
+  // f -> 1; pinned by tests/test_codec.py::test_fast_math_accuracy)
   const float p =
-      1.0f + f * (0.693147182f +
-                  f * (0.240226507f +
-                       f * (0.0555041086f +
-                            f * (0.00961812911f + f * 0.00133335581f))));
+      0.9999998984f +
+      f * (0.69315449f +
+           f * (0.24014182f +
+                f * (0.055860337f +
+                     f * (0.0089495904f + f * 0.0018937541f))));
   union {
     uint32_t u;
     float fl;

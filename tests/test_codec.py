@@ -437,3 +437,36 @@ class TestInterleavedStreams:
         data = coder.encode_n(y_q, psi, N)
         out = coder.decode_n(data, psi, h, w, N)
         np.testing.assert_array_equal(out, y_q)
+
+
+def test_fast_math_accuracy():
+    """The native coder's transcendental fast paths (fast_exp/log/softplus/
+    normal-cdf) must stay within tolerances that are invisible to the 16-bit
+    CDF quantizer (see rans_core.h)."""
+    import ctypes
+
+    from scipy.special import ndtr
+
+    lib = backend.get_lib()
+    rng = np.random.RandomState(0)
+    x = np.concatenate([
+        rng.uniform(-30, 30, 20000), rng.uniform(-0.01, 0.01, 1000),
+        [0.0, 1e-6, -1e-6, 87.0, -87.0, -200.0, 5e-5]]).astype(np.float32)
+    n = len(x)
+    outs = [np.empty(n, np.float32) for _ in range(4)]
+    fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.nic_fastmath_eval(fp(x), n, *[fp(o) for o in outs])
+    e, lg, sp, cdf = outs
+
+    xn = np.where(x > 0, -x, x).astype(np.float64)  # exp domain <= 0
+    xn = np.maximum(xn, -87.0)  # fast_exp clamps the underflow tail
+    # rel error is |x|*ulp-limited by the single-precision range reduction
+    # (t = x*log2e rounds once), ~2e-6 at |x|=87 — far below what a 16-bit
+    # CDF quantizer can see
+    np.testing.assert_allclose(e, np.exp(xn), rtol=4e-6, atol=1e-38)
+    pos = x > 0
+    np.testing.assert_allclose(lg[pos], np.log(x[pos].astype(np.float64)),
+                               rtol=1e-6, atol=2e-6)
+    np.testing.assert_allclose(sp, np.logaddexp(0, x.astype(np.float64)),
+                               rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(cdf, ndtr(x.astype(np.float64)), atol=3e-7)
