@@ -64,12 +64,8 @@ def _pad_input(x, mult: int) -> np.ndarray:
     latents are coded over the PADDED grid, the header records the TRUE size,
     and decompress crops the synthesis output back. bpp is reported per true
     pixel (the padding cost is real bits and is charged to the image)."""
-    x = np.asarray(x, np.float32)
-    _, h, w, _ = x.shape
-    ph, pw = _round_up(h, mult) - h, _round_up(w, mult) - w
-    if ph == 0 and pw == 0:
-        return x
-    return np.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    from neural_image_compression_tpu.data.datasets import pad_to_multiple
+    return pad_to_multiple(np.asarray(x, np.float32), mult)
 
 
 def _stream_size(data: bytes) -> Tuple[int, int]:
@@ -346,6 +342,11 @@ class JointARCodec:
         if n_streams > 1 and not NATIVE_AR:
             raise RuntimeError("n_streams > 1 requires the native coder "
                                "(unset NIC_DISABLE_NATIVE_AR)")
+        if tiles is not None:
+            ta, tb = tiles
+            # the layout word packs (ta << 8) | tb; bit 15 flags interleaved
+            assert 1 <= ta <= 127 and 1 <= tb <= 255, \
+                "tiles limited to 127 x 255"
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
 
@@ -420,9 +421,12 @@ class JointARCodec:
         psi = np.asarray(psi_dev)[0]
 
         if tiles & 0x8000:  # N-way interleaved rANS (exact context)
+            n = tiles & 0xFF
+            if n < 1:
+                raise ValueError("corrupt header: interleaved stream count 0")
             y_hat = self._host_nets.native_coder().decode_n(
-                y_payload, psi, h, w, tiles & 0xFF)
-            return y_hat.astype(np.float32), z_q
+                y_payload, psi, h, w, n)
+            return np.asarray(y_hat, np.float32), z_q
         ta, tb = max(1, tiles >> 8), max(1, tiles & 0xFF)
         if ta == 1 and tb == 1:
             y_hat = _ar_decode_latents(self._host_nets, y_payload, psi, h, w)
@@ -541,11 +545,18 @@ class JointARCodec:
         def _one(b):
             head, d = heads[b], datas[b]
             len_z, len_y = head[9], head[10]
-            assert head[6] == (1 << 8) | 1, \
-                "decompress_batch handles untiled streams"
-            return _ar_decode_latents(self._host_nets,
-                                      d[hs + len_z:hs + len_z + len_y],
-                                      psi[b], h, w)
+            payload = d[hs + len_z:hs + len_z + len_y]
+            layout = head[6]
+            if layout & 0x8000:  # interleaved rANS (see compress n_streams)
+                n = layout & 0xFF
+                if n < 1:
+                    raise ValueError("corrupt header: stream count 0")
+                return self._host_nets.native_coder().decode_n(
+                    payload, psi[b], h, w, n)
+            assert layout == (1 << 8) | 1, \
+                "decompress_batch handles untiled streams (decode tiled " \
+                "bitstreams via decompress)"
+            return _ar_decode_latents(self._host_nets, payload, psi[b], h, w)
         with ThreadPoolExecutor(
                 max_workers=workers or min(len(datas),
                                            os.cpu_count() or 1)) as ex:

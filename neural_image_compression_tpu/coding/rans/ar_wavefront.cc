@@ -513,7 +513,7 @@ int arwave_decode_n(void* handle, const uint8_t* buf, int len,
                     float* y_out) {
   const ArNets& net = *static_cast<ArNets*>(handle);
   const int M = net.M, K = net.K;
-  if (len < 4 * nstreams) return -1;
+  if (nstreams < 1 || len < 4 * nstreams) return -1;
   std::vector<Decoder> decs(nstreams);
   {
     int64_t off = 4 * static_cast<int64_t>(nstreams);

@@ -470,3 +470,20 @@ def test_fast_math_accuracy():
     np.testing.assert_allclose(sp, np.logaddexp(0, x.astype(np.float64)),
                                rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(cdf, ndtr(x.astype(np.float64)), atol=3e-7)
+
+
+def test_interleaved_streams_decompress_batch():
+    """Review follow-up: batch decompress must route interleaved streams
+    through decode_n (it used to assert on the layout word)."""
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    xs = np.asarray(jax.random.uniform(KEY, (2, 64, 64, 3)))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, xs[:1],
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    streams = [codec.compress(xs[b:b + 1], n_streams=4) for b in range(2)]
+    batch = codec.decompress_batch(streams)
+    for b in range(2):
+        np.testing.assert_array_equal(batch[b],
+                                      codec.decompress(streams[b])[0])
+    with pytest.raises(AssertionError):
+        codec.compress(xs[:1], tiles=(128, 2))  # would collide with the flag
