@@ -289,11 +289,18 @@ class JointARCodec:
                                          p["entropy_parameters"], self.M, self.K)
         self._z_cache = {}
 
-        # Jitted device pieces — each used identically by encode and decode.
-        self._analysis = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
-        self._hyper_analysis = jax.jit(lambda v, y: model.apply(
-            v, y, method=lambda mdl, y: (mdl.hyper_encoder(y),)))
+        # Jitted device pieces.
+        # Encode-only fusion: one program for x -> (round(y), round(z)).
+        # Only the INTEGER latents leave this program, and decode never
+        # recomputes them (z_q is in the stream; psi derives from z_q through
+        # the same standalone hyper_synthesis program on both sides), so
+        # fusing cannot break the determinism contract. Saves one device
+        # round-trip + the full-precision y/z result transfers per image.
+        self._analysis_q = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (
+                lambda y: (jnp.round(y.astype(jnp.float32)),
+                           jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+            )(mdl.encoder(x))))
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
@@ -350,10 +357,9 @@ class JointARCodec:
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
 
-        (y,) = self._analysis(self.variables, x)
-        (z,) = self._hyper_analysis(self.variables, y)
-        y_q = np.asarray(jnp.round(y))[0]  # (h, w, M)
-        z_q = np.asarray(jnp.round(z))[0]  # (hz, wz, M)
+        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
+        y_q = np.asarray(y_q_dev)[0]  # (h, w, M)
+        z_q = np.asarray(z_q_dev)[0]  # (hz, wz, M)
 
         # --- z stream: per-channel factorized tables -------------------
         zmin = int(z_q.min())
@@ -475,10 +481,9 @@ class JointARCodec:
         assert xs.ndim == 4
         img_h, img_w = xs.shape[1], xs.shape[2]
         x = jnp.asarray(_pad_input(xs, 64))
-        (y,) = self._analysis(self.variables, x)
-        (z,) = self._hyper_analysis(self.variables, y)
-        y_q = np.asarray(jnp.round(y))            # (B, h, w, M)
-        z_q = np.asarray(jnp.round(z))            # (B, hz, wz, M)
+        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
+        y_q = np.asarray(y_q_dev)                 # (B, h, w, M)
+        z_q = np.asarray(z_q_dev)                 # (B, hz, wz, M)
         # psi through the SAME batch-1 program as compress()/decompress():
         # a B-batched program is not guaranteed bit-identical to batch-1,
         # and psi feeds the deterministic coding path — streams must stay
