@@ -3,29 +3,37 @@ tools/train_at_scale.py): N-way interleaved rANS rate overhead + exactness,
 and arbitrary-size (pad-code-crop) round-trip.
 """
 
+import argparse
 import time
 
 import numpy as np
 
 
 def main():
-    import jax.numpy as jnp
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work_dir", default="/tmp/nic_scale")
+    args = ap.parse_args()
 
     import neural_image_compression_tpu as nic
 
     model = nic.models.JointAutoregressiveHierarchical(latent_channels=128, K=3)
-    params = nic.utils.restore_raw("/tmp/nic_scale/ckpt")["params"]
+    params = nic.utils.restore_raw(f"{args.work_dir}/ckpt")["params"]
     variables = {"params": params}
     codec = nic.coding.JointARCodec(model, variables)
 
-    img = nic.data.load_image("/tmp/nic_scale/data/val/v0.png")[None]
+    img = nic.data.load_image(f"{args.work_dir}/data/val/v0.png")[None]
     h, w = img.shape[1:3]
     print("image:", img.shape, flush=True)
 
-    base = codec.compress(img)
+    base = codec.compress(img)  # cold (compiles)
     y_ref, z_ref = codec.decode_latents(base)
-    print(f"single stream: {len(base)} bytes = {len(base)*8/(h*w):.4f} bpp",
-          flush=True)
+    x_hat = codec.decompress(base)
+    t0 = time.perf_counter(); base = codec.compress(img); t1 = time.perf_counter()
+    x_hat = codec.decompress(base); t2 = time.perf_counter()
+    mse = float(np.mean((x_hat - img) ** 2))
+    print(f"single stream: {len(base)} bytes = {len(base)*8/(h*w):.4f} bpp, "
+          f"PSNR {10*np.log10(1.0/mse):.2f} dB; WARM enc {t1-t0:.2f}s "
+          f"dec {t2-t1:.2f}s", flush=True)
 
     for N in (4, 8):
         t0 = time.perf_counter()
