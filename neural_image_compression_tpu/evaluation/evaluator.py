@@ -108,17 +108,18 @@ class CompressionEvaluator:
             print(f"{k}: {v:.6f}")
         return avg, imgs_list, recon_list
 
-    def evaluate_codec(self, codec) -> Dict[str, float]:
+    def evaluate_codec(self, codec, **compress_kwargs) -> Dict[str, float]:
         """Real-bitstream evaluation: compress -> decompress every image with
         the given codec and report measured bpp (actual bytes on the wire)
         next to the analytic rate, plus distortion of the decoded output.
-        The reference cannot do this — it has no bitstream (SURVEY §2 #29)."""
+        The reference cannot do this — it has no bitstream (SURVEY §2 #29).
+        compress_kwargs forward to codec.compress (e.g. n_streams=8)."""
         total_metrics = []
         real_bpps, analytic_bpps = [], []
         for imgs in self.dataloader:
             imgs = np.asarray(imgs)
             h, w = imgs.shape[1:3]
-            data = codec.compress(imgs[:1])
+            data = codec.compress(imgs[:1], **compress_kwargs)
             x_hat = codec.decompress(data)
             real_bpps.append(len(data) * 8.0 / (h * w))
             out = self._forward(self.params, jnp.asarray(imgs))
