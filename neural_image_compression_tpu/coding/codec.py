@@ -579,8 +579,9 @@ class FactorizedPriorCodec:
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
-        self._analysis = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
+        self._analysis_q = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (
+                jnp.round(mdl.encoder(x).astype(jnp.float32)),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
         self._y_cache = {}
@@ -595,8 +596,9 @@ class FactorizedPriorCodec:
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        (y,) = self._analysis(self.variables, jnp.asarray(_pad_input(x, 16)))
-        y_q = np.asarray(jnp.round(y))[0]
+        (y_q_dev,) = self._analysis_q(self.variables,
+                                      jnp.asarray(_pad_input(x, 16)))
+        y_q = np.asarray(y_q_dev)[0]
         ymin, ymax = int(y_q.min()), int(y_q.max())
         cdfs, offsets, sizes = self._tables(ymin, ymax)
         sym = y_q.reshape(-1, self.M).astype(np.int32)
@@ -648,10 +650,13 @@ class ScalableCodec:
                                      p["entropy_parameters_1"], self.M1, self.K)
         self._nets2 = _HostParamNets(p["context_model_2"],
                                      p["entropy_parameters_2"], self.M2, self.K)
-        self._analysis = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (mdl.encoder(x),)))
-        self._hyper_analysis = jax.jit(lambda v, y: model.apply(
-            v, y, method=lambda mdl, y: (mdl.hyper_encoder(y),)))
+        # One fused encode program (x -> integer y_q, z_q); see JointARCodec
+        # for why this cannot break codec determinism.
+        self._analysis_q = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda mdl, x: (
+                lambda y: (jnp.round(y.astype(jnp.float32)),
+                           jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+            )(mdl.encoder(x))))
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
@@ -670,10 +675,10 @@ class ScalableCodec:
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        (y,) = self._analysis(self.variables, jnp.asarray(_pad_input(x, 64)))
-        (z,) = self._hyper_analysis(self.variables, y)
-        y_q = np.asarray(jnp.round(y.astype(jnp.float32)))[0]
-        z_q = np.asarray(jnp.round(z.astype(jnp.float32)))[0]
+        y_q_dev, z_q_dev = self._analysis_q(self.variables,
+                                            jnp.asarray(_pad_input(x, 64)))
+        y_q = np.asarray(y_q_dev)[0]
+        z_q = np.asarray(z_q_dev)[0]
 
         zmin, zmax = int(z_q.min()), int(z_q.max())
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
