@@ -5,12 +5,13 @@ from neural_image_compression_tpu.coding.cdf_tables import (
     factorized_tables, quantize_pmf_rows,
 )
 from neural_image_compression_tpu.coding.codec import (
-    FactorizedPriorCodec, JointARCodec, ScalableCodec, bitstream_bpp, wavefront_order,
+    FactorizedPriorCodec, JointARCodec, ScalableCodec, bitstream_bpp,
+    stream_size, wavefront_order,
 )
 
 __all__ = [
     "RansDecoder", "encode_gaussian", "encode_indexed",
     "factorized_tables", "quantize_pmf_rows",
     "FactorizedPriorCodec", "JointARCodec", "ScalableCodec", "bitstream_bpp",
-    "wavefront_order",
+    "stream_size", "wavefront_order",
 ]

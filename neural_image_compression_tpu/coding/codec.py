@@ -68,11 +68,14 @@ def _pad_input(x, mult: int) -> np.ndarray:
     return pad_to_multiple(np.asarray(x, np.float32), mult)
 
 
-def _stream_size(data: bytes) -> Tuple[int, int]:
+def stream_size(data: bytes) -> Tuple[int, int]:
     """True (unpadded) image size from a bitstream header (common prefix
     across all kinds: magic, kind, K, M, img_h, img_w, ...)."""
     _, _, _, _, img_h, img_w = struct.unpack("<4sBBHHH", data[:12])
     return img_h, img_w
+
+
+_stream_size = stream_size  # internal alias
 
 
 # ---------------------------------------------------------------------------
@@ -734,7 +737,7 @@ class ScalableCodec:
     def decompress_base(self, data: bytes):
         """Base-only decode: returns (y1, F_tilde) for the vision task.
         Both cover the PADDED latent grid when the coded image size was not
-        a multiple of 64 (use _stream_size(data) to recover the true size)."""
+        a multiple of 64 (use coding.stream_size(data) to recover the true size)."""
         y1_bytes, _, psi, _, h, w = self._decode_common(data)
         y1 = _ar_decode_latents(self._nets1, y1_bytes, psi, h, w)
         (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
