@@ -10,6 +10,7 @@ triggers a rebuild.
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 
@@ -24,11 +25,27 @@ PROB_BITS = 16
 PROB_SCALE = 1 << 16
 
 
+def _isa_fingerprint() -> bytes:
+    """Identify what -march=native resolves to on THIS host. The .so is
+    compiled with -march=native, so a cached library from another machine
+    (shared tmp dir, copied container layer) could use ISA extensions this
+    CPU lacks (SIGILL) — fold the expanded target flags into the cache key."""
+    out = b""
+    try:
+        out = subprocess.run(
+            ["g++", "-march=native", "-Q", "--help=target"],
+            capture_output=True, timeout=30).stdout
+    except (subprocess.SubprocessError, OSError):
+        pass
+    return platform.machine().encode() + out
+
+
 def _build_lib() -> str:
     h = hashlib.sha256()
     for path in _SOURCES + _HEADERS:
         with open(path, "rb") as f:
             h.update(f.read())
+    h.update(_isa_fingerprint())
     digest = h.hexdigest()[:16]
     so_name = f"librans_{digest}.so"
     candidates = [os.path.join(_SRC_DIR, so_name),
@@ -274,9 +291,11 @@ class ArWaveCoder:
         psi = np.ascontiguousarray(psi, np.float32)
         buf = np.frombuffer(data, np.uint8)
         y_out = np.empty((h, w, self.M), np.float32)
-        self._lib.arwave_decode(self._handle, _ptr(buf, ctypes.c_uint8),
-                                len(data), _ptr(psi, ctypes.c_float), h, w,
-                                _ptr(y_out, ctypes.c_float))
+        rc = self._lib.arwave_decode(self._handle, _ptr(buf, ctypes.c_uint8),
+                                     len(data), _ptr(psi, ctypes.c_float), h, w,
+                                     _ptr(y_out, ctypes.c_float))
+        if rc != 0:
+            raise ValueError("corrupt or truncated AR stream")
         return y_out
 
     def __del__(self):

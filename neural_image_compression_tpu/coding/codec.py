@@ -474,23 +474,22 @@ class JointARCodec:
 
     # -- batched serving path --------------------------------------------
     def compress_batch(self, xs: np.ndarray, workers: int = None) -> list:
-        """Encode a batch at serving throughput: the TPU transforms run as
-        ONE batched program over all images; the host AR stage (the serial
-        part) runs per-image in parallel threads (the native coder is
-        reentrant and releases the GIL). Streams are identical to
-        per-image compress() — each image's params depend only on its own
-        latents. xs: (B, H, W, 3), any size (padded internally); returns B
-        bitstreams."""
+        """Encode a batch at serving throughput: the host AR stage (the
+        dominant cost, ~0.4s/img) runs per-image in parallel threads (the
+        native coder is reentrant and releases the GIL). Streams are
+        byte-identical to per-image compress(): every device program on the
+        coding path (analysis, hyper-synthesis) runs batch-1 per image, the
+        same programs compress() uses — a B-batched program is not
+        guaranteed bit-identical to batch-1 at round() boundaries, and the
+        entropy params feed the deterministic coding path. xs: (B, H, W, 3),
+        any size (padded internally); returns B bitstreams."""
         assert xs.ndim == 4
         img_h, img_w = xs.shape[1], xs.shape[2]
-        x = jnp.asarray(_pad_input(xs, 64))
-        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
-        y_q = np.asarray(y_q_dev)                 # (B, h, w, M)
-        z_q = np.asarray(z_q_dev)                 # (B, hz, wz, M)
-        # psi through the SAME batch-1 program as compress()/decompress():
-        # a B-batched program is not guaranteed bit-identical to batch-1,
-        # and psi feeds the deterministic coding path — streams must stay
-        # interchangeable with the single-image API.
+        xp = _pad_input(xs, 64)
+        per = [self._analysis_q(self.variables, jnp.asarray(xp[b:b + 1]))
+               for b in range(xp.shape[0])]
+        y_q = np.concatenate([np.asarray(p[0]) for p in per])  # (B, h, w, M)
+        z_q = np.concatenate([np.asarray(p[1]) for p in per])  # (B, hz, wz, M)
         psi = np.concatenate([
             np.asarray(self._hyper_synthesis(self.variables,
                                              jnp.asarray(z_q[b])[None])[0])
@@ -527,6 +526,13 @@ class JointARCodec:
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
         heads = [struct.unpack(fmt, d[:hs]) for d in datas]
+        for head in heads:
+            if head[0] != _MAGIC or head[1] != _KIND_JOINT:
+                raise ValueError("not a joint-AR bitstream")
+            if head[2] != self.K or head[3] != self.M:
+                raise ValueError(
+                    f"bitstream is for K={head[2]}, M={head[3]}; this codec "
+                    f"has K={self.K}, M={self.M}")
         img_h, img_w = heads[0][4], heads[0][5]
         assert all(h[4] == img_h and h[5] == img_w for h in heads), \
             "decompress_batch requires same-shape bitstreams"

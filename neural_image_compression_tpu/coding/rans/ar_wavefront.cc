@@ -457,7 +457,8 @@ int arwave_encode_n(void* handle, const float* y_q, const float* psi, int H,
   return static_cast<int>(total);
 }
 
-// Decodes (H, W, M) float32 latents into y_out. Returns 0.
+// Decodes (H, W, M) float32 latents into y_out. Returns 0, or -1 if the
+// stream is truncated/corrupt (final rANS state check fails).
 int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
                   int H, int W, float* y_out) {
   const ArNets& net = *static_cast<ArNets*>(handle);
@@ -500,7 +501,7 @@ int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
       std::memcpy(sc.pad_at(i + 2, j + 2), dst, M * sizeof(float));
     }
   }
-  return 0;
+  return dec.ok() ? 0 : -1;
 }
 
 // Decode an N-way interleaved stream (see arwave_encode_n). Per wave: the
@@ -578,6 +579,8 @@ int arwave_decode_n(void* handle, const uint8_t* buf, int len,
     }
     s_base += n_wave;
   }
+  for (int k = 0; k < nstreams; ++k)
+    if (!decs[k].ok()) return -1;
   return 0;
 }
 

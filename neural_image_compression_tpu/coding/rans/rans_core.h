@@ -80,6 +80,11 @@ struct Decoder {
     advance(v, 1);
     return v;
   }
+
+  // A complete, uncorrupted decode is the exact inverse of the encode: the
+  // state walks back to the encoder's initial kRansL and every renorm byte
+  // is consumed. Anything else means a truncated/corrupt stream.
+  inline bool ok() const { return x == kRansL && pos == len; }
 };
 
 // ---------------------------------------------------------------------------

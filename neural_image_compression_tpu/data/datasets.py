@@ -55,6 +55,10 @@ class ImageFolderDataset:
             arr = self._cache.get(idx)
             if arr is None:
                 arr = load_image(self.images[idx], self.dtype)
+                # cached samples are returned by reference; freeze them so an
+                # in-place mutation (e.g. future augmentation) can't silently
+                # corrupt the cache for every later epoch
+                arr.setflags(write=False)
                 self._cache[idx] = arr
             return arr
         return load_image(self.images[idx], self.dtype)

@@ -1,94 +1,196 @@
-"""Offline dataset preprocessing (capability parity with preprocess.py:1-97).
+"""Offline training-patch extraction.
 
-Pipeline per image: drop over-saturated images (>5% of pixels with channel
-spread > threshold, preprocess.py:18-21), drop too-small images, add
-U(-0.5/256, 0.5/256) dequantization noise (preprocess.py:12-16), random
-bicubic downsample by U(min_factor, 1) + random target_size^2 crop
-(preprocess.py:23-33). Pure PIL/numpy — host-side, one-time, no torch.
+Capability parity with the reference pipeline (preprocess.py:12-76): drop
+over-saturated images, drop images too small to survive the worst-case
+downsample, add U(-0.5/levels, 0.5/levels) dequantization noise, random
+bicubic downsample by a factor drawn from U(min_factor, 1), random
+target_size^2 crop. The *semantics* match the reference so trained models
+see the same data distribution; the implementation is our own:
+
+- numpy-array core (`PatchExtractor`) with PIL only at the decode/resize
+  boundary, so every stage is unit-testable on arrays;
+- parallel workers (the reference loops serially; PIL decode + bicubic
+  resize release the GIL, so a thread pool scales on multicore hosts);
+- order-independent determinism: each file gets its own RNG derived from
+  (seed, filename), so the output patch for a given image is identical
+  regardless of worker count or scheduling (a global serial RNG, as in the
+  reference, changes every patch when the file set changes).
 """
 
 import argparse
-import random
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Optional
 
 import numpy as np
 
-
-def add_quantization_noise(img, levels: int = 256, rng=None):
-    """PIL Image -> PIL Image with dequantization noise."""
-    from PIL import Image
-
-    rng = rng or np.random
-    arr = np.asarray(img).astype(np.float32) / 255.0
-    noise = rng.uniform(-0.5 / levels, 0.5 / levels, arr.shape)
-    arr = np.clip(arr + noise, 0.0, 1.0)
-    return Image.fromarray((arr * 255).astype(np.uint8))
+_EXTS = (".jpg", ".jpeg", ".png")
 
 
-def is_saturated(img, threshold: float = 0.95) -> bool:
-    arr = np.asarray(img).astype(np.float32) / 255.0
-    saturation = arr.max(axis=2) - arr.min(axis=2)
-    return (saturation > threshold).mean() > 0.05
+@dataclass(frozen=True)
+class PatchConfig:
+    """Knobs of the extraction pipeline (defaults = reference defaults)."""
+
+    target_size: int = 256
+    min_factor: float = 0.75
+    saturation_threshold: float = 0.95
+    max_saturated_fraction: float = 0.05
+    quantization_levels: int = 256
 
 
-def random_downsample_crop(img, target_size: int = 256, min_factor: float = 0.75,
-                           rng=None):
-    from PIL import Image
+class PatchExtractor:
+    """Turns one decoded RGB image into one training patch (or rejects it).
 
-    rng = rng or random
-    w, h = img.size
-    factor = rng.uniform(min_factor, 1.0)
-    new_w, new_h = int(w * factor), int(h * factor)
-    if new_w < target_size or new_h < target_size:
-        return None
-    resized = img.resize((new_w, new_h), Image.BICUBIC)
-    left = rng.randint(0, new_w - target_size)
-    top = rng.randint(0, new_h - target_size)
-    return resized.crop((left, top, left + target_size, top + target_size))
+    Stages (applied in reference order): saturation filter -> size filter ->
+    dequantization dither -> random downsample -> random crop. All stages
+    take/return uint8 HWC arrays; the RNG is supplied per call.
+    """
+
+    def __init__(self, config: PatchConfig = PatchConfig()):
+        self.config = config
+
+    # -- filters -------------------------------------------------------
+    def saturated_fraction(self, arr: np.ndarray) -> float:
+        """Fraction of pixels whose channel spread exceeds the threshold."""
+        f = arr.astype(np.float32) / 255.0
+        spread = f.max(axis=-1) - f.min(axis=-1)
+        return float((spread > self.config.saturation_threshold).mean())
+
+    def accepts(self, arr: np.ndarray) -> bool:
+        cfg = self.config
+        if self.saturated_fraction(arr) > cfg.max_saturated_fraction:
+            return False
+        # worst-case downsample (x min_factor) must still fit a full crop
+        return min(arr.shape[:2]) * cfg.min_factor >= cfg.target_size
+
+    # -- transforms ----------------------------------------------------
+    def dither(self, arr: np.ndarray, rng) -> np.ndarray:
+        """Uniform dequantization dither of +-0.5 quantization step,
+        re-quantized to uint8 (the training data stays 8-bit on disk)."""
+        levels = self.config.quantization_levels
+        f = arr.astype(np.float32) / 255.0
+        f = f + rng.uniform(-0.5 / levels, 0.5 / levels, size=f.shape)
+        return (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+    def random_patch(self, arr: np.ndarray, rng) -> Optional[np.ndarray]:
+        """Bicubic downsample by U(min_factor, 1), then a random
+        target_size^2 crop. None if the resized image cannot fit one."""
+        from PIL import Image
+
+        cfg = self.config
+        h, w = arr.shape[:2]
+        factor = float(rng.uniform(cfg.min_factor, 1.0))
+        nh, nw = int(h * factor), int(w * factor)
+        if nh < cfg.target_size or nw < cfg.target_size:
+            return None
+        small = np.asarray(
+            Image.fromarray(arr).resize((nw, nh), Image.BICUBIC))
+        top = int(rng.integers(0, nh - cfg.target_size + 1))
+        left = int(rng.integers(0, nw - cfg.target_size + 1))
+        return small[top:top + cfg.target_size, left:left + cfg.target_size]
+
+    def __call__(self, arr: np.ndarray, rng) -> Optional[np.ndarray]:
+        if not self.accepts(arr):
+            return None
+        return self.random_patch(self.dither(arr, rng), rng)
+
+
+def _file_rng(seed, name: str):
+    """Per-file RNG: deterministic in (seed, filename), independent of
+    processing order and worker count."""
+    import hashlib
+
+    digest = hashlib.sha256(name.encode()).digest()[:8]
+    return np.random.default_rng(
+        (0 if seed is None else int(seed), int.from_bytes(digest, "little")))
 
 
 def preprocess_images(input_dir, output_dir, target_size: int = 256,
                       min_factor: float = 0.75, saturation_thresh: float = 0.95,
-                      seed=None, overwrite: bool = False) -> int:
-    """Process all jpg/png in input_dir into output_dir; returns count kept."""
-    from PIL import Image, UnidentifiedImageError
+                      seed=None, overwrite: bool = False,
+                      workers: Optional[int] = None) -> int:
+    """Extract one patch per eligible jpg/png in input_dir into output_dir.
 
-    if seed is not None:
-        random.seed(seed)
-        np.random.seed(seed)
+    Returns the number of patches on disk afterwards (kept + pre-existing).
+    When seed is None each run draws fresh patches; with a seed the output
+    is reproducible per file (see _file_rng).
+    """
+    from PIL import Image
 
-    input_dir = Path(input_dir)
-    output_dir = Path(output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
+    in_root, out_root = Path(input_dir), Path(output_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+    extractor = PatchExtractor(PatchConfig(
+        target_size=target_size, min_factor=min_factor,
+        saturation_threshold=saturation_thresh))
 
-    all_images = sorted(list(input_dir.glob("*.jpg")) + list(input_dir.glob("*.png")))
-    kept = 0
-    for img_path in all_images:
+    files = sorted(p for p in in_root.iterdir()
+                   if p.suffix.lower() in _EXTS)
+    base_seed = seed if seed is not None else int.from_bytes(os.urandom(8),
+                                                             "little")
+
+    def _process(path: Path) -> bool:
+        dst = out_root / path.name
+        if dst.exists() and not overwrite:
+            return True
         try:
-            img = Image.open(img_path).convert("RGB")
-        except (UnidentifiedImageError, OSError):
-            print(f"[WARN] Skipping corrupted file: {img_path}")
-            continue
-        if is_saturated(img, threshold=saturation_thresh):
-            continue
-        if min(img.size) * min_factor < target_size:
-            continue
-        img = add_quantization_noise(img)
-        cropped = random_downsample_crop(img, target_size=target_size,
-                                         min_factor=min_factor)
-        if cropped is None:
-            continue
-        save_path = output_dir / img_path.name
-        if save_path.exists() and not overwrite:
-            kept += 1
-            continue
-        cropped.save(save_path)
-        kept += 1
-    return kept
+            with Image.open(path) as img:
+                arr = np.asarray(img.convert("RGB"))
+        except OSError:
+            print(f"[preprocess] unreadable image, skipped: {path}")
+            return False
+        patch = extractor(arr, _file_rng(base_seed, path.name))
+        if patch is None:
+            return False
+        Image.fromarray(patch).save(dst)
+        return True
+
+    n_workers = workers or min(8, os.cpu_count() or 1)
+    if n_workers <= 1 or len(files) <= 1:
+        results = [_process(p) for p in files]
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(_process, files))
+    return sum(results)
+
+
+# ---------------------------------------------------------------------------
+# PIL-level helpers, kept as the stable public API (reference
+# preprocess.py:12-33 exposes the same three operations).
+# ---------------------------------------------------------------------------
+
+def add_quantization_noise(img, levels: int = 256, rng=None):
+    """PIL -> PIL with uniform dequantization dither (preprocess.py:12-16)."""
+    from PIL import Image
+
+    gen = rng if rng is not None else np.random.default_rng()
+    cfg = PatchConfig(quantization_levels=levels)
+    return Image.fromarray(
+        PatchExtractor(cfg).dither(np.asarray(img), gen))
+
+
+def is_saturated(img, threshold: float = 0.95) -> bool:
+    """True if >5% of pixels exceed the channel-spread threshold
+    (preprocess.py:18-21)."""
+    ex = PatchExtractor(PatchConfig(saturation_threshold=threshold))
+    return ex.saturated_fraction(np.asarray(img)) > ex.config.max_saturated_fraction
+
+
+def random_downsample_crop(img, target_size: int = 256, min_factor: float = 0.75,
+                           rng=None):
+    """PIL -> PIL random downsample+crop, or None (preprocess.py:23-33)."""
+    from PIL import Image
+
+    gen = rng if rng is not None else np.random.default_rng()
+    cfg = PatchConfig(target_size=target_size, min_factor=min_factor)
+    patch = PatchExtractor(cfg).random_patch(np.asarray(img), gen)
+    return None if patch is None else Image.fromarray(patch)
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="Preprocess images for dataset.")
+    parser = argparse.ArgumentParser(
+        description="Extract training patches from a folder of images.")
     parser.add_argument("--input_dir", type=str, default="./data/coco_val2017")
     parser.add_argument("--output_dir", type=str, default="./data/coco_preprocessed")
     parser.add_argument("--target_size", type=int, default=256)
@@ -96,11 +198,12 @@ def main(argv=None):
     parser.add_argument("--saturation_thresh", type=float, default=0.95)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--workers", type=int, default=None)
     args = parser.parse_args(argv)
     n = preprocess_images(args.input_dir, args.output_dir, args.target_size,
                           args.min_factor, args.saturation_thresh, args.seed,
-                          args.overwrite)
-    print(f"Preprocessed {n} images -> {args.output_dir}")
+                          args.overwrite, args.workers)
+    print(f"{n} patches in {args.output_dir}")
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_image_compression_tpu.evaluation.msssim import ms_ssim, rgb_to_luma
+from neural_image_compression_tpu.evaluation.viz import render_panel_grid
 from neural_image_compression_tpu.train.loss import rd_loss as default_rd_loss
 from neural_image_compression_tpu.train.loss import vision_rd_loss as default_vision_rd_loss
 
@@ -119,17 +120,21 @@ class CompressionEvaluator:
         for imgs in self.dataloader:
             imgs = np.asarray(imgs)
             h, w = imgs.shape[1:3]
-            data = codec.compress(imgs[:1], **compress_kwargs)
-            x_hat = codec.decompress(data)
-            real_bpps.append(len(data) * 8.0 / (h * w))
-            out = self._forward(self.params, jnp.asarray(imgs))
-            # analytic rate from whatever logp_* streams the model family has
-            # (joint: logp_y + logp_z; scalable: logp_y1 + logp_y2 + logp_z)
-            bits = sum(float(-jnp.sum(v)) for k, v in out.items()
-                       if k.startswith("logp_"))
-            analytic_bpps.append(bits / math.log(2.0) / (h * w))
-            metrics = compute_metrics(jnp.asarray(imgs), jnp.asarray(x_hat))
-            total_metrics.append({k: float(v) for k, v in metrics.items()})
+            # every image in the batch goes through the codec — a batch-N
+            # loader must not silently shrink the evaluated set
+            for b in range(imgs.shape[0]):
+                img = imgs[b:b + 1]
+                data = codec.compress(img, **compress_kwargs)
+                x_hat = codec.decompress(data)
+                real_bpps.append(len(data) * 8.0 / (h * w))
+                out = self._forward(self.params, jnp.asarray(img))
+                # analytic rate from whatever logp_* streams the model family
+                # has (joint: logp_y + logp_z; scalable: y1 + y2 + z)
+                bits = sum(float(-jnp.sum(v)) for k, v in out.items()
+                           if k.startswith("logp_"))
+                analytic_bpps.append(bits / math.log(2.0) / (h * w))
+                metrics = compute_metrics(jnp.asarray(img), jnp.asarray(x_hat))
+                total_metrics.append({k: float(v) for k, v in metrics.items()})
 
         avg = {k: float(np.mean([m[k] for m in total_metrics]))
                for k in total_metrics[0]}
@@ -143,14 +148,14 @@ class CompressionEvaluator:
         return avg
 
     # -- visualization -------------------------------------------------
+    # All evaluator figures go through viz.render_panel_grid; maps are shown
+    # in their true value range with per-panel colorbars (the reference
+    # min-max-normalized everything, hiding scale information).
+
     def plot_samples(self, imgs_list, recon_list, rd_loss_fn=None, n: int = 3,
                      seed: Optional[int] = None):
-        """Side-by-side original/reconstruction figures with byte/bpp captions
-        (Evaluator.py:94-116); saved to save_dir."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
+        """Per-image original-vs-reconstruction figures annotated with the
+        coded size (capability of Evaluator.py:94-116); saved to save_dir."""
         rd_loss_fn = rd_loss_fn or default_rd_loss
         rng = random.Random(seed)
         indices = rng.sample(range(len(imgs_list)), min(n, len(imgs_list)))
@@ -161,116 +166,72 @@ class CompressionEvaluator:
             results = rd_loss_fn(out, img, self.lambda_val)
             bpp = float(results["bpp_total"])
             nbytes = math.ceil(float(results["bits_total"]) / 8)
-
-            fig = plt.figure(figsize=(8, 4))
-            plt.subplot(1, 2, 1)
-            plt.imshow(imgs_list[idx])
-            plt.title("Original")
-            plt.axis("off")
-            plt.subplot(1, 2, 2)
-            plt.imshow(recon_list[idx])
-            plt.title(f"Reconstructed: {nbytes} bytes ({bpp:.4f} bit/px)")
-            plt.axis("off")
-            path = os.path.join(self.save_dir, f"sample_{idx}.png")
-            fig.savefig(path, dpi=100, bbox_inches="tight")
-            plt.close(fig)
-            paths.append(path)
+            row = [("original", np.asarray(imgs_list[idx])),
+                   (f"reconstruction — {nbytes} B, {bpp:.4f} bpp",
+                    np.asarray(recon_list[idx]))]
+            paths.append(render_panel_grid(
+                [row], os.path.join(self.save_dir, f"sample_{idx}.png"),
+                panel=4.0))
         return paths
 
-    def plot_high_entropy_channel(self, imgs_list, seed: Optional[int] = None):
-        """Latent / entropy-parameter maps for the highest-entropy channel
-        (Evaluator.py:118-232), K=1 and K>1 layouts; saved to save_dir."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    @staticmethod
+    def _busiest_channel(logp: np.ndarray) -> int:
+        """Channel spending the most bits (argmax of mean -logp; the
+        reference's argmin-mean-logp, Evaluator.py:135-137, same choice)."""
+        return int(logp.reshape(-1, logp.shape[-1]).mean(axis=0).argmin())
 
+    def plot_high_entropy_channel(self, imgs_list, seed: Optional[int] = None):
+        """Latent / entropy-parameter maps for the busiest channel
+        (capability of Evaluator.py:118-232), K=1 and K>1 layouts."""
         rng = random.Random(seed)
         idx = rng.randint(0, len(imgs_list) - 1)
         img = jnp.asarray(imgs_list[idx])[None]
         out = self._forward(self.params, img)
 
-        latents = np.asarray(out["y"])[0]          # (H, W, C)
         logp_y = np.asarray(out["logp_y"])[0]
         logp_z = np.asarray(out["logp_z"])[0]
-        hyper_latents = np.asarray(out["z"])[0]
-        # highest-entropy channel: argmin of mean logp (Evaluator.py:135-137)
-        high_c = int(logp_y.reshape(-1, logp_y.shape[-1]).mean(axis=0).argmin())
-        high_cz = int(logp_z.reshape(-1, logp_z.shape[-1]).mean(axis=0).argmin())
-        latent_entropy = -logp_y[:, :, high_c] / math.log(2.0)
-        hyper_entropy = -logp_z[:, :, high_cz] / math.log(2.0)
+        c = self._busiest_channel(logp_y)
+        cz = self._busiest_channel(logp_z)
+        y_c = np.asarray(out["y"])[0, :, :, c]
+        bits_y = -logp_y[:, :, c] / math.log(2.0)
+        bits_z = -logp_z[:, :, cz] / math.log(2.0)
+        hyper_row = [(f"hyper z[{cz}]", np.asarray(out["z"])[0, :, :, cz]),
+                     (f"hyper bits[{cz}]", bits_z)]
 
         if "mu" in out and "sigma" in out:
-            mean = np.asarray(out["mu"])[0, :, :, high_c]
-            scale = np.asarray(out["sigma"])[0, :, :, high_c]
-            latent = latents[:, :, high_c]
-            maps = [
-                ("Original", np.asarray(img)[0]),
-                ("Latent", normalize_map(latent)),
-                ("Predicted Mean", normalize_map(mean)),
-                ("Predicted Scale", normalize_map(scale)),
-                ("Normalized Latent", normalize_map((latent - mean) / (scale + 1e-12))),
-                ("Latent Entropy", normalize_map(latent_entropy)),
-                ("Hyper Latent", hyper_latents[:, :, high_cz]),
-                ("Hyper Entropy", hyper_entropy),
-            ]
-            fig, axes = plt.subplots(1, len(maps), figsize=(3 * len(maps), 3))
-            for ax, (title, data) in zip(axes, maps):
-                if title == "Original":
-                    ax.imshow(data)
-                else:
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                ax.set_title(title)
-                ax.axis("off")
+            mu = np.asarray(out["mu"])[0, :, :, c]
+            sigma = np.asarray(out["sigma"])[0, :, :, c]
+            rows = [[("input", np.asarray(img)[0]),
+                     (f"y[{c}]", y_c),
+                     ("mu", mu),
+                     ("sigma", sigma),
+                     ("(y-mu)/sigma", (y_c - mu) / (sigma + 1e-12)),
+                     (f"bits[{c}]", bits_y)] + hyper_row]
         elif "weights" in out:
-            weights = np.asarray(out["weights"])[0, :, :, :, high_c]  # (H, W, K)
-            mus = np.asarray(out["mus"])[0, :, :, :, high_c]
-            sigmas = np.asarray(out["sigmas"])[0, :, :, :, high_c]
-            latent = latents[:, :, high_c]
-            K = weights.shape[-1]
-            fig, axes = plt.subplots(K + 1, 6, figsize=(18, 3 * (K + 1)))
-            for k in range(K):
-                norm_latent = (latent - mus[:, :, k]) / (sigmas[:, :, k] + 1e-12)
-                maps = [
-                    (f"Comp {k} Weight", normalize_map(weights[:, :, k])),
-                    (f"Comp {k} Mean", normalize_map(mus[:, :, k])),
-                    (f"Comp {k} Sigma", normalize_map(sigmas[:, :, k])),
-                    (f"Comp {k} Norm Latent", normalize_map(norm_latent)),
-                    ("Latent", normalize_map(latent)),
-                    ("Hyper Latent", normalize_map(hyper_latents[:, :, high_cz])),
-                ]
-                for ax, (title, data) in zip(axes[k], maps):
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                    ax.set_title(title)
-                    ax.axis("off")
-            mixture_mean = (weights * mus).sum(axis=-1)
-            mixture_var = (weights * (sigmas ** 2 + mus ** 2)).sum(axis=-1) - mixture_mean ** 2
-            mixture_sigma = np.sqrt(np.clip(mixture_var, 1e-9, None))
-            maps = [
-                ("Original", np.asarray(img)[0]),
-                ("Mixture Mean", normalize_map(mixture_mean)),
-                ("Mixture Sigma", normalize_map(mixture_sigma)),
-                ("Mixture Norm", normalize_map((latent - mixture_mean) / mixture_sigma)),
-                ("Latent Entropy", latent_entropy),
-                ("Hyper Entropy", hyper_entropy),
-            ]
-            for ax, (title, data) in zip(axes[K], maps):
-                if title == "Original":
-                    ax.imshow(data)
-                else:
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                ax.set_title(title)
-                ax.axis("off")
-            plt.tight_layout()
+            w = np.asarray(out["weights"])[0, :, :, :, c]   # (H, W, K)
+            mus = np.asarray(out["mus"])[0, :, :, :, c]
+            sigmas = np.asarray(out["sigmas"])[0, :, :, :, c]
+            mix_mu = (w * mus).sum(axis=-1)
+            mix_var = (w * (sigmas ** 2 + mus ** 2)).sum(axis=-1) - mix_mu ** 2
+            mix_sigma = np.sqrt(np.clip(mix_var, 1e-9, None))
+            rows = [[(f"w[{k}]", w[:, :, k]),
+                     (f"mu[{k}]", mus[:, :, k]),
+                     (f"sigma[{k}]", sigmas[:, :, k]),
+                     (f"(y-mu[{k}])/sigma[{k}]",
+                      (y_c - mus[:, :, k]) / (sigmas[:, :, k] + 1e-12)),
+                     (f"y[{c}]", y_c)]
+                    for k in range(w.shape[-1])]
+            rows.append([("input", np.asarray(img)[0]),
+                         ("mixture mu", mix_mu),
+                         ("mixture sigma", mix_sigma),
+                         ("(y-mix mu)/mix sigma", (y_c - mix_mu) / mix_sigma),
+                         (f"bits[{c}]", bits_y)] + hyper_row)
         else:
             return None
 
-        path = os.path.join(self.save_dir, f"high_entropy_channel_{idx}.png")
-        fig.savefig(path, dpi=100, bbox_inches="tight")
-        plt.close(fig)
-        return path
+        return render_panel_grid(
+            rows, os.path.join(self.save_dir, f"high_entropy_channel_{idx}.png"),
+            suptitle=f"busiest latent channel c={c}")
 
     def save_results(self, metrics: Dict[str, float], nb_steps: int, caption: str = ""):
         """Identical artifact format to Evaluator.py:235-242."""
@@ -333,93 +294,57 @@ class VisionCompressionEvaluator(CompressionEvaluator):
 
     def plot_high_entropy_channel(self, imgs_list, latent_idx: int = 1,
                                   seed: Optional[int] = None):
-        """Base (latent_idx=1) / enhancement (latent_idx=2) layer maps
-        (Evaluator.py:354-483); saved to save_dir."""
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
+        """Busiest-channel maps for one scalable layer — base (latent_idx=1)
+        or enhancement (latent_idx=2) — with per-layer prediction-error
+        panels (capability of Evaluator.py:354-483)."""
         rng = random.Random(seed)
         idx = rng.randint(0, len(imgs_list) - 1)
         img = jnp.asarray(imgs_list[idx])[None]
         out = self._forward(self.params, img)
         sfx = str(latent_idx)
-        layer_name = "Base" if latent_idx == 1 else "Enh."
+        layer = "base" if latent_idx == 1 else "enh"
 
-        latents = np.asarray(out["y" + sfx])[0]
-        entropy = -np.asarray(out["logp_y" + sfx])[0] / math.log(2.0)
-        high_c = int(entropy.reshape(-1, entropy.shape[-1]).mean(axis=0).argmax())
-        latent = latents[:, :, high_c]
-        latent_entropy = entropy[:, :, high_c]
+        logp = np.asarray(out["logp_y" + sfx])[0]
+        c = self._busiest_channel(logp)
+        y_c = np.asarray(out["y" + sfx])[0, :, :, c]
+        bits = -logp[:, :, c] / math.log(2.0)
         logp_z = np.asarray(out["logp_z"])[0]
-        hyper_entropy = -logp_z[:, :, min(high_c, logp_z.shape[-1] - 1)] / math.log(2.0)
+        cz = min(c, logp_z.shape[-1] - 1)
+        hyper_panel = (f"hyper bits[{cz}]", -logp_z[:, :, cz] / math.log(2.0))
 
         if ("mu" + sfx) in out:
-            mean = np.asarray(out["mu" + sfx])[0, :, :, high_c]
-            scale = np.asarray(out["sigma" + sfx])[0, :, :, high_c]
-            maps = [
-                ("Original", np.asarray(img)[0]),
-                (f"{layer_name} Latent", latent),
-                (f"Predicted {layer_name} Mean", mean),
-                (f"{layer_name} Prediction Error", latent - mean),
-                (f"Predicted {layer_name} Scale", scale),
-                (f"Latent {layer_name} Entropy", latent_entropy),
-                ("Hyper Entropy", hyper_entropy),
-            ]
-            fig, axes = plt.subplots(1, len(maps), figsize=(3 * len(maps), 3))
-            for ax, (title, data) in zip(axes, maps):
-                if title == "Original":
-                    ax.imshow(data)
-                else:
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                ax.set_title(title)
-                ax.axis("off")
+            mu = np.asarray(out["mu" + sfx])[0, :, :, c]
+            sigma = np.asarray(out["sigma" + sfx])[0, :, :, c]
+            rows = [[("input", np.asarray(img)[0]),
+                     (f"{layer} y[{c}]", y_c),
+                     (f"{layer} mu", mu),
+                     (f"{layer} y-mu", y_c - mu),
+                     (f"{layer} sigma", sigma),
+                     (f"{layer} bits[{c}]", bits),
+                     hyper_panel]]
         elif ("weights" + sfx) in out:
-            weights = np.asarray(out["weights" + sfx])[0, :, :, :, high_c]
-            mus = np.asarray(out["mus" + sfx])[0, :, :, :, high_c]
-            sigmas = np.asarray(out["sigmas" + sfx])[0, :, :, :, high_c]
-            K = weights.shape[-1]
-            fig, axes = plt.subplots(K + 1, 6, figsize=(18, 3 * (K + 1)))
-            for k in range(K):
-                maps = [
-                    (f"{layer_name} Comp {k} Weight", weights[:, :, k]),
-                    (f"{layer_name} Comp {k} Mean", mus[:, :, k]),
-                    (f"{layer_name} Comp {k} Pred Error", latent - mus[:, :, k]),
-                    (f"{layer_name} Comp {k} Sigma", sigmas[:, :, k]),
-                    (f"Latent {layer_name} Entropy", latent_entropy),
-                    ("Hyper Entropy", hyper_entropy),
-                ]
-                for ax, (title, data) in zip(axes[k], maps):
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                    ax.set_title(title)
-                    ax.axis("off")
-            mixture_mean = (weights * mus).sum(axis=-1)
-            mixture_var = (weights * (sigmas ** 2 + mus ** 2)).sum(axis=-1) - mixture_mean ** 2
-            mixture_sigma = np.sqrt(np.clip(mixture_var, 1e-9, None))
-            maps = [
-                ("Original", np.asarray(img)[0]),
-                (f"{layer_name} Mixture Mean", mixture_mean),
-                (f"{layer_name} Mixture Sigma", mixture_sigma),
-                (f"{layer_name} Mixture Error", latent - mixture_mean),
-                (f"Latent {layer_name} Entropy", latent_entropy),
-                ("Hyper Entropy", hyper_entropy),
-            ]
-            for ax, (title, data) in zip(axes[K], maps):
-                if title == "Original":
-                    ax.imshow(data)
-                else:
-                    im = ax.imshow(data, cmap="viridis")
-                    fig.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-                ax.set_title(title)
-                ax.axis("off")
-            plt.tight_layout()
+            w = np.asarray(out["weights" + sfx])[0, :, :, :, c]
+            mus = np.asarray(out["mus" + sfx])[0, :, :, :, c]
+            sigmas = np.asarray(out["sigmas" + sfx])[0, :, :, :, c]
+            mix_mu = (w * mus).sum(axis=-1)
+            mix_var = (w * (sigmas ** 2 + mus ** 2)).sum(axis=-1) - mix_mu ** 2
+            mix_sigma = np.sqrt(np.clip(mix_var, 1e-9, None))
+            rows = [[(f"{layer} w[{k}]", w[:, :, k]),
+                     (f"{layer} mu[{k}]", mus[:, :, k]),
+                     (f"{layer} y-mu[{k}]", y_c - mus[:, :, k]),
+                     (f"{layer} sigma[{k}]", sigmas[:, :, k]),
+                     (f"{layer} bits[{c}]", bits)]
+                    for k in range(w.shape[-1])]
+            rows.append([("input", np.asarray(img)[0]),
+                         (f"{layer} mixture mu", mix_mu),
+                         (f"{layer} mixture sigma", mix_sigma),
+                         (f"{layer} y-mix mu", y_c - mix_mu),
+                         hyper_panel])
         else:
             return None
 
-        path = os.path.join(self.save_dir,
-                            f"high_entropy_channel_layer{latent_idx}_{idx}.png")
-        fig.savefig(path, dpi=100, bbox_inches="tight")
-        plt.close(fig)
-        return path
+        return render_panel_grid(
+            rows,
+            os.path.join(self.save_dir,
+                         f"high_entropy_channel_layer{latent_idx}_{idx}.png"),
+            suptitle=f"{layer} layer, busiest channel c={c}")

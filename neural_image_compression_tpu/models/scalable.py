@@ -16,7 +16,7 @@ y1, y2, z, z_in, p_z, logp_z, p_y1, logp_y1, p_y2, logp_y2, F_tilde, plus
 mu1/sigma1/mu2/sigma2 (K=1) or weights1/mus1/sigmas1/weights2/mus2/sigmas2.
 """
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,9 @@ class ScalableImageCoding(nn.Module):
     latent_channels: int = 192
     base_channels: int = 128
     K: int = 1
+    # LST upsampling schedule (Models.py:256 hardcodes [2,1,1,1]; configurable
+    # here so the LST resolution can match different backbone cut points)
+    lst_upsampling: Sequence[int] = (2, 1, 1, 1)
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -57,7 +60,8 @@ class ScalableImageCoding(nn.Module):
         self.entropy_parameters_2 = EntropyParameters(
             latent_channels=m2, hyper_latent_channels=m, K=self.K, dtype=self.dtype)
         self.LST = LatentSpaceTransform(
-            latent_channels=m1, upsampling_factors=(2, 1, 1, 1), dtype=self.dtype)
+            latent_channels=m1, upsampling_factors=tuple(self.lst_upsampling),
+            dtype=self.dtype)
 
     @property
     def M1(self):

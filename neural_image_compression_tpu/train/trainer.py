@@ -104,6 +104,15 @@ class Trainer:
 
         # --- scheduler ---------------------------------------------------
         self.scheduler = scheduler
+        if scheduler is not None:
+            hp = getattr(self.opt_state, "hyperparams", None)
+            if hp is None or "learning_rate" not in hp:
+                raise ValueError(
+                    f"scheduler={scheduler!r} needs a mutable learning rate: "
+                    "wrap the optimizer with optax.inject_hyperparams (e.g. "
+                    "optax.inject_hyperparams(optax.adam)(learning_rate=lr)) "
+                    "or pass optimizer=None — with a plain optax optimizer "
+                    "the schedule would silently never apply")
         self.use_plateau = scheduler == "plateau"
         self.plateau = ReduceLROnPlateau(learning_rate) if self.use_plateau else None
 

@@ -487,3 +487,29 @@ def test_interleaved_streams_decompress_batch():
                                       codec.decompress(streams[b])[0])
     with pytest.raises(AssertionError):
         codec.compress(xs[:1], tiles=(128, 2))  # would collide with the flag
+
+
+def test_corrupt_and_mismatched_streams_fail_fast():
+    """Integrity: a truncated/corrupted AR payload raises (the decoder's
+    final rANS-state check) instead of yielding silent garbage, and
+    decompress_batch rejects a bitstream from a different model config."""
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = np.asarray(jax.random.uniform(KEY, (1, 64, 64, 3)), np.float32)
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    data = codec.compress(x)
+
+    with pytest.raises(ValueError):
+        codec.decompress(data[:-16])           # truncated payload
+    flipped = bytearray(data)
+    flipped[len(flipped) // 2] ^= 0xFF         # bit-flip mid-payload
+    with pytest.raises(ValueError):
+        codec.decompress(bytes(flipped))
+
+    other = JointAutoregressiveHierarchical(latent_channels=16, K=1)
+    other_vars = {"params": other.init({"params": KEY, "noise": KEY}, x,
+                                       training=False)["params"]}
+    other_codec = JointARCodec(other, other_vars)
+    with pytest.raises(ValueError, match="M=8"):
+        other_codec.decompress_batch([data])

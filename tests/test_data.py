@@ -107,3 +107,76 @@ def test_image_folder_dataset_cache(tmp_path):
     b = ds[0]
     assert a is b  # second access served from RAM
     np.testing.assert_array_equal(a, ImageFolderDataset(str(tmp_path))[0])
+    # cached samples are frozen: in-place mutation by a consumer must not
+    # silently corrupt the cache for later epochs
+    assert not a.flags.writeable
+    with pytest.raises(ValueError):
+        a[0, 0] = 0
+
+
+def test_preprocess_deterministic_per_file_and_parallel(tmp_path):
+    """Same seed -> identical patches regardless of worker count (the
+    per-file RNG makes output independent of scheduling order)."""
+    src, d1, d2 = tmp_path / "src", tmp_path / "d1", tmp_path / "d2"
+    src.mkdir()
+    _save_random_images(src, n=3, size=(400, 400))
+    assert preprocess_images(src, d1, target_size=256, seed=7) == 3
+    assert preprocess_images(src, d2, target_size=256, seed=7, workers=3) == 3
+    for f1 in sorted(d1.glob("*.png")):
+        a = np.asarray(Image.open(f1))
+        b = np.asarray(Image.open(d2 / f1.name))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_download_coco_subset_mocked(tmp_path, monkeypatch):
+    """data/coco.py with HTTP mocked out: annotation zip fetch + extraction,
+    random image subset download, idempotent re-run."""
+    import io
+    import json as js
+    import sys
+    import types
+    import zipfile as zf
+
+    ann = {"images": [
+        {"coco_url": f"http://example.com/img_{i}.jpg",
+         "file_name": f"img_{i}.jpg"} for i in range(5)]}
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w") as z:
+        z.writestr("annotations/instances_train2017.json", js.dumps(ann))
+    zip_bytes = buf.getvalue()
+
+    calls = []
+
+    class FakeResponse:
+        def __init__(self, content):
+            self.content = content
+            self.status_code = 200
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, n):
+            for i in range(0, len(self.content), n):
+                yield self.content[i:i + n]
+
+    def fake_get(url, stream=False, timeout=None):
+        calls.append(url)
+        return FakeResponse(zip_bytes if url.endswith(".zip") else b"jpegdata")
+
+    fake = types.ModuleType("requests")
+    fake.get = fake_get
+    monkeypatch.setitem(sys.modules, "requests", fake)
+
+    from neural_image_compression_tpu.data.coco import download_coco_subset
+
+    out = tmp_path / "subset"
+    n = download_coco_subset(out_dir=str(out), split="train2017", n_images=3,
+                             data_root=str(tmp_path / "data"), seed=0)
+    assert n == 3
+    assert len(list(out.glob("*.jpg"))) == 3
+    # re-run: annotations and images already on disk -> zero new requests
+    before = len(calls)
+    assert download_coco_subset(out_dir=str(out), split="train2017",
+                                n_images=3, data_root=str(tmp_path / "data"),
+                                seed=0) == 3
+    assert len(calls) == before

@@ -102,3 +102,26 @@ def test_evaluate_codec(tmp_path):
     # real bitstream within a few % of analytic (header overhead on one image)
     assert metrics["BPP(bitstream)"] < metrics["BPP(analytic)"] * 1.10 + 0.02
     assert metrics["PSNR(RGB)"] > 0
+
+
+def test_evaluate_codec_covers_full_batch(tmp_path):
+    """A batch-N loader must not silently shrink the codec-evaluated set
+    (every image goes through compress/decompress)."""
+    from neural_image_compression_tpu.coding.codec import JointARCodec
+
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = np.zeros((1, 192, 192, 3), np.float32)
+    params = model.init({"params": KEY, "noise": KEY}, x,
+                        training=False)["params"]
+    loader = [np.random.RandomState(0).rand(2, 192, 192, 3).astype(np.float32)]
+    ev = CompressionEvaluator(model, params, loader, 0.005, str(tmp_path))
+    codec = JointARCodec(model, {"params": params})
+
+    calls = []
+    orig_compress = codec.compress
+    codec.compress = lambda img, **kw: (calls.append(img.shape),
+                                        orig_compress(img, **kw))[1]
+    metrics = ev.evaluate_codec(codec)
+    assert len(calls) == 2
+    assert all(shape[0] == 1 for shape in calls)
+    assert metrics["BPP(bitstream)"] > 0

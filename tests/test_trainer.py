@@ -250,3 +250,15 @@ def test_trainer_with_mesh_and_validation(tmp_path, tiny_model):
     import json
     tags = {json.loads(l)["tag"] for l in open(tmp_path / "runs" / "metrics.jsonl")}
     assert "validation/validation_loss" in tags
+
+
+def test_scheduler_requires_mutable_lr(tmp_path, tiny_model):
+    """A scheduler with a plain optax optimizer must raise at construction
+    (it would otherwise silently never adjust the LR)."""
+    import optax
+
+    with pytest.raises(ValueError, match="inject_hyperparams"):
+        Trainer(tiny_model, _loader(), max_steps=5,
+                optimizer=optax.adam(1e-3), scheduler="cosine",
+                log_dir=str(tmp_path / "runs"),
+                checkpoint_path=str(tmp_path / "ckpt"))

@@ -131,8 +131,201 @@ def export_context_ep():
 
 
 
+def _boundary_distance(t: "torch.Tensor") -> float:
+    """Distance of the closest element to a round()-decision boundary."""
+    frac = torch.abs(t - torch.round(t))
+    return float(torch.min(torch.abs(frac - 0.5)))
+
+
+def export_full_model():
+    """End-to-end eval-forward oracle for the composed models (Models.py:49-105
+    with the Components.py:6-122 transform chains and compressai-style GDN):
+    seeded reference model -> full state_dict + eval forward on a fixed input.
+    The JAX side maps the weights (utils/torch_import.py) and must reproduce
+    x_hat / likelihoods / entropy params to f32 tolerance.
+
+    GDN comes from tools/torch_oracles.py (compressai is not installed); it
+    is an independent torch-autograd re-derivation of the same spec the JAX
+    GDN implements, so this cross-checks the full transform chain.
+    """
+    import torch_oracles
+
+    torch_oracles.install_as_compressai()
+    from Models import HierarchicalMixtureResidual, JointAutoregressiveHierarchical
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(1, 3, 64, 128).astype(np.float32)
+
+    cases = [
+        ("joint5x5_k1", JointAutoregressiveHierarchical, dict(latent_channels=16, K=1)),
+        ("joint5x5_k3", JointAutoregressiveHierarchical, dict(latent_channels=16, K=3)),
+        ("res3x3_k1", HierarchicalMixtureResidual, dict(latent_channels=16, K=1)),
+    ]
+    for name, cls, kwargs in cases:
+        torch.manual_seed(42)
+        model = cls(**kwargs).eval()
+        with torch.no_grad():
+            out = model(torch.from_numpy(x), training=False)
+            # rounding is a discontinuity: if any latent sits on a .5 boundary
+            # the two frameworks could legally round differently and the
+            # fixture would be flaky — guard the margin.
+            margin = min(_boundary_distance(out["y"]), _boundary_distance(out["z"]))
+            assert margin > 1e-3, f"{name}: latent too close to rounding boundary ({margin})"
+        data = {"x": x, "quantize_margin": margin}
+        for k, v in out.items():
+            if isinstance(v, torch.Tensor):
+                data["out_" + k] = v.numpy()
+        for k, v in model.state_dict().items():
+            data["sd_" + k] = v.numpy()
+        np.savez(os.path.join(OUT, f"fullmodel_{name}.npz"), **data)
+        print(f"fullmodel {name}: margin={margin:.4f}, "
+              f"x_hat range [{out['x_hat'].min():.3f}, {out['x_hat'].max():.3f}], "
+              f"{len(model.state_dict())} tensors")
+
+
+def export_scalable():
+    """ScalableImageCoding oracle (Models.py:208-338). The committed forward
+    is unrunnable (SURVEY §2.3-2: params2 never assigned, mu1/sigma1 kwarg
+    mismatch, stray debug arg), and the committed LST config is also
+    unrunnable (Models.py:256 + Components.py:130: `latent_channels *= 2`
+    makes RB2 expect 2*M1 channels while URB1 outputs M1). This harness runs
+    the reference's own MODULES in the evident-intent order with those
+    defects fixed, using a runnable LST (upsampling_factors=[1,1,1,1]), and
+    exports weights + outputs."""
+    import torch_oracles
+
+    torch_oracles.install_as_compressai()
+    from Components import LatentSpaceTransform
+    from Models import ScalableImageCoding
+
+    rng = np.random.RandomState(19)
+    x = torch.from_numpy(rng.rand(1, 3, 64, 128).astype(np.float32))
+
+    for K in (1, 3):
+        torch.manual_seed(44)
+        model = ScalableImageCoding(latent_channels=16, base_channels=10, K=K).eval()
+        model.LST = LatentSpaceTransform(latent_channels=10,
+                                         upsampling_factors=[1, 1, 1, 1]).eval()
+        with torch.no_grad():
+            # evident-intent forward using the reference's submodules
+            y = model.encoder(x)
+            z = model.hyper_encoder(y)
+            margin = min(_boundary_distance(y), _boundary_distance(z))
+            assert margin > 1e-3, f"scalable K={K}: rounding margin {margin}"
+            y_q, z_q = torch.round(y), torch.round(z)
+            y1, y2 = torch.split(y_q, [model.M1, model.M2], dim=1)
+            psi = model.hyper_decoder(z_q)
+            phi1 = model.context_model_1(y1)
+            phi2 = model.context_model_2(y2)
+            c1 = torch.cat([phi1, psi], dim=1)
+            c2 = torch.cat([phi2, psi], dim=1)
+            out = {"y": y, "z": z, "y_in": y_q, "z_in": z_q, "y1": y1, "y2": y2}
+            if K == 1:
+                mu1, sigma1 = model.entropy_parameters_1(c1)
+                mu2, sigma2 = model.entropy_parameters_2(c2)
+                out.update(mu1=mu1, sigma1=sigma1, mu2=mu2, sigma2=sigma2)
+                out["p_y1"] = model.conditional(y1, mu=mu1, sigma=sigma1)
+                out["p_y2"] = model.conditional(y2, mu=mu2, sigma=sigma2)
+            else:
+                w1, mus1, sig1 = model.entropy_parameters_1(c1)
+                w2, mus2, sig2 = model.entropy_parameters_2(c2)
+                out.update(weights1=w1, mus1=mus1, sigmas1=sig1,
+                           weights2=w2, mus2=mus2, sigmas2=sig2)
+                out["p_y1"] = model.conditional(y1, weights=w1, mus=mus1, sigmas=sig1)
+                out["p_y2"] = model.conditional(y2, weights=w2, mus=mus2, sigmas=sig2)
+            out["p_z"] = model.factorized_entropy_model(z_q)
+            out["x_hat"] = model.decoder(y_q)
+            out["F_tilde"] = model.LST(y1)
+        data = {"x": x.numpy(), "quantize_margin": margin}
+        for k, v in out.items():
+            data["out_" + k] = v.numpy()
+        for k, v in model.state_dict().items():
+            data["sd_" + k] = v.numpy()
+        np.savez(os.path.join(OUT, f"fullmodel_scalable_k{K}.npz"), **data)
+        print(f"fullmodel scalable K={K}: margin={margin:.4f}, "
+              f"{len(model.state_dict())} tensors")
+
+
+def export_msssim():
+    """MS-SSIM oracle values (pytorch_msssim 0.2.1 semantics re-derived in
+    tools/torch_oracles.py) on a compression-like pair: a smooth image vs a
+    noisy/blurred distortion, plus an odd-size pair exercising the avg-pool
+    padding path."""
+    import torch_oracles
+
+    rng = np.random.RandomState(13)
+    cases = {}
+    # smooth base + mild noise (typical codec distortion regime)
+    base = rng.rand(1, 3, 8, 8).astype(np.float32)
+    big = torch.nn.functional.interpolate(torch.from_numpy(base), size=(192, 256),
+                                          mode="bicubic", align_corners=False)
+    big = torch.clamp(big, 0, 1)
+    noisy = torch.clamp(big + torch.from_numpy(
+        rng.normal(0, 0.03, big.shape).astype(np.float32)), 0, 1)
+    cases["pair0"] = (big, noisy)
+    # odd spatial size (avg-pool pad path), 1-channel (luma path)
+    base = rng.rand(1, 1, 8, 8).astype(np.float32)
+    big = torch.nn.functional.interpolate(torch.from_numpy(base), size=(171, 177),
+                                          mode="bicubic", align_corners=False)
+    big = torch.clamp(big, 0, 1)
+    noisy = torch.clamp(big + torch.from_numpy(
+        rng.normal(0, 0.08, big.shape).astype(np.float32)), 0, 1)
+    cases["pair1"] = (big, noisy)
+
+    data = {}
+    for name, (a, b) in cases.items():
+        val = float(torch_oracles.ms_ssim(a, b, data_range=1.0))
+        data[name + "_a"] = a.numpy()
+        data[name + "_b"] = b.numpy()
+        data[name + "_msssim"] = val
+        print(f"msssim {name}: {val:.6f}")
+    np.savez(os.path.join(OUT, "msssim_ref.npz"), **data)
+
+
+def export_gdn():
+    """GDN/IGDN forward + gradients with NON-identity gamma (VERDICT weak #6:
+    round-1 tests only covered the closed-form init point). Parameters are
+    perturbed off init; gradients are taken w.r.t. input AND raw (reparam)
+    beta/gamma so the LowerBound straight-through path is checked too."""
+    import torch_oracles
+
+    rng = np.random.RandomState(17)
+    C = 6
+    data = {}
+    for inverse in (False, True):
+        tag = "igdn" if inverse else "gdn"
+        torch.manual_seed(5)
+        gdn = torch_oracles.GDN(C, inverse=inverse)
+        with torch.no_grad():
+            # perturb: non-identity gamma incl. negatives (exercises the bound),
+            # varied beta
+            gdn.gamma += torch.from_numpy(
+                rng.normal(0, 0.05, (C, C)).astype(np.float32))
+            gdn.beta += torch.from_numpy(
+                rng.normal(0, 0.2, (C,)).astype(np.float32))
+        x = torch.from_numpy(rng.normal(0, 2, (2, C, 5, 7)).astype(np.float32))
+        x.requires_grad_(True)
+        y = gdn(x)
+        cot = rng.rand(*y.shape).astype(np.float32)  # cotangent for the VJP
+        (y * torch.from_numpy(cot)).sum().backward()
+        data[f"{tag}_x"] = x.detach().numpy()
+        data[f"{tag}_beta_raw"] = gdn.beta.detach().numpy()
+        data[f"{tag}_gamma_raw"] = gdn.gamma.detach().numpy()
+        data[f"{tag}_y"] = y.detach().numpy()
+        data[f"{tag}_cotangent"] = cot
+        data[f"{tag}_grad_x"] = x.grad.numpy()
+        data[f"{tag}_grad_beta"] = gdn.beta.grad.numpy()
+        data[f"{tag}_grad_gamma"] = gdn.gamma.grad.numpy()
+        print(f"{tag}: y range [{float(y.min()):.3f}, {float(y.max()):.3f}]")
+    np.savez(os.path.join(OUT, "gdn_ref.npz"), **data)
+
+
 if __name__ == "__main__":
     export_factorized()
     export_gaussian()
     export_rd_loss()
     export_context_ep()
+    export_full_model()
+    export_scalable()
+    export_msssim()
+    export_gdn()
