@@ -156,3 +156,18 @@ def pad_to_multiple(batch: np.ndarray, multiple: int) -> np.ndarray:
 
 def center_crop(batch: np.ndarray, h: int, w: int) -> np.ndarray:
     return batch[:, :h, :w, :]
+
+
+def shard_for_process(items, process_index=None, process_count=None):
+    """Deterministic per-process shard of a sequence (file list, dataset) for
+    multi-host training: strided split items[i::p] so every process sees the
+    same per-shard size (within 1) and ordering statistics. Pair with
+    Trainer._shard_batch, which assembles the global batch from these
+    per-process shards via jax.make_array_from_process_local_data."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if not 0 <= pi < pc:
+        raise ValueError(f"process_index {pi} out of range for {pc} processes")
+    return items[pi::pc]

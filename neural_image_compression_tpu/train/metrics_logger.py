@@ -165,3 +165,26 @@ class MetricsLogger:
     def close(self):
         for s in self.sinks:
             s.close()
+
+
+class NullLogger:
+    """No-op MetricsLogger stand-in for non-primary processes in a
+    multi-host run (only process 0 writes TB/JSONL)."""
+
+    def scalar(self, tag, value, step):
+        pass
+
+    def histogram(self, tag, values, step, bins=64):
+        pass
+
+    def image(self, tag, img, step):
+        pass
+
+    def figure(self, tag, fig, step):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass

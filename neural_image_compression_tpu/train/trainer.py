@@ -28,7 +28,7 @@ import numpy as np
 import optax
 
 from neural_image_compression_tpu.train.loss import rd_loss as default_rd_loss
-from neural_image_compression_tpu.train.metrics_logger import MetricsLogger
+from neural_image_compression_tpu.train.metrics_logger import MetricsLogger, NullLogger
 from neural_image_compression_tpu.train.schedulers import ReduceLROnPlateau, cosine_lr
 from neural_image_compression_tpu.utils.checkpoint import (
     checkpoint_exists, restore_checkpoint, save_checkpoint,
@@ -121,7 +121,22 @@ class Trainer:
         if resume and checkpoint_path is not None and checkpoint_exists(checkpoint_path):
             self.load_checkpoint()
 
-        self.logger = MetricsLogger(log_dir, purge_step=self.step)
+        # --- multi-host --------------------------------------------------
+        # Each process runs this same script (SPMD); per-process loaders must
+        # yield that process's SHARD of the global batch (see
+        # data.shard_for_process) and _shard_batch assembles the global array.
+        self._process_count = jax.process_count()
+        self._is_main_process = jax.process_index() == 0
+        if self._process_count > 1 and mesh is None:
+            raise ValueError(
+                "multi-process run (jax.process_count() > 1) requires a mesh "
+                "spanning all processes (parallel.make_mesh()): without one, "
+                "each process would silently train an independent replica on "
+                "its own full batch")
+
+        # TB/JSONL observability is host-side: only process 0 writes
+        self.logger = (MetricsLogger(log_dir, purge_step=self.step)
+                       if self._is_main_process else NullLogger())
 
         # --- sharding ----------------------------------------------------
         if mesh is not None:
@@ -129,6 +144,8 @@ class Trainer:
 
             self._batch_sharding = NamedSharding(mesh, P("data"))
             self._replicated = NamedSharding(mesh, P())
+            # init is seeded identically on every process, so the host value
+            # is process-consistent and replication is a plain device_put
             self.params = jax.device_put(self.params, self._replicated)
             self.opt_state = jax.device_put(self.opt_state, self._replicated)
         else:
@@ -204,6 +221,11 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self):
+        # params/opt_state are replicated, so process 0's copy is the whole
+        # state; other processes skip the write (shared-fs safe). Restore-side:
+        # every process reads the same path (shared fs, or pre-synced).
+        if not self._is_main_process:
+            return
         state = {"params": self.params, "opt_state": self.opt_state,
                  "rng": self._rng}
         aux = {"step": int(self.step)}
@@ -228,11 +250,22 @@ class Trainer:
         print(f"Checkpoint loaded -> Resuming from step {self.step}")
 
     # ------------------------------------------------------------------
+    def _shard_batch(self, batch):
+        """Host batch -> global device array. Single-process: device_put onto
+        the mesh (or the default device). Multi-process: the local batch is
+        this process's shard of the global batch; assemble the global array
+        with make_array_from_process_local_data (data rides ICI/DCN only as
+        the sharding demands — no host gather)."""
+        if self._batch_sharding is None:
+            return jnp.asarray(batch)
+        if self._process_count == 1:
+            return jax.device_put(jnp.asarray(batch), self._batch_sharding)
+        return jax.make_array_from_process_local_data(
+            self._batch_sharding, np.asarray(batch))
+
     def train(self):
         while self.step < self.max_steps:
-            batch = jnp.asarray(self._next_batch())
-            if self._batch_sharding is not None:
-                batch = jax.device_put(batch, self._batch_sharding)
+            batch = self._shard_batch(self._next_batch())
             self._rng, step_rng = jax.random.split(self._rng)
 
             self.params, self.opt_state, metrics = self._train_step(
@@ -303,6 +336,14 @@ class Trainer:
             bpp += float(results["bpp_total"])
             psnr += float(results["psnr"])
             n += 1
+        if self._process_count > 1:
+            # per-process val shards: reduce so every process sees the same
+            # validation loss (the plateau scheduler must not diverge)
+            from jax.experimental import multihost_utils
+
+            sums = multihost_utils.process_allgather(
+                np.array([total_loss, bpp, psnr, float(n)], np.float64))
+            total_loss, bpp, psnr, n = np.asarray(sums).sum(axis=0)
         if n == 0:
             return math.inf
         self.logger.scalar("validation/validation_loss", total_loss / n, self.step)

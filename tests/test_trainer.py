@@ -262,3 +262,56 @@ def test_scheduler_requires_mutable_lr(tmp_path, tiny_model):
                 optimizer=optax.adam(1e-3), scheduler="cosine",
                 log_dir=str(tmp_path / "runs"),
                 checkpoint_path=str(tmp_path / "ckpt"))
+
+
+class TestMultiHost:
+    """Multi-host correctness (single-process unit tests of the sharding
+    math; the silent-wrong path — full batch per process — is now
+    impossible)."""
+
+    def test_shard_for_process_partitions(self):
+        from neural_image_compression_tpu.data import shard_for_process
+
+        items = list(range(23))
+        shards = [shard_for_process(items, pi, 4) for pi in range(4)]
+        flat = sorted(x for s in shards for x in s)
+        assert flat == items                       # disjoint cover
+        sizes = sorted(len(s) for s in shards)
+        assert sizes[-1] - sizes[0] <= 1           # balanced
+        with pytest.raises(ValueError):
+            shard_for_process(items, 4, 4)
+
+    def test_multiprocess_without_mesh_raises(self, tmp_path, tiny_model,
+                                              monkeypatch):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="requires a mesh"):
+            Trainer(tiny_model, _loader(), max_steps=5,
+                    log_dir=str(tmp_path / "runs"),
+                    checkpoint_path=str(tmp_path / "ckpt"))
+
+    def test_non_main_process_uses_null_logger(self, tmp_path, tiny_model,
+                                               monkeypatch):
+        from neural_image_compression_tpu.parallel import make_mesh
+        from neural_image_compression_tpu.train.metrics_logger import NullLogger
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        mesh = make_mesh(4)
+        trainer = Trainer(tiny_model, _loader(), max_steps=5, mesh=mesh,
+                          log_dir=str(tmp_path / "runs"),
+                          checkpoint_path=str(tmp_path / "ckpt"))
+        assert isinstance(trainer.logger, NullLogger)
+        trainer.save_checkpoint()               # non-main: must not write
+        assert not os.path.exists(str(tmp_path / "ckpt"))
+
+    def test_shard_batch_single_process_matches_device_put(self, tmp_path,
+                                                           tiny_model):
+        from neural_image_compression_tpu.parallel import make_mesh
+
+        mesh = make_mesh(4)
+        trainer = Trainer(tiny_model, _loader(), max_steps=5, mesh=mesh,
+                          log_dir=str(tmp_path / "runs"),
+                          checkpoint_path=str(tmp_path / "ckpt"))
+        batch = np.random.RandomState(0).rand(4, 64, 64, 3).astype(np.float32)
+        arr = trainer._shard_batch(batch)
+        assert arr.sharding == trainer._batch_sharding
+        np.testing.assert_array_equal(np.asarray(arr), batch)
