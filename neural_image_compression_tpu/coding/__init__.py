@@ -4,6 +4,9 @@ from neural_image_compression_tpu.coding.backend import (
 from neural_image_compression_tpu.coding.cdf_tables import (
     factorized_tables, quantize_pmf_rows,
 )
+from neural_image_compression_tpu.coding.portable import (
+    PortableCard, portable_ar_decode, portable_ar_encode,
+)
 from neural_image_compression_tpu.coding.codec import (
     FactorizedPriorCodec, JointARCodec, ScalableCodec, bitstream_bpp,
     stream_size, wavefront_order,
@@ -14,4 +17,5 @@ __all__ = [
     "factorized_tables", "quantize_pmf_rows",
     "FactorizedPriorCodec", "JointARCodec", "ScalableCodec", "bitstream_bpp",
     "stream_size", "wavefront_order",
+    "PortableCard", "portable_ar_decode", "portable_ar_encode",
 ]

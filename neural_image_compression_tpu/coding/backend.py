@@ -17,7 +17,8 @@ import tempfile
 import numpy as np
 
 _SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "rans")
-_SOURCES = [os.path.join(_SRC_DIR, n) for n in ("rans.cc", "ar_wavefront.cc")]
+_SOURCES = [os.path.join(_SRC_DIR, n)
+            for n in ("rans.cc", "ar_wavefront.cc", "ar_portable.cc")]
 _HEADERS = [os.path.join(_SRC_DIR, "rans_core.h")]
 _LIB = None
 
@@ -107,6 +108,26 @@ def get_lib() -> ctypes.CDLL:
     lib.arwave_decode_n.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                     f32p]
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.arport_create.restype = ctypes.c_void_p
+    lib.arport_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,                                     # M..n_bins
+        i16p, i64p, ctypes.c_int,                         # ctx
+        i16p, ctypes.c_int,                               # ep1_phi
+        i16p, i64p, ctypes.c_int,                         # ep2
+        i16p, i64p, ctypes.c_int,                         # ep3
+        i64p, i64p, i64p, i64p,                           # sigma arrays
+        i32p, ctypes.c_int64, i64p, i64p,                 # tables
+        i64p, ctypes.c_int]                               # exp lut
+    lib.arport_destroy.argtypes = [ctypes.c_void_p]
+    lib.arport_encode.restype = ctypes.c_int
+    lib.arport_encode.argtypes = [ctypes.c_void_p, i32p, i64p, ctypes.c_int,
+                                  ctypes.c_int, i8p, ctypes.c_int]
+    lib.arport_decode.restype = ctypes.c_int
+    lib.arport_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, i64p,
+                                  ctypes.c_int, ctypes.c_int, i32p]
     _LIB = lib
     return lib
 
@@ -301,4 +322,87 @@ class ArWaveCoder:
     def __del__(self):
         if getattr(self, "_handle", None):
             self._lib.arwave_destroy(self._handle)
+            self._handle = None
+
+
+class ArPortableCoder:
+    """Native integer wavefront codec over a PortableCard (ctypes wrapper of
+    ar_portable.cc). Bit-identical to coding/portable.py's numpy path by
+    construction (exact integer spec); tests assert it both directions."""
+
+    def __init__(self, card):
+        self._lib = get_lib()
+        self.M = card.M
+        self.K = card.K
+        self.hidden = card.ep2.wq.shape[0]
+        tables_cat = np.ascontiguousarray(
+            np.concatenate([t.astype(np.int32) for t in card.tables]))
+        table_len = np.array([len(t) for t in card.tables], np.int64)
+        table_off = np.concatenate([[0], np.cumsum(table_len[:-1])]).astype(np.int64)
+        arrs = dict(
+            ctx_w=np.ascontiguousarray(card.ctx.wq, np.int16),
+            ctx_b=np.ascontiguousarray(card.ctx.bq, np.int64),
+            ep1_w=np.ascontiguousarray(card.ep1_phi.wq, np.int16),
+            ep2_w=np.ascontiguousarray(card.ep2.wq, np.int16),
+            ep2_b=np.ascontiguousarray(card.ep2.bq, np.int64),
+            ep3_w=np.ascontiguousarray(card.ep3.wq, np.int16),
+            ep3_b=np.ascontiguousarray(card.ep3.bq, np.int64),
+            sigma_thr=np.ascontiguousarray(card.sigma_thr, np.int64),
+            sigma_fix=np.ascontiguousarray(card.sigma_fix, np.int64),
+            sigma2_fix=np.ascontiguousarray(card.sigma2_fix, np.int64),
+            sigma_R=np.ascontiguousarray(card.sigma_R, np.int64),
+            tables_cat=tables_cat, table_off=table_off, table_len=table_len,
+            exp_lut=np.ascontiguousarray(card.exp_lut, np.int64))
+        self._arrs = arrs  # keep alive (create copies, but be safe)
+        phi_dim = card.ctx.wq.shape[1]
+        out_dim = card.ep3.wq.shape[1]
+        self._handle = self._lib.arport_create(
+            self.M, self.K, phi_dim, self.hidden, out_dim,
+            len(card.tables),
+            _ptr(arrs["ctx_w"], ctypes.c_int16),
+            _ptr(arrs["ctx_b"], ctypes.c_int64), card.ctx.sw,
+            _ptr(arrs["ep1_w"], ctypes.c_int16), card.ep1_phi.sw,
+            _ptr(arrs["ep2_w"], ctypes.c_int16),
+            _ptr(arrs["ep2_b"], ctypes.c_int64), card.ep2.sw,
+            _ptr(arrs["ep3_w"], ctypes.c_int16),
+            _ptr(arrs["ep3_b"], ctypes.c_int64), card.ep3.sw,
+            _ptr(arrs["sigma_thr"], ctypes.c_int64),
+            _ptr(arrs["sigma_fix"], ctypes.c_int64),
+            _ptr(arrs["sigma2_fix"], ctypes.c_int64),
+            _ptr(arrs["sigma_R"], ctypes.c_int64),
+            _ptr(arrs["tables_cat"], ctypes.c_int32),
+            int(tables_cat.shape[0]),
+            _ptr(arrs["table_off"], ctypes.c_int64),
+            _ptr(arrs["table_len"], ctypes.c_int64),
+            _ptr(arrs["exp_lut"], ctypes.c_int64), len(arrs["exp_lut"]))
+
+    def encode(self, y_q: np.ndarray, p_acc: np.ndarray) -> bytes:
+        """y_q: (H, W, M) integer-valued; p_acc: (H*W, hidden) int64."""
+        y = np.ascontiguousarray(y_q, np.int32)
+        p_acc = np.ascontiguousarray(p_acc, np.int64)
+        h, w = y.shape[:2]
+        cap = max(1024, h * w * self.M * 8 + 64)
+        out = np.empty(cap, np.uint8)
+        ln = self._lib.arport_encode(self._handle, _ptr(y, ctypes.c_int32),
+                                     _ptr(p_acc, ctypes.c_int64), h, w,
+                                     _ptr(out, ctypes.c_uint8), cap)
+        if ln < 0:
+            raise RuntimeError("rANS encode overflow")
+        return out[:ln].tobytes()
+
+    def decode(self, data: bytes, p_acc: np.ndarray, h: int, w: int
+               ) -> np.ndarray:
+        buf = np.frombuffer(data, np.uint8)
+        p_acc = np.ascontiguousarray(p_acc, np.int64)
+        y_out = np.empty((h, w, self.M), np.int32)
+        rc = self._lib.arport_decode(self._handle, _ptr(buf, ctypes.c_uint8),
+                                     len(data), _ptr(p_acc, ctypes.c_int64),
+                                     h, w, _ptr(y_out, ctypes.c_int32))
+        if rc != 0:
+            raise ValueError("corrupt or truncated portable AR stream")
+        return y_out.astype(np.float32)
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.arport_destroy(self._handle)
             self._handle = None

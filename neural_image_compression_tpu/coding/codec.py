@@ -43,6 +43,7 @@ _MAGIC = b"NIC1"
 _KIND_JOINT = 1
 _KIND_FACTORIZED = 2
 _KIND_SCALABLE = 3
+_KIND_JOINT_PORTABLE = 4  # integer-deterministic path (coding/portable.py)
 
 LEAKY_SLOPE = 0.01
 
@@ -282,7 +283,7 @@ class JointARCodec:
     variables: its {'params': ...} pytree.
     """
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, portable_card=None):
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
@@ -291,6 +292,7 @@ class JointARCodec:
         self._host_nets = _HostParamNets(p["context_model"],
                                          p["entropy_parameters"], self.M, self.K)
         self._z_cache = {}
+        self._portable_card = portable_card
 
         # Jitted device pieces.
         # Encode-only fusion: one program for x -> (round(y), round(z)).
@@ -322,6 +324,73 @@ class JointARCodec:
     def _tile_bounds(n: int, parts: int):
         edges = np.linspace(0, n, parts + 1).astype(int)
         return list(zip(edges[:-1], edges[1:]))
+
+    # -- portable mode ---------------------------------------------------
+    def portable_card(self):
+        """The deterministic codec artifact for portable streams (built
+        lazily; save it with .save(path) and load it on the decode machine —
+        a card built there from the same weights is NOT guaranteed
+        bit-identical, because card building itself uses floats)."""
+        if self._portable_card is None:
+            from neural_image_compression_tpu.coding.portable import PortableCard
+
+            self._portable_card = PortableCard.build(self.model, self.variables)
+        return self._portable_card
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        """Encode with the cross-machine deterministic integer path
+        (coding/portable.py): the stream decodes bit-exactly on ANY machine
+        and implementation holding the same portable card. Rate cost vs
+        compress() is the card's parameter quantization (~1%-level)."""
+        from neural_image_compression_tpu.coding import portable as P
+
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        card = self.portable_card()
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
+        y_q = np.asarray(y_q_dev)[0]
+        z_q = np.asarray(z_q_dev)[0]
+
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         card.z_cdfs, card.z_offsets,
+                                         card.z_sizes)
+        psi_fix = card.hyper_forward(z_q)
+        y_payload = P.portable_ar_encode(card, y_q, psi_fix)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_JOINT_PORTABLE,
+                             self.K, self.M, img_h, img_w, (1 << 8) | 1,
+                             card.zmin, card.zmax, len(z_bytes),
+                             len(y_payload))
+        return header + card.hash + z_bytes + y_payload
+
+    def _decode_latents_portable(self, data: bytes, header) -> Tuple[np.ndarray, np.ndarray]:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        _, _, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = header
+        assert K == self.K and M == self.M
+        stream_hash = data[hs:hs + 8]
+        if stream_hash != card.hash:
+            raise ValueError(
+                "portable stream was encoded with a different card — load "
+                "the encoder's card file (PortableCard.load) and pass it "
+                "via JointARCodec(portable_card=...)")
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        z_bytes = data[hs + 8:hs + 8 + len_z]
+        y_payload = data[hs + 8 + len_z:hs + 8 + len_z + len_y]
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
+            z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        psi_fix = card.hyper_forward(z_q)
+        y_hat = P.portable_ar_decode(card, y_payload, psi_fix, h, w)
+        return y_hat, z_q
 
     # -- encode ---------------------------------------------------------
     def compress(self, x: np.ndarray, tiles=None, n_streams: int = 1) -> bytes:
@@ -407,9 +476,12 @@ class JointARCodec:
         """Decode (y_q, z_q) from a bitstream (single or tiled)."""
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
-        magic, kind, K, M, img_h, img_w, tiles, zmin, zmax, len_z, len_y = (
-            struct.unpack(fmt, data[:hs]))
-        assert magic == _MAGIC and kind == _KIND_JOINT
+        header = struct.unpack(fmt, data[:hs])
+        magic, kind, K, M, img_h, img_w, tiles, zmin, zmax, len_z, len_y = header
+        assert magic == _MAGIC
+        if kind == _KIND_JOINT_PORTABLE:
+            return self._decode_latents_portable(data, header)
+        assert kind == _KIND_JOINT
         assert K == self.K and M == self.M
         z_bytes = data[hs:hs + len_z]
         y_payload = data[hs + len_z:hs + len_z + len_y]

@@ -1,0 +1,447 @@
+// Native implementation of the PORTABLE (cross-machine deterministic)
+// autoregressive wavefront codec. Exact integer mirror of
+// coding/portable.py — every operation is fixed-point with defined
+// rounding, so this C++ path and the numpy path produce bit-identical
+// streams on any hardware (tests/test_portable.py asserts it both ways).
+//
+// The fixed-point spec lives in portable.py's module docstring: activations
+// F=12, int16 weights with per-layer shifts, round-half-up requantization,
+// leaky slope 41/4096, mu on a 1/64 sub-grid, sigma snapped to geometric
+// bins with precomputed integer CDF tables, mixture weights via an exp LUT
+// summing to exactly 2^16 — so each symbol's total mass is exactly 2^32 and
+// frequency quantization is `1 + ((pmf * budget) >> 32)`.
+//
+// The psi half of EP layer 1 (P_acc, one row per pixel at accumulator
+// scale) is computed by the caller (numpy int64 — integer math is
+// machine-independent, so sharing it does not weaken portability) and
+// passed in; this file owns the serial wavefront: context gather, integer
+// GEMMs, symbol models, rANS.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "rans_core.h"
+
+using nic::Decoder;
+using nic::Encoder;
+using nic::cdf_find;
+
+namespace {
+
+constexpr int kF = 12;        // activation fractional bits
+constexpr int kSub = 6;       // mu sub-grid bits (1/64)
+constexpr int64_t kLeakyNum = 41;  // slope = 41 / 4096
+constexpr int kExpShift = 5;  // F=12 -> 1/128 LUT steps
+constexpr uint32_t kWScale = 1u << 16;
+
+inline int64_t rsr(int64_t v, int s) {  // rshift_round
+  return (v + (int64_t{1} << (s - 1))) >> s;
+}
+
+inline int64_t lrelu1(int64_t v) {
+  return v >= 0 ? v : rsr(v * kLeakyNum, kF);
+}
+
+inline uint64_t isqrt_u64(uint64_t v) {
+  uint64_t r = static_cast<uint64_t>(std::sqrt(static_cast<double>(v)));
+  while (r > 0 && r * r > v) --r;
+  while ((r + 1) * (r + 1) <= v) ++r;
+  return r;
+}
+
+struct QLayer {
+  std::vector<int16_t> w;  // (k, m) row-major
+  std::vector<int64_t> b;  // (m,)
+  int sw = 0;
+  int kd = 0, md = 0;
+};
+
+// out (n, md) = bias + A (n, kd) @ W; exact integer, order-free.
+void gemm_int(const int64_t* A, int n, const QLayer& L, int64_t* out) {
+  for (int i = 0; i < n; ++i) {
+    const int64_t* a = A + static_cast<size_t>(i) * L.kd;
+    int64_t* o = out + static_cast<size_t>(i) * L.md;
+    std::memcpy(o, L.b.data(), L.md * sizeof(int64_t));
+    for (int k = 0; k < L.kd; ++k) {
+      const int64_t av = a[k];
+      if (av == 0) continue;
+      const int16_t* wr = L.w.data() + static_cast<size_t>(k) * L.md;
+      for (int j = 0; j < L.md; ++j) o[j] += av * wr[j];
+    }
+  }
+}
+
+struct PortNets {
+  int M, K, phi_dim, hidden, out_dim, n_bins;
+  QLayer ctx, ep1_phi, ep2, ep3;  // ep1_phi: bias zero, sw shared with psi half
+  std::vector<int64_t> sigma_thr, sigma_fix, sigma2_fix, sigma_R;
+  std::vector<int32_t> tables_cat;
+  std::vector<int64_t> table_off, table_len;
+  std::vector<int64_t> exp_lut;
+  int exp_lut_size;
+};
+
+struct SymModel {
+  int c, R, nsym;
+  uint32_t cum[512];
+};
+
+// Mirror of portable.py build_symbol_model. comps: per component
+// (mu_fix, bin, wfix), K entries each.
+void build_model(const PortNets& net, const int64_t* mu_fix,
+                 const int64_t* bins, const int64_t* wfix, SymModel* m) {
+  const int K = net.K;
+  int64_t c, R;
+  if (K == 1) {
+    c = rsr(mu_fix[0], kF);
+    R = net.sigma_R[bins[0]];
+  } else {
+    int64_t mean_acc = 0, m2_acc = 0;
+    for (int k = 0; k < K; ++k) {
+      mean_acc += wfix[k] * mu_fix[k];
+      m2_acc += wfix[k] * (net.sigma2_fix[bins[k]] + mu_fix[k] * mu_fix[k]);
+    }
+    const int64_t mean_fix = rsr(mean_acc, 16);
+    const int64_t m2_fix = rsr(m2_acc, 16);
+    int64_t var_fix = m2_fix - mean_fix * mean_fix;
+    if (var_fix < 1) var_fix = 1;
+    const int64_t std_fix =
+        static_cast<int64_t>(isqrt_u64(static_cast<uint64_t>(var_fix)));
+    c = rsr(mean_fix, kF);
+    R = (6 * std_fix + (int64_t{1} << kF) - 1) >> kF;
+    R = std::min<int64_t>(254, std::max<int64_t>(2, R + 2));
+  }
+  const int nsym = static_cast<int>(2 * R + 2);
+  const int n_edges = nsym;
+
+  int64_t edge_acc[512];
+  std::fill(edge_acc, edge_acc + n_edges, 0);
+  const int64_t base = -((R << kSub) + 32);
+  int64_t wsum = 0;
+  for (int k = 0; k < K; ++k) {
+    const int64_t mu_idx = rsr(mu_fix[k], kF - kSub);
+    const int64_t mu_sub = mu_idx - (c << kSub);
+    const int64_t bin = bins[k];
+    const int32_t* tab = net.tables_cat.data() + net.table_off[bin];
+    const int64_t tlen = net.table_len[bin];
+    const int64_t ext = (tlen - 1) / 2;
+    const int64_t w = wfix[k];
+    wsum += w;
+    for (int e = 0; e < n_edges; ++e) {
+      int64_t arg = base + (static_cast<int64_t>(e) << kSub) - mu_sub + ext;
+      arg = std::min<int64_t>(std::max<int64_t>(arg, 0), tlen - 1);
+      edge_acc[e] += w * tab[arg];
+    }
+  }
+  int64_t pmf[512];
+  for (int d = 0; d < nsym - 1; ++d) {
+    int64_t p = edge_acc[d + 1] - edge_acc[d];
+    pmf[d] = p > 0 ? p : 0;
+  }
+  int64_t esc = edge_acc[0] + ((wsum << nic::kProbBits) - edge_acc[n_edges - 1]);
+  if (esc < 0) esc = 0;
+  pmf[nsym - 1] = esc;
+
+  const int64_t budget = nic::kProbScale - nsym;
+  uint32_t freq[512];
+  int64_t acc = 0;
+  int argmax = 0;
+  int64_t pmax = -1;
+  for (int j = 0; j < nsym; ++j) {
+    const int64_t f = 1 + ((pmf[j] * budget) >> 32);
+    freq[j] = static_cast<uint32_t>(f);
+    acc += f;
+    if (pmf[j] > pmax) {  // strict: first max, matching numpy argmax
+      pmax = pmf[j];
+      argmax = j;
+    }
+  }
+  freq[argmax] = static_cast<uint32_t>(
+      static_cast<int64_t>(freq[argmax]) +
+      (static_cast<int64_t>(nic::kProbScale) - acc));
+  m->c = static_cast<int>(c);
+  m->R = static_cast<int>(R);
+  m->nsym = nsym;
+  m->cum[0] = 0;
+  for (int j = 0; j < nsym; ++j) m->cum[j + 1] = m->cum[j] + freq[j];
+}
+
+struct PScratch {
+  const PortNets& net;
+  int H, W, nmax;
+  std::vector<int64_t> y_pad;  // (H+4, W+4, M) at F=12
+  std::vector<int64_t> A, phi, h1, h2, h3;
+  std::vector<int> wave_i, wave_j;
+
+  PScratch(const PortNets& n, int h, int w) : net(n), H(h), W(w) {
+    nmax = std::min((W + 2) / 3, H);
+    y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * net.M, 0);
+    A.resize(static_cast<size_t>(nmax) * 12 * net.M);
+    phi.resize(static_cast<size_t>(nmax) * net.phi_dim);
+    h1.resize(static_cast<size_t>(nmax) * net.hidden);
+    h2.resize(static_cast<size_t>(nmax) * net.hidden);
+    h3.resize(static_cast<size_t>(nmax) * net.out_dim);
+    wave_i.resize(nmax);
+    wave_j.resize(nmax);
+  }
+
+  int64_t* pad_at(int i, int j) {
+    return &y_pad[(static_cast<size_t>(i) * (W + 4) + j) * net.M];
+  }
+
+  int collect_wave(int t) {
+    int n = 0;
+    int i_lo = (t - W + 1 + 2) / 3;
+    if (i_lo < 0) i_lo = 0;
+    int i_hi = std::min(t / 3, H - 1);
+    for (int i = i_lo; i <= i_hi; ++i) {
+      int j = t - 3 * i;
+      if (j < 0 || j >= W) continue;
+      wave_i[n] = i;
+      wave_j[n] = j;
+      ++n;
+    }
+    return n;
+  }
+
+  // Gather + full GEMM stack; p_acc: (H*W, hidden) int64 accumulators.
+  void wave_params(int n, const int64_t* p_acc) {
+    const int M = net.M;
+    for (int p = 0; p < n; ++p) {
+      int64_t* dst = &A[static_cast<size_t>(p) * 12 * M];
+      const int i = wave_i[p], j = wave_j[p];
+      for (int r = 0; r < 2; ++r)
+        std::memcpy(dst + r * 5 * M, pad_at(i + r, j),
+                    5 * M * sizeof(int64_t));
+      std::memcpy(dst + 10 * M, pad_at(i + 2, j), 2 * M * sizeof(int64_t));
+    }
+    gemm_int(A.data(), n, net.ctx, phi.data());
+    for (size_t i = 0; i < static_cast<size_t>(n) * net.phi_dim; ++i)
+      phi[i] = rsr(phi[i], net.ctx.sw);
+    // ep1: phi half accumulates on top of the caller-provided psi half
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&h1[static_cast<size_t>(p) * net.hidden],
+                  p_acc + (static_cast<size_t>(wave_i[p]) * W + wave_j[p]) *
+                              net.hidden,
+                  net.hidden * sizeof(int64_t));
+    for (int p = 0; p < n; ++p) {
+      const int64_t* a = &phi[static_cast<size_t>(p) * net.phi_dim];
+      int64_t* o = &h1[static_cast<size_t>(p) * net.hidden];
+      for (int k = 0; k < net.phi_dim; ++k) {
+        const int64_t av = a[k];
+        if (av == 0) continue;
+        const int16_t* wr =
+            net.ep1_phi.w.data() + static_cast<size_t>(k) * net.hidden;
+        for (int j = 0; j < net.hidden; ++j) o[j] += av * wr[j];
+      }
+    }
+    for (size_t i = 0; i < static_cast<size_t>(n) * net.hidden; ++i)
+      h1[i] = lrelu1(rsr(h1[i], net.ep1_phi.sw));
+    gemm_int(h1.data(), n, net.ep2, h2.data());
+    for (size_t i = 0; i < static_cast<size_t>(n) * net.hidden; ++i)
+      h2[i] = lrelu1(rsr(h2[i], net.ep2.sw));
+    gemm_int(h2.data(), n, net.ep3, h3.data());
+    for (size_t i = 0; i < static_cast<size_t>(n) * net.out_dim; ++i)
+      h3[i] = rsr(h3[i], net.ep3.sw);
+  }
+
+  // One pixel's h3 row -> per-channel (mu_fix, bin, wfix), coder layout.
+  void pixel_models(int p, int64_t* mu, int64_t* bins, int64_t* wfix) const {
+    const int M = net.M, K = net.K;
+    const int64_t* row = &h3[static_cast<size_t>(p) * net.out_dim];
+    if (K == 1) {
+      for (int m = 0; m < M; ++m) {
+        mu[m] = row[m];
+        const int64_t s = row[M + m];
+        bins[m] = std::upper_bound(net.sigma_thr.begin(), net.sigma_thr.end(),
+                                   s) -
+                  net.sigma_thr.begin();
+        wfix[m] = kWScale;
+      }
+      return;
+    }
+    const int MK = M * K;
+    for (int m = 0; m < M; ++m) {
+      const int64_t* a = row + m * K;           // (kind, m, k) layout
+      int64_t mx = a[0];
+      for (int k = 1; k < K; ++k) mx = std::max(mx, a[k]);
+      int64_t e[16], sum = 0;
+      for (int k = 0; k < K; ++k) {
+        int64_t idx = rsr(mx - a[k], kExpShift);
+        if (idx > net.exp_lut_size - 1) idx = net.exp_lut_size - 1;
+        e[k] = net.exp_lut[idx];
+        sum += e[k];
+      }
+      int64_t wrem = kWScale;
+      int am = 0;
+      int64_t emax = -1;
+      for (int k = 0; k < K; ++k) {
+        const int64_t w = (e[k] << 16) / sum;
+        wfix[m * K + k] = w;
+        wrem -= w;
+        if (e[k] > emax) {  // first max
+          emax = e[k];
+          am = k;
+        }
+      }
+      wfix[m * K + am] += wrem;
+      for (int k = 0; k < K; ++k) {
+        mu[m * K + k] = row[MK + m * K + k];
+        const int64_t s = row[2 * MK + m * K + k];
+        bins[m * K + k] =
+            std::upper_bound(net.sigma_thr.begin(), net.sigma_thr.end(), s) -
+            net.sigma_thr.begin();
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
+                    int n_bins, const int16_t* ctx_w, const int64_t* ctx_b,
+                    int ctx_sw, const int16_t* ep1_phi_w, int ep1_sw,
+                    const int16_t* ep2_w, const int64_t* ep2_b, int ep2_sw,
+                    const int16_t* ep3_w, const int64_t* ep3_b, int ep3_sw,
+                    const int64_t* sigma_thr, const int64_t* sigma_fix,
+                    const int64_t* sigma2_fix, const int64_t* sigma_R,
+                    const int32_t* tables_cat, int64_t tables_total,
+                    const int64_t* table_off, const int64_t* table_len,
+                    const int64_t* exp_lut, int exp_lut_size) {
+  PortNets* n = new PortNets();
+  n->M = M;
+  n->K = K;
+  n->phi_dim = phi_dim;
+  n->hidden = hidden;
+  n->out_dim = out_dim;
+  n->n_bins = n_bins;
+  auto fill = [](QLayer& L, const int16_t* w, const int64_t* b, int sw,
+                 int kd, int md) {
+    L.w.assign(w, w + static_cast<size_t>(kd) * md);
+    if (b)
+      L.b.assign(b, b + md);
+    else
+      L.b.assign(md, 0);
+    L.sw = sw;
+    L.kd = kd;
+    L.md = md;
+  };
+  fill(n->ctx, ctx_w, ctx_b, ctx_sw, 12 * M, phi_dim);
+  fill(n->ep1_phi, ep1_phi_w, nullptr, ep1_sw, phi_dim, hidden);
+  fill(n->ep2, ep2_w, ep2_b, ep2_sw, hidden, hidden);
+  fill(n->ep3, ep3_w, ep3_b, ep3_sw, hidden, out_dim);
+  n->sigma_thr.assign(sigma_thr, sigma_thr + n_bins - 1);
+  n->sigma_fix.assign(sigma_fix, sigma_fix + n_bins);
+  n->sigma2_fix.assign(sigma2_fix, sigma2_fix + n_bins);
+  n->sigma_R.assign(sigma_R, sigma_R + n_bins);
+  n->tables_cat.assign(tables_cat, tables_cat + tables_total);
+  n->table_off.assign(table_off, table_off + n_bins);
+  n->table_len.assign(table_len, table_len + n_bins);
+  n->exp_lut.assign(exp_lut, exp_lut + exp_lut_size);
+  n->exp_lut_size = exp_lut_size;
+  return n;
+}
+
+void arport_destroy(void* h) { delete static_cast<PortNets*>(h); }
+
+// y_q: (H, W, M) int32 latents; p_acc: (H*W, hidden) int64 psi-half
+// accumulators. Returns stream length, or -1 on overflow.
+int arport_encode(void* handle, const int32_t* y_q, const int64_t* p_acc,
+                  int H, int W, uint8_t* out, int cap) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W);
+  for (int i = 0; i < H; ++i)
+    for (int j = 0; j < W; ++j) {
+      int64_t* dst = sc.pad_at(i + 2, j + 2);
+      const int32_t* src = y_q + (static_cast<size_t>(i) * W + j) * M;
+      for (int m = 0; m < M; ++m)
+        dst[m] = static_cast<int64_t>(src[m]) << kF;
+    }
+
+  const size_t n_sym = static_cast<size_t>(H) * W * M;
+  std::vector<int32_t> sym(n_sym);
+  std::vector<int64_t> mu(n_sym * K), bins(n_sym * K), wfix(n_sym * K);
+  const int t_max = 3 * (H - 1) + W;
+  size_t s = 0;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = sc.collect_wave(t);
+    if (n == 0) continue;
+    sc.wave_params(n, p_acc);
+    for (int p = 0; p < n; ++p) {
+      sc.pixel_models(p, &mu[s * K], &bins[s * K], &wfix[s * K]);
+      const int32_t* yrow =
+          y_q + (static_cast<size_t>(sc.wave_i[p]) * W + sc.wave_j[p]) * M;
+      for (int m = 0; m < M; ++m) sym[s + m] = yrow[m];
+      s += M;
+    }
+  }
+
+  Encoder enc;
+  enc.bytes.reserve(n_sym * 2 + 16);
+  SymModel sm;
+  for (int64_t i = static_cast<int64_t>(n_sym) - 1; i >= 0; --i) {
+    build_model(net, &mu[i * K], &bins[i * K], &wfix[i * K], &sm);
+    const int d = sym[i] - sm.c;
+    if (d >= -sm.R && d <= sm.R) {
+      const int j = d + sm.R;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    } else {
+      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
+      enc.put_raw16(v & 0xffffu);
+      enc.put_raw16((v >> 16) & 0xffffu);
+      const int j = sm.nsym - 1;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    }
+  }
+  return enc.flush(out, cap);
+}
+
+// Returns 0, or -1 on corrupt/truncated stream.
+int arport_decode(void* handle, const uint8_t* buf, int len,
+                  const int64_t* p_acc, int H, int W, int32_t* y_out) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W);
+  Decoder dec;
+  dec.init(buf, len);
+  std::vector<int64_t> mu(static_cast<size_t>(M) * K),
+      bins(static_cast<size_t>(M) * K), wfix(static_cast<size_t>(M) * K);
+  SymModel sm;
+  const int t_max = 3 * (H - 1) + W;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = sc.collect_wave(t);
+    if (n == 0) continue;
+    sc.wave_params(n, p_acc);
+    for (int p = 0; p < n; ++p) {
+      const int i = sc.wave_i[p], j = sc.wave_j[p];
+      int32_t* dst = y_out + (static_cast<size_t>(i) * W + j) * M;
+      int64_t* pad = sc.pad_at(i + 2, j + 2);
+      sc.pixel_models(p, mu.data(), bins.data(), wfix.data());
+      for (int m = 0; m < M; ++m) {
+        build_model(net, &mu[m * K], &bins[m * K], &wfix[m * K], &sm);
+        const uint32_t cf = dec.peek();
+        const int jj = cdf_find(sm.cum, sm.nsym, cf);
+        dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
+        int32_t v;
+        if (jj == sm.nsym - 1) {
+          const uint32_t hi = dec.get_raw16();
+          const uint32_t lo = dec.get_raw16();
+          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+        } else {
+          v = sm.c + (jj - sm.R);
+        }
+        dst[m] = v;
+        pad[m] = static_cast<int64_t>(v) << kF;
+      }
+    }
+  }
+  return dec.ok() ? 0 : -1;
+}
+
+}  // extern "C"
