@@ -77,11 +77,20 @@ def main():
             base = json.load(f)
         vs_baseline = img_per_sec / base["torch_cpu_images_per_sec"]
 
+    # MFU: analytic eval-forward FLOPs over the chip's bf16 peak
+    # (NIC_PEAK_TFLOPS overrides; default v5e = 197).
+    from neural_image_compression_tpu.utils.flops import joint_ar_eval_flops, mfu
+
+    flops_img = joint_ar_eval_flops(128, 3, 512, 768)["total"]
+    peak = float(os.environ.get("NIC_PEAK_TFLOPS", "197"))
+
     print(json.dumps({
         "metric": f"kodak_768x512_encdec_images_per_sec_per_chip_batch{batch}",
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "flops_per_image": flops_img,
+        "mfu": round(mfu(img_per_sec, flops_img, peak), 4),
     }))
 
 

@@ -141,14 +141,33 @@ def cmd_eval(args):
     ev.save_results(metrics, cfg.eval.nb_steps, cfg.eval.caption)
 
 
-def _make_codec(cfg: Config, model, params):
+def _make_codec(cfg: Config, model, params, card_path=None):
     from neural_image_compression_tpu.coding import (
         FactorizedPriorCodec, JointARCodec, ScalableCodec,
     )
 
     cls = {"factorized": FactorizedPriorCodec,
            "scalable": ScalableCodec}.get(cfg.model.name, JointARCodec)
+    if card_path and cls is not JointARCodec:
+        sys.exit("--card / portable mode applies to the joint-AR models only")
+    if card_path and os.path.exists(card_path):
+        from neural_image_compression_tpu.coding import PortableCard
+
+        return cls(model, {"params": params},
+                   portable_card=PortableCard.load(card_path))
     return cls(model, {"params": params})
+
+
+def _auto_streams(args, cfg) -> int:
+    """--streams default: one interleaved rANS stream per core (rate cost
+    ~4*(N-1) bytes/image, decode parallelism for free); 1 on 1-core hosts
+    and for the non-AR codecs."""
+    n = getattr(args, "streams", None)
+    if n is not None:
+        return n
+    if cfg.model.name in ("factorized", "scalable"):
+        return 1
+    return min(16, os.cpu_count() or 1)
 
 
 def _write_stream(path, meta, data):
@@ -169,7 +188,9 @@ def cmd_compress(args):
     sizes = [im.shape[1:3] for im in imgs]
     # codecs pad internally (pad-code-crop); the example is only for init
     params = _restore_params(model, cfg, pad_to_multiple(imgs[0], 64))
-    codec = _make_codec(cfg, model, params)
+    card_path = getattr(args, "card", None)
+    portable = getattr(args, "portable", False) or bool(card_path)
+    codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1
     outs = ([os.path.join(args.out, os.path.splitext(
@@ -177,17 +198,25 @@ def cmd_compress(args):
             if multi else [args.out])
     if multi:
         os.makedirs(args.out, exist_ok=True)
-    n_streams = getattr(args, "streams", 1)
-    if n_streams > 1 and cfg.model.name in ("factorized", "scalable"):
-        sys.exit("--streams applies to the joint-AR models only (the "
-                 "factorized codec is already fully parallel; the scalable "
-                 "codec's layers decode concurrently)")
-    kw = {"n_streams": n_streams} if n_streams > 1 else {}
-    same_shape = len({p.shape for p in imgs}) == 1
-    if multi and same_shape and not kw and hasattr(codec, "compress_batch"):
-        streams = codec.compress_batch(np.concatenate(imgs))
+    if portable:
+        if cfg.model.name in ("factorized", "scalable"):
+            sys.exit("--portable applies to the joint-AR models only")
+        streams = [codec.compress_portable(p) for p in imgs]
+        if card_path and not os.path.exists(card_path):
+            codec.portable_card().save(card_path)
+            print(f"portable card saved -> {card_path}")
     else:
-        streams = [codec.compress(p, **kw) for p in imgs]
+        n_streams = _auto_streams(args, cfg)
+        if n_streams > 1 and cfg.model.name in ("factorized", "scalable"):
+            sys.exit("--streams applies to the joint-AR models only (the "
+                     "factorized codec is already fully parallel; the "
+                     "scalable codec's layers decode concurrently)")
+        kw = {"n_streams": n_streams} if n_streams > 1 else {}
+        same_shape = len({p.shape for p in imgs}) == 1
+        if multi and same_shape and not kw and hasattr(codec, "compress_batch"):
+            streams = codec.compress_batch(np.concatenate(imgs))
+        else:
+            streams = [codec.compress(p, **kw) for p in imgs]
     for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
         _write_stream(out, {"orig_h": h, "orig_w": w}, data)
         print(f"{src} -> {out}: {len(data)} bytes, "
@@ -209,7 +238,7 @@ def cmd_decompress(args):
     model = build_model(cfg.model)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    codec = _make_codec(cfg, model, params)
+    codec = _make_codec(cfg, model, params, getattr(args, "card", None))
 
     multi = len(datas) > 1
     outs = ([os.path.join(args.out, os.path.splitext(
@@ -218,7 +247,9 @@ def cmd_decompress(args):
     if multi:
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
-    if multi and same_shape and hasattr(codec, "decompress_batch"):
+    portable = any(len(d) > 4 and d[4] == 4 for d in datas)  # kind byte
+    if multi and same_shape and not portable \
+            and hasattr(codec, "decompress_batch"):
         recons = list(codec.decompress_batch(datas))
     else:
         recons = [codec.decompress(d)[0] for d in datas]
@@ -277,9 +308,17 @@ def main(argv=None):
                          "encode as one batched TPU pass + threaded host AR")
     sp.add_argument("--out", required=True,
                     help="output file (single image) or directory (several)")
-    sp.add_argument("--streams", type=int, default=1,
+    sp.add_argument("--streams", type=int, default=None,
                     help="N-way interleaved rANS (rate-neutral multicore "
-                         "decode; joint-AR models only)")
+                         "decode; joint-AR models only). Default: one "
+                         "stream per core")
+    sp.add_argument("--portable", action="store_true",
+                    help="cross-machine deterministic streams (integer "
+                         "codec path; joint-AR models only)")
+    sp.add_argument("--card", default=None,
+                    help="portable-card file: loaded if it exists, else "
+                         "built from the model and saved here (implies "
+                         "--portable)")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")
@@ -287,6 +326,8 @@ def main(argv=None):
     sp.add_argument("--bitstream", required=True, nargs="+")
     sp.add_argument("--out", required=True,
                     help="output file (single stream) or directory (several)")
+    sp.add_argument("--card", default=None,
+                    help="portable-card file for portable bitstreams")
     sp.set_defaults(fn=cmd_decompress)
 
     sp = sub.add_parser("bench")

@@ -199,3 +199,37 @@ def test_cli_compress_streams(tmp_path):
     cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
               "--out", rec_path])
     assert np.asarray(Image.open(rec_path)).shape == (70, 70, 3)
+
+
+def test_cli_portable_card_roundtrip(tmp_path):
+    """--card builds + saves the portable card on first compress, then
+    decompress loads it; recon matches the non-portable path."""
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(2)
+    Image.fromarray((rng.rand(80, 120, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = "joint_ar"
+    cfg.model.latent_channels = 8
+    cfg.model.K = 1
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    card_path = str(tmp_path / "model.card.npz")
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    plain_path = str(tmp_path / "plain.nic")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path, "--card", card_path])
+    assert os.path.exists(card_path)
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path, "--card", card_path])
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", plain_path, "--streams", "1"])
+    rec2_path = str(tmp_path / "rec2.png")
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", plain_path,
+              "--out", rec2_path])
+    np.testing.assert_array_equal(np.asarray(Image.open(rec_path)),
+                                  np.asarray(Image.open(rec2_path)))

@@ -1,0 +1,44 @@
+"""Analytic FLOP model sanity (utils/flops.py): scaling laws and magnitude."""
+
+import pytest
+
+from neural_image_compression_tpu.utils.flops import (
+    PEAK_BF16_TFLOPS, factorized_prior_eval_flops, joint_ar_eval_flops, mfu,
+    scalable_eval_flops, train_step_flops,
+)
+
+
+def test_joint_ar_magnitude_and_breakdown():
+    f = joint_ar_eval_flops(128, 3, 512, 768)
+    # flagship eval forward is ~75 GFLOP/img; encoder and decoder dominate
+    assert 5e10 < f["total"] < 1.2e11
+    assert f["encoder"] == f["decoder"] - 0  # symmetric 5x5 mirror
+    assert f["encoder"] > 10 * f["hyper_encoder"]
+    assert f["total"] == sum(v for k, v in f.items() if k != "total")
+
+
+def test_scales_linearly_with_pixels():
+    a = joint_ar_eval_flops(64, 1, 256, 256)["total"]
+    b = joint_ar_eval_flops(64, 1, 256, 512)["total"]
+    assert abs(b / a - 2.0) < 0.01
+
+
+def test_scales_quadratically_with_channels():
+    a = joint_ar_eval_flops(64, 1, 256, 256)["encoder"]
+    b = joint_ar_eval_flops(128, 1, 256, 256)["encoder"]
+    assert 3.5 < b / a < 4.05  # M^2 terms dominate (3->M first layer is linear)
+
+
+def test_variants():
+    assert joint_ar_eval_flops(64, 1, 256, 256, "res3x3")["total"] > 0
+    assert factorized_prior_eval_flops(128, 512, 768)["total"] > 0
+    s = scalable_eval_flops(192, 128, 3, 512, 768)
+    assert s["lst"] > 0
+    assert s["total"] == sum(v for k, v in s.items() if k != "total")
+
+
+def test_mfu_and_train():
+    f = joint_ar_eval_flops(128, 3, 512, 768)["total"]
+    u = mfu(1000.0, f, PEAK_BF16_TFLOPS["v5e"])
+    assert 0.3 < u < 0.5
+    assert train_step_flops(f) == 3 * f
