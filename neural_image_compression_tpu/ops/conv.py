@@ -129,6 +129,55 @@ def deconv2d_phased(x: jax.Array, kernel: jax.Array,
     return out
 
 
+def deconv2d_subpel(x: jax.Array, kernel: jax.Array,
+                    bias: Optional[jax.Array] = None,
+                    padding: int = 0, output_padding: int = 1) -> jax.Array:
+    """Stride-2 transposed conv as ONE dense conv + phase interleave.
+
+    Mathematically identical to deconv2d(stride=2) — output pixel (2i+a,
+    2j+b) only reads kernel taps of parity (a, b) — but lowered as a single
+    stride-1 conv producing all 4 phases as 4*cout channels, then a
+    pixel-shuffle-style interleave. For small cout (e.g. the final M->3 RGB
+    layer) this quarters the padded MXU work AND 4x's output-lane
+    utilization vs the lhs_dilation form: measured 17.9 -> ~4 ms on the
+    flagship's last decoder layer (tools/ab_bench notes). Requires
+    output_padding == 1 (the only stride-2 geometry the models use).
+    """
+    assert output_padding == 1, "subpel deconv implemented for op=1 only"
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    lo = k - 1 - padding
+
+    def phase_taps(a: int):
+        r_sel = [r for r in range(k) if r % 2 == (lo - a) % 2]
+        offs = [(a + r - lo) // 2 for r in r_sel]
+        return r_sel, offs
+
+    # global tap-offset range across phases -> one shared conv geometry
+    all_offs = sorted({o for a in (0, 1) for o in phase_taps(a)[1]})
+    o_min, o_max = all_offs[0], all_offs[-1]
+    kc = o_max - o_min + 1
+    combined = jnp.zeros((kc, kc, cin, 4 * cout), kernel.dtype)
+    for a in (0, 1):
+        r_sel, r_offs = phase_taps(a)
+        for b in (0, 1):
+            c_sel, c_offs = phase_taps(b)
+            ph = (a * 2 + b) * cout
+            for r, ro in zip(r_sel, r_offs):
+                for c, co in zip(c_sel, c_offs):
+                    combined = combined.at[ro - o_min, co - o_min, :,
+                                           ph:ph + cout].set(kernel[r, c])
+    out = jax.lax.conv_general_dilated(
+        x, combined, (1, 1), ((-o_min, o_max), (-o_min, o_max)),
+        dimension_numbers=_DIMENSION_NUMBERS)
+    b_, h, w, _ = out.shape
+    out = out.reshape(b_, h, w, 2, 2, cout)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, cout)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 class Conv2d(nn.Module):
     """Conv with torch-default init; NHWC in/out."""
 
@@ -153,8 +202,24 @@ class Conv2d(nn.Module):
         return conv2d(x, kernel, bias, self.stride, self.padding)
 
 
+def _deconv_lowering_auto(in_h: int, in_w: int, cout: int) -> str:
+    """Pick the faster stride-2 deconv lowering (v5e, batch-48 A/B,
+    tools notes): the subpel form wins on small grids (compute per launch
+    too small for the dilated form's tiling) and on tiny output channels
+    (4x the MXU lane utilization — the final M->3 RGB layer went 14.9 ->
+    8.9 ms); the dilated form wins on large many-channel grids."""
+    if cout < 32 or in_h * in_w <= 2048:
+        return "subpel"
+    return "dilated"
+
+
 class Deconv2d(nn.Module):
-    """Transposed conv (torch geometry) with torch-default init; NHWC in/out."""
+    """Transposed conv (torch geometry) with torch-default init; NHWC in/out.
+
+    lowering: 'dilated' (lhs_dilation), 'subpel' (phase-combined conv +
+    interleave, stride-2/op-1 only), or None = auto per shape. All
+    lowerings are mathematically identical.
+    """
 
     features: int
     kernel_size: int
@@ -163,6 +228,7 @@ class Deconv2d(nn.Module):
     output_padding: int = 0
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    lowering: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -177,6 +243,11 @@ class Deconv2d(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype) if bias is not None else None
+        lowering = self.lowering
+        if lowering is None and self.stride == 2 and self.output_padding == 1:
+            lowering = _deconv_lowering_auto(x.shape[1], x.shape[2], self.features)
+        if lowering == "subpel" and self.stride == 2 and self.output_padding == 1:
+            return deconv2d_subpel(x, kernel, bias, self.padding, 1)
         return deconv2d(x, kernel, bias, self.stride, self.padding, self.output_padding)
 
 
