@@ -104,6 +104,9 @@ def get_lib() -> ctypes.CDLL:
                                     ctypes.c_int]
     lib.nic_fastmath_eval.argtypes = [f32p, ctypes.c_int, f32p, f32p, f32p,
                                       f32p]
+    lib.arwave_param_sweep.restype = ctypes.c_float
+    lib.arwave_param_sweep.argtypes = [ctypes.c_void_p, f32p, f32p,
+                                       ctypes.c_int, ctypes.c_int]
     lib.arwave_decode_n.restype = ctypes.c_int
     lib.arwave_decode_n.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, f32p,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -406,3 +409,15 @@ class ArPortableCoder:
         if getattr(self, "_handle", None):
             self._lib.arport_destroy(self._handle)
             self._handle = None
+
+
+def arwave_param_sweep_time(coder: "ArWaveCoder", y_q: np.ndarray,
+                            psi: np.ndarray) -> float:
+    """Profiling: run only the wavefront parameter sweep (no CDF/rANS) once;
+    returns the checksum (timing is the caller's job)."""
+    y_q = np.ascontiguousarray(y_q, np.float32)
+    psi = np.ascontiguousarray(psi, np.float32)
+    h, w = y_q.shape[:2]
+    return float(coder._lib.arwave_param_sweep(
+        coder._handle, _ptr(y_q, ctypes.c_float), _ptr(psi, ctypes.c_float),
+        h, w))

@@ -377,6 +377,36 @@ void* arwave_create(int M, int K, int phi_dim, int psi_dim, int hidden,
 
 void arwave_destroy(void* h) { delete static_cast<ArNets*>(h); }
 
+// Profiling hook: runs ONLY the forward parameter sweep (context gathers,
+// GEMM stack, softmax/softplus post-processing) with no CDF build and no
+// rANS — so (encode time - sweep time) isolates the model-build + coder
+// cost. Returns a checksum so the work can't be optimized away.
+float arwave_param_sweep(void* handle, const float* y_q, const float* psi,
+                         int H, int W) {
+  const ArNets& net = *static_cast<ArNets*>(handle);
+  const int M = net.M, K = net.K;
+  Scratch sc(net, psi, H, W);
+  for (int i = 0; i < H; ++i)
+    std::memcpy(sc.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
+                static_cast<size_t>(W) * M * sizeof(float));
+  std::vector<float> ws(K > 1 ? static_cast<size_t>(M) * K : 0);
+  std::vector<float> mu(static_cast<size_t>(M) * K),
+      sigma(static_cast<size_t>(M) * K);
+  float acc = 0.0f;
+  const int t_max = 3 * (H - 1) + W;
+  for (int t = 0; t < t_max; ++t) {
+    const int n = sc.collect_wave(t);
+    if (n == 0) continue;
+    sc.wave_params(n);
+    for (int p = 0; p < n; ++p) {
+      sc.pixel_params(p, K > 1 ? ws.data() : nullptr, mu.data(),
+                      sigma.data());
+      acc += mu[0] + sigma[0];
+    }
+  }
+  return acc;
+}
+
 // y_q: (H, W, M) float32 holding integers; psi: (H, W, psi_dim) float32.
 // Returns stream length, or -1 on overflow.
 int arwave_encode(void* handle, const float* y_q, const float* psi, int H,
