@@ -43,7 +43,9 @@ _MAGIC = b"NIC1"
 _KIND_JOINT = 1
 _KIND_FACTORIZED = 2
 _KIND_SCALABLE = 3
-_KIND_JOINT_PORTABLE = 4  # integer-deterministic path (coding/portable.py)
+_KIND_JOINT_PORTABLE = 4       # integer-deterministic paths (coding/portable.py)
+_KIND_FACTORIZED_PORTABLE = 5
+_KIND_SCALABLE_PORTABLE = 6
 
 LEAKY_SLOPE = 0.01
 
@@ -656,7 +658,7 @@ class JointARCodec:
 # ---------------------------------------------------------------------------
 
 class FactorizedPriorCodec:
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, portable_card=None):
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
@@ -666,6 +668,7 @@ class FactorizedPriorCodec:
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
         self._y_cache = {}
+        self._portable_card = portable_card
 
     def _tables(self, ymin, ymax):
         key = (ymin, ymax)
@@ -689,14 +692,49 @@ class FactorizedPriorCodec:
                              self.M, img_h, img_w, 0, ymin, ymax, 0, len(y_bytes))
         return header + y_bytes
 
+    # -- portable mode (frozen tables; streams decode on any machine) ----
+    def portable_card(self):
+        if self._portable_card is None:
+            from neural_image_compression_tpu.coding.portable import FactorizedCard
+
+            self._portable_card = FactorizedCard.build(self.model, self.variables)
+        return self._portable_card
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        assert x.ndim == 4 and x.shape[0] == 1
+        card = self.portable_card()
+        img_h, img_w = x.shape[1], x.shape[2]
+        (y_q_dev,) = self._analysis_q(self.variables,
+                                      jnp.asarray(_pad_input(x, 16)))
+        y_q = np.asarray(y_q_dev)[0]
+        sym = y_q.reshape(-1, self.M).astype(np.int32)
+        index = np.tile(np.arange(self.M, dtype=np.int32), sym.shape[0])
+        y_bytes = backend.encode_indexed(sym.reshape(-1), index, card.cdfs,
+                                         card.offsets, card.sizes)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC,
+                             _KIND_FACTORIZED_PORTABLE, 1, self.M, img_h,
+                             img_w, 0, card.ymin, card.ymax, 0, len(y_bytes))
+        return header + card.hash + y_bytes
+
     def decompress(self, data: bytes) -> np.ndarray:
         fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
         magic, kind, _, M, img_h, img_w, _, ymin, ymax, _, len_y = (
-            struct.unpack(fmt, data[:struct.calcsize(fmt)]))
-        assert magic == _MAGIC and kind == _KIND_FACTORIZED and M == self.M
-        y_bytes = data[struct.calcsize(fmt):]
+            struct.unpack(fmt, data[:hs]))
+        assert magic == _MAGIC and M == self.M
+        if kind == _KIND_FACTORIZED_PORTABLE:
+            card = self.portable_card()
+            if data[hs:hs + 8] != card.hash:
+                raise ValueError(
+                    "portable stream was encoded with a different card — "
+                    "load the encoder's card file")
+            cdfs, offsets, sizes = card.cdfs, card.offsets, card.sizes
+            y_bytes = data[hs + 8:]
+        else:
+            assert kind == _KIND_FACTORIZED
+            cdfs, offsets, sizes = self._tables(ymin, ymax)
+            y_bytes = data[hs:]
         h, w = _round_up(img_h, 16) // 16, _round_up(img_w, 16) // 16
-        cdfs, offsets, sizes = self._tables(ymin, ymax)
         index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
         sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
@@ -753,6 +791,46 @@ class ScalableCodec:
                                                    zmin, zmax)
         return self._z_cache[key]
 
+    # -- portable mode: one card per latent layer (shared hyper + z) ------
+    def portable_cards(self):
+        if getattr(self, "_portable_cards", None) is None:
+            from neural_image_compression_tpu.coding.portable import PortableCard
+
+            self._portable_cards = (
+                PortableCard.build(self.model, self.variables,
+                                   ctx_name="context_model_1",
+                                   ep_name="entropy_parameters_1", M=self.M1),
+                PortableCard.build(self.model, self.variables,
+                                   ctx_name="context_model_2",
+                                   ep_name="entropy_parameters_2", M=self.M2))
+        return self._portable_cards
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        """Cross-machine deterministic layered stream (kind 6): header +
+        card hashes + z + y1 + y2; truncate_base still applies."""
+        from neural_image_compression_tpu.coding import portable as P
+
+        assert x.ndim == 4 and x.shape[0] == 1
+        card1, card2 = self.portable_cards()
+        img_h, img_w = x.shape[1], x.shape[2]
+        y_q_dev, z_q_dev = self._analysis_q(self.variables,
+                                            jnp.asarray(_pad_input(x, 64)))
+        y_q = np.asarray(y_q_dev)[0]
+        z_q = np.asarray(z_q_dev)[0]
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         card1.z_cdfs, card1.z_offsets,
+                                         card1.z_sizes)
+        psi_fix = card1.hyper_forward(z_q)  # card2's hyper is identical
+        y1_bytes = P.portable_ar_encode(card1, y_q[..., :self.M1], psi_fix)
+        y2_bytes = P.portable_ar_encode(card2, y_q[..., self.M1:], psi_fix)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_SCALABLE_PORTABLE,
+                             self.K, self.M, img_h, img_w, self.M1,
+                             card1.zmin, card1.zmax, len(z_bytes),
+                             len(y1_bytes))
+        return header + card1.hash + card2.hash + z_bytes + y1_bytes + y2_bytes
+
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
@@ -786,7 +864,10 @@ class ScalableCodec:
         """Drop the enhancement stream; the result decodes base-only."""
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
-        _, _, _, _, _, _, _, _, _, len_z, len_y1 = struct.unpack(fmt, data[:hs])
+        head = struct.unpack(fmt, data[:hs])
+        len_z, len_y1 = head[9], head[10]
+        if head[1] == _KIND_SCALABLE_PORTABLE:
+            hs += 16  # the two card hashes
         return data[:hs + len_z + len_y1]
 
     def _decode_common(self, data: bytes):
@@ -794,8 +875,18 @@ class ScalableCodec:
         hs = struct.calcsize(fmt)
         magic, kind, K, M, img_h, img_w, M1, zmin, zmax, len_z, len_y1 = (
             struct.unpack(fmt, data[:hs]))
-        assert magic == _MAGIC and kind == _KIND_SCALABLE
+        assert magic == _MAGIC and kind in (_KIND_SCALABLE,
+                                            _KIND_SCALABLE_PORTABLE)
         assert K == self.K and M == self.M and M1 == self.M1
+        portable = kind == _KIND_SCALABLE_PORTABLE
+        if portable:
+            card1, card2 = self.portable_cards()
+            if data[hs:hs + 8] != card1.hash or \
+                    data[hs + 8:hs + 16] != card2.hash:
+                raise ValueError(
+                    "portable stream was encoded with different cards — "
+                    "load the encoder's card files")
+            hs += 16
         z_bytes = data[hs:hs + len_z]
         y1_bytes = data[hs + len_z:hs + len_z + len_y1]
         y2_bytes = data[hs + len_z + len_y1:]
@@ -803,27 +894,44 @@ class ScalableCodec:
         h, w = ph // 16, pw // 16
         hz, wz = ph // 64, pw // 64
 
-        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        if portable:
+            cdfs, offsets, sizes = card1.z_cdfs, card1.z_offsets, card1.z_sizes
+        else:
+            cdfs, offsets, sizes = self._z_tables(zmin, zmax)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
         z_sym = backend.RansDecoder(z_bytes).decode_indexed(
             z_index, cdfs, offsets, sizes)
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
-        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
-        psi = np.asarray(psi_dev)[0]
-        return y1_bytes, y2_bytes, psi, z_q, h, w
+        if portable:
+            psi = card1.hyper_forward(z_q)  # int64 fixed point
+        else:
+            (psi_dev,) = self._hyper_synthesis(self.variables,
+                                               jnp.asarray(z_q)[None])
+            psi = np.asarray(psi_dev)[0]
+        return y1_bytes, y2_bytes, psi, z_q, h, w, portable
+
+    def _decode_layer(self, layer: int, payload: bytes, psi, h: int, w: int,
+                      portable: bool) -> np.ndarray:
+        if portable:
+            from neural_image_compression_tpu.coding import portable as P
+
+            card = self.portable_cards()[layer - 1]
+            return P.portable_ar_decode(card, payload, psi, h, w)
+        nets = self._nets1 if layer == 1 else self._nets2
+        return _ar_decode_latents(nets, payload, psi, h, w)
 
     def decompress_base(self, data: bytes):
         """Base-only decode: returns (y1, F_tilde) for the vision task.
         Both cover the PADDED latent grid when the coded image size was not
         a multiple of 64 (use coding.stream_size(data) to recover the true size)."""
-        y1_bytes, _, psi, _, h, w = self._decode_common(data)
-        y1 = _ar_decode_latents(self._nets1, y1_bytes, psi, h, w)
+        y1_bytes, _, psi, _, h, w, portable = self._decode_common(data)
+        y1 = self._decode_layer(1, y1_bytes, psi, h, w, portable)
         (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
         return y1.astype(np.float32), np.asarray(f_tilde)
 
     def decompress(self, data: bytes) -> np.ndarray:
         """Full decode -> reconstructed image."""
-        y1_bytes, y2_bytes, psi, _, h, w = self._decode_common(data)
+        y1_bytes, y2_bytes, psi, _, h, w, portable = self._decode_common(data)
         if len(y2_bytes) == 0:
             raise ValueError("enhancement stream missing (truncated bitstream); "
                              "use decompress_base")
@@ -831,8 +939,8 @@ class ScalableCodec:
         # and streams, shared psi) — run them concurrently; the native coder
         # is reentrant and releases the GIL.
         with ThreadPoolExecutor(max_workers=2) as ex:
-            f1 = ex.submit(_ar_decode_latents, self._nets1, y1_bytes, psi, h, w)
-            f2 = ex.submit(_ar_decode_latents, self._nets2, y2_bytes, psi, h, w)
+            f1 = ex.submit(self._decode_layer, 1, y1_bytes, psi, h, w, portable)
+            f2 = ex.submit(self._decode_layer, 2, y2_bytes, psi, h, w, portable)
             y1, y2 = f1.result(), f2.result()
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])

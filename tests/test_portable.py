@@ -139,3 +139,53 @@ def test_rate_overhead_vs_float_path(rig):
     std = _ar_encode_latents(codec._host_nets, y_q, np.asarray(psi_dev)[0])
     overhead = len(portable) / len(std) - 1.0
     assert overhead < 0.05, overhead
+
+
+def test_factorized_portable_roundtrip(tmp_path):
+    from neural_image_compression_tpu.coding.codec import FactorizedPriorCodec
+    from neural_image_compression_tpu.coding.portable import FactorizedCard
+    from neural_image_compression_tpu.models import FactorizedPrior
+
+    model = FactorizedPrior(latent_channels=8)
+    x = np.asarray(jax.random.uniform(KEY, (1, 64, 96, 3)))
+    variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                      jax.numpy.asarray(x),
+                                      training=False)["params"]}
+    codec = FactorizedPriorCodec(model, variables)
+    data = codec.compress_portable(x)
+    out = codec.decompress(data)
+    np.testing.assert_array_equal(out, codec.decompress(codec.compress(x)))
+    # card round-trips through disk and decodes the same stream
+    path = str(tmp_path / "fcard.npz")
+    codec.portable_card().save(path)
+    codec2 = FactorizedPriorCodec(model, variables,
+                                  portable_card=FactorizedCard.load(path))
+    np.testing.assert_array_equal(codec2.decompress(data), out)
+    assert codec2.compress_portable(x) == data
+    # mismatched card fails fast
+    other = FactorizedCard.build(model, variables, ymin=-16, ymax=16)
+    codec3 = FactorizedPriorCodec(model, variables, portable_card=other)
+    with pytest.raises(ValueError, match="different card"):
+        codec3.decompress(data)
+
+
+def test_scalable_portable_roundtrip_and_truncation():
+    from neural_image_compression_tpu.coding.codec import ScalableCodec
+    from neural_image_compression_tpu.models import ScalableImageCoding
+
+    model = ScalableImageCoding(latent_channels=8, base_channels=5, K=1)
+    x = np.asarray(jax.random.uniform(KEY, (1, 64, 128, 3)))
+    variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                      jax.numpy.asarray(x),
+                                      training=False)["params"]}
+    codec = ScalableCodec(model, variables)
+    data = codec.compress_portable(x)
+    out = codec.decompress(data)
+    np.testing.assert_array_equal(out, codec.decompress(codec.compress(x)))
+    # base-layer truncation still works on portable streams
+    base = codec.truncate_base(data)
+    y1, f_tilde = codec.decompress_base(base)
+    y1_full, _ = codec.decompress_base(data)
+    np.testing.assert_array_equal(y1, y1_full)
+    with pytest.raises(ValueError, match="enhancement"):
+        codec.decompress(base)
