@@ -202,13 +202,17 @@ class Conv2d(nn.Module):
         return conv2d(x, kernel, bias, self.stride, self.padding)
 
 
-def _deconv_lowering_auto(in_h: int, in_w: int, cout: int) -> str:
-    """Pick the faster stride-2 deconv lowering (v5e, batch-48 A/B,
-    tools notes): the subpel form wins on small grids (compute per launch
-    too small for the dilated form's tiling) and on tiny output channels
-    (4x the MXU lane utilization — the final M->3 RGB layer went 14.9 ->
-    8.9 ms); the dilated form wins on large many-channel grids."""
-    if cout < 32 or in_h * in_w <= 2048:
+def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int) -> str:
+    """Pick the faster stride-2 deconv lowering (v5e A/B at batch 48 and
+    batch 1, tools notes): the subpel form wins on tiny output channels at
+    ANY batch (4x the MXU lane utilization — the final M->3 RGB layer:
+    14.9 -> 8.9 ms at batch 48, 1.6 -> 0.9 ms at batch 1) and on small
+    grids when the batch supplies enough rows to tile (10.8 -> 3.8 ms at
+    48x(32x48)); at batch 1 everything is dispatch-bound and the dilated
+    form's simpler graph wins elsewhere."""
+    if cout < 32:
+        return "subpel"
+    if batch >= 8 and in_h * in_w <= 2048:
         return "subpel"
     return "dilated"
 
@@ -245,7 +249,8 @@ class Deconv2d(nn.Module):
             bias = bias.astype(self.dtype) if bias is not None else None
         lowering = self.lowering
         if lowering is None and self.stride == 2 and self.output_padding == 1:
-            lowering = _deconv_lowering_auto(x.shape[1], x.shape[2], self.features)
+            lowering = _deconv_lowering_auto(x.shape[0], x.shape[1],
+                                            x.shape[2], self.features)
         if lowering == "subpel" and self.stride == 2 and self.output_padding == 1:
             return deconv2d_subpel(x, kernel, bias, self.padding, 1)
         return deconv2d(x, kernel, bias, self.stride, self.padding, self.output_padding)
