@@ -161,3 +161,59 @@ class TestPhasedDeconv:
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestDeconvLowerings:
+    """deconv2d_subpel is a different lowering of the same operator: results
+    must match deconv2d to f32 tolerance for every geometry the models use,
+    forward AND gradient."""
+
+    @pytest.mark.parametrize("k,p", [(5, 2), (3, 1)])
+    @pytest.mark.parametrize("cin,cout", [(8, 8), (16, 3)])
+    def test_matches_dilated(self, k, p, cin, cout):
+        from neural_image_compression_tpu.ops.conv import deconv2d, deconv2d_subpel
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (2, 6, 9, cin))
+        ker = jax.random.normal(jax.random.PRNGKey(1), (k, k, cin, cout)) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+
+        def f_dil(x, ker, b):
+            return deconv2d(x, ker, b, stride=2, padding=p, output_padding=1)
+
+        def f_sub(x, ker, b):
+            return deconv2d_subpel(x, ker, b, padding=p, output_padding=1)
+
+        a, b1 = f_dil(x, ker, b), f_sub(x, ker, b)
+        np.testing.assert_allclose(a, b1, atol=1e-5)
+        # gradients through both lowerings agree
+        cot = jax.random.normal(jax.random.PRNGKey(3), a.shape)
+        g1 = jax.grad(lambda *args: jnp.sum(f_dil(*args) * cot),
+                      argnums=(0, 1, 2))(x, ker, b)
+        g2 = jax.grad(lambda *args: jnp.sum(f_sub(*args) * cot),
+                      argnums=(0, 1, 2))(x, ker, b)
+        for u, v in zip(g1, g2):
+            np.testing.assert_allclose(u, v, atol=1e-4)
+
+    def test_auto_heuristic(self):
+        from neural_image_compression_tpu.ops.conv import _deconv_lowering_auto
+
+        # tiny cout -> subpel at any batch (MXU lane utilization)
+        assert _deconv_lowering_auto(1, 256, 384, 3) == "subpel"
+        assert _deconv_lowering_auto(48, 256, 384, 3) == "subpel"
+        # small grid needs batch to pay off
+        assert _deconv_lowering_auto(48, 32, 48, 128) == "subpel"
+        assert _deconv_lowering_auto(1, 32, 48, 128) == "dilated"
+        # big many-channel grids stay dilated
+        assert _deconv_lowering_auto(48, 128, 192, 128) == "dilated"
+
+    def test_module_override(self):
+        from neural_image_compression_tpu.ops.conv import Deconv2d
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, 4, 4, 8))
+        m1 = Deconv2d(8, 5, 2, 2, 1, lowering="dilated")
+        m2 = Deconv2d(8, 5, 2, 2, 1, lowering="subpel")
+        p = m1.init(key, x)["params"]
+        np.testing.assert_allclose(m1.apply({"params": p}, x),
+                                   m2.apply({"params": p}, x), atol=1e-5)
