@@ -206,6 +206,22 @@ def scalable_params_from_torch(sd: StateDict) -> Dict:
     }
 
 
+def load_reference_checkpoint(path: str, transform: str = "conv5x5",
+                              scalable: bool = False) -> Dict:
+    """Load a reference Trainer checkpoint (.pth written by Trainer.py:52-61:
+    {'model_state_dict': ..., 'optimizer_state_dict': ..., 'step': ...}, or a
+    bare state_dict) and return the flax params pytree for the matching model
+    here. Requires torch (CPU) to deserialize."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    sd = blob.get("model_state_dict", blob) if isinstance(blob, dict) else blob
+    sd = {k: v.numpy() for k, v in sd.items()}
+    if scalable:
+        return scalable_params_from_torch(sd)
+    return joint_ar_params_from_torch(sd, transform)
+
+
 def joint_ar_params_from_torch(sd: StateDict,
                                transform: str = "conv5x5") -> Dict:
     """Torch state_dict (reference JointAutoregressiveHierarchical /

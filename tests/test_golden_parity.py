@@ -348,3 +348,28 @@ class TestScalableFullModelParity:
                 np.testing.assert_allclose(out["weights" + layer],
                                            ref("weights" + layer),
                                            rtol=1e-4, atol=1e-6)
+
+
+def test_load_reference_checkpoint_file(tmp_path):
+    """utils.load_reference_checkpoint reads a reference Trainer .pth
+    (Trainer.py:52-61 layout) and produces the same pytree as the direct
+    mapping."""
+    import torch
+
+    from neural_image_compression_tpu.utils.torch_import import (
+        joint_ar_params_from_torch, load_reference_checkpoint,
+    )
+
+    fx = np.load(os.path.join(GOLDEN, "fullmodel_joint5x5_k1.npz"))
+    sd = {k[3:]: fx[k] for k in fx.files if k.startswith("sd_")}
+    path = str(tmp_path / "ref.pth")
+    torch.save({"model_state_dict": {k: torch.from_numpy(np.array(v))
+                                     for k, v in sd.items()},
+                "step": 123}, path)
+    got = load_reference_checkpoint(path, transform="conv5x5")
+    want = joint_ar_params_from_torch(sd, "conv5x5")
+    for (pa, va), (pb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(got),
+            jax.tree_util.tree_leaves_with_path(want)):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(va, vb)
