@@ -221,18 +221,18 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self):
-        # params/opt_state are replicated, so process 0's copy is the whole
-        # state; other processes skip the write (shared-fs safe). Restore-side:
-        # every process reads the same path (shared fs, or pre-synced).
-        if not self._is_main_process:
-            return
+        # params/opt_state are replicated, so any process's copy is the whole
+        # state — but EVERY process must enter save_checkpoint: Orbax's save
+        # runs a global barrier when process_count > 1, so a process-0-only
+        # call deadlocks (Orbax itself makes only the primary host write).
         state = {"params": self.params, "opt_state": self.opt_state,
                  "rng": self._rng}
         aux = {"step": int(self.step)}
         if self.plateau is not None:
             aux["plateau"] = self.plateau.state_dict()
         save_checkpoint(self.checkpoint_path, state, aux)
-        print(f"Checkpoint saved at step {self.step} -> {self.checkpoint_path}")
+        if self._is_main_process:
+            print(f"Checkpoint saved at step {self.step} -> {self.checkpoint_path}")
 
     def load_checkpoint(self):
         template = {"params": self.params, "opt_state": self.opt_state,
@@ -286,8 +286,17 @@ class Trainer:
                 # current_lr() syncs a device scalar — keep it off the hot path
                 self.logger.scalar("train/learning_rate", self.current_lr(), self.step)
 
-            if self.step % self.log_interval == 0 or self.step % self.img_interval == 0:
-                self._rng, diag_rng = jax.random.split(self._rng)
+            # Histogram/image diagnostics materialize per-example tensors,
+            # which are batch-sharded across processes in a multi-host run
+            # (non-addressable); scalars + validation remain logged there.
+            if self._process_count == 1 and (
+                    self.step % self.log_interval == 0
+                    or self.step % self.img_interval == 0):
+                # fold_in (not split): diagnostics must not consume the
+                # training RNG stream, or runs with different log intervals
+                # (or multi-process runs, which skip this branch) would train
+                # on different noise keys
+                diag_rng = jax.random.fold_in(self._rng, self.step)
                 model_out = self._diag_forward(self.params, batch, diag_rng)
                 if self.step % self.log_interval == 0:
                     self._log_histograms(model_out)
@@ -318,10 +327,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _log_scalars(self, metrics):
-        host = {k: np.asarray(v) for k, v in metrics.items()
-                if np.asarray(v).ndim == 0}
-        for k, v in host.items():
-            self.logger.scalar(f"losses/{k}", v, self.step)
+        # filter on .ndim WITHOUT materializing: per-example metric arrays
+        # are batch-sharded, and fetching them in a multi-process run would
+        # touch non-addressable shards (scalars are replicated — safe)
+        for k, v in metrics.items():
+            if getattr(v, "ndim", None) == 0 or np.ndim(v) == 0:
+                self.logger.scalar(f"losses/{k}", np.asarray(v), self.step)
 
     def _validate(self) -> float:
         total_loss = bpp = psnr = 0.0

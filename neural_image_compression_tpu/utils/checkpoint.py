@@ -20,12 +20,18 @@ def _ckptr():
 
 
 def save_checkpoint(path: str, state: Any, aux: Optional[dict] = None) -> None:
-    """Save a pytree `state` (and a small JSON `aux` dict) at `path`."""
+    """Save a pytree `state` (and a small JSON `aux` dict) at `path`.
+
+    Multi-process: EVERY process must call this (Orbax's save runs a global
+    barrier whenever jax.process_count() > 1 — a process-0-only call
+    deadlocks). Orbax coordinates so only the primary host writes the tree;
+    the aux sidecar is written by process 0 after the barrier completes.
+    """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     state = jax.device_get(state)
     _ckptr().save(path, state, force=True)
-    if aux is not None:
+    if aux is not None and jax.process_index() == 0:
         with open(path + ".aux.json", "w") as f:
             json.dump(aux, f)
 
