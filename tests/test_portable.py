@@ -189,3 +189,68 @@ def test_scalable_portable_roundtrip_and_truncation():
     np.testing.assert_array_equal(y1, y1_full)
     with pytest.raises(ValueError, match="enhancement"):
         codec.decompress(base)
+
+
+# ---------------------------------------------------------------------------
+# Integer-GEMM / deconv exactness (the fast forms must be bit-identical to
+# the direct int64 forms — this is what keeps the spec implementation-free)
+# ---------------------------------------------------------------------------
+
+def _direct_imatmul(a, w):
+    return a.astype(np.int64) @ w.astype(np.int64)
+
+
+def _dilated_deconv(x, layer, stride, padding, output_padding):
+    """The literal dilate-pad-conv definition from ops/conv.py deconv2d."""
+    from neural_image_compression_tpu.coding.portable import rshift_round
+
+    kh, kw = layer.wq.shape[:2]
+    h, w, cin = x.shape
+    xd = np.zeros(((h - 1) * stride + 1, (w - 1) * stride + 1, cin), np.int64)
+    xd[::stride, ::stride] = x
+    lo = kh - 1 - padding
+    hi = kh - 1 - padding + output_padding
+    xp = np.pad(xd, ((lo, hi), (lo, hi), (0, 0)))
+    oh = xp.shape[0] - kh + 1
+    ow = xp.shape[1] - kw + 1
+    acc = np.broadcast_to(layer.bq, (oh, ow, layer.bq.shape[0])).copy()
+    for r in range(kh):
+        for c in range(kw):
+            acc += _direct_imatmul(xp[r:r + oh, c:c + ow, :], layer.wq[r, c])
+    return rshift_round(acc, layer.sw)
+
+
+def test_imatmul_exact_vs_int64_incl_bound_edges():
+    from neural_image_compression_tpu.coding.portable import _imatmul
+
+    rng = np.random.RandomState(0)
+    # amax chosen so amax*32767*k straddles 2^53: below -> dgemm path,
+    # above -> int64 fallback; both must equal direct int64 matmul
+    for n, k, m, amax in [(7, 5, 3, 100), (16, 640, 48, 1 << 20),
+                          (8, 256, 16, (2 ** 53 // (32767 * 256)) - 1),
+                          (8, 256, 16, 2 ** 53 // (32767 * 256) + 7)]:
+        a = rng.randint(-amax, amax + 1, size=(n, k)).astype(np.int64)
+        a.flat[0] = amax  # pin the bound
+        w = rng.randint(-32767, 32768, size=(k, m)).astype(np.int16)
+        np.testing.assert_array_equal(_imatmul(a, w), _direct_imatmul(a, w))
+
+
+def test_int_deconv_exact_vs_dilated_form():
+    from neural_image_compression_tpu.coding.portable import (
+        QuantLayer, _int_deconv2d,
+    )
+
+    rng = np.random.RandomState(1)
+    for (kh, stride, pad, opad) in [(5, 2, 2, 1), (3, 2, 1, 1), (5, 1, 2, 0),
+                                    (4, 2, 1, 0), (3, 3, 0, 2)]:
+        for (h, w) in [(8, 12), (5, 7), (1, 1), (2, 3)]:
+            cin, cout = 6, 10
+            layer = QuantLayer(
+                rng.randint(-32767, 32768, (kh, kh, cin, cout)).astype(np.int16),
+                rng.randint(-10 ** 6, 10 ** 6, cout).astype(np.int64), 11)
+            x = rng.randint(-(1 << 18), 1 << 18, (h, w, cin)).astype(np.int64)
+            got = _int_deconv2d(x, layer, stride, pad, opad)
+            want = _dilated_deconv(x, layer, stride, pad, opad)
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"k={kh} s={stride} p={pad} op={opad} "
+                                   f"h={h} w={w}")
