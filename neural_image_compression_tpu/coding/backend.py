@@ -131,6 +131,8 @@ def get_lib() -> ctypes.CDLL:
     lib.arport_decode.restype = ctypes.c_int
     lib.arport_decode.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int, i64p,
                                   ctypes.c_int, ctypes.c_int, i32p]
+    lib.arport_psi.argtypes = [i16p, i64p, ctypes.c_int, ctypes.c_int, i64p,
+                               ctypes.c_int, i64p]
     _LIB = lib
     return lib
 
@@ -342,9 +344,12 @@ class ArPortableCoder:
             np.concatenate([t.astype(np.int32) for t in card.tables]))
         table_len = np.array([len(t) for t in card.tables], np.int64)
         table_off = np.concatenate([[0], np.cumsum(table_len[:-1])]).astype(np.int64)
+        self.psi_dim = card.ep1_psi.wq.shape[0]
         arrs = dict(
             ctx_w=np.ascontiguousarray(card.ctx.wq, np.int16),
             ctx_b=np.ascontiguousarray(card.ctx.bq, np.int64),
+            ep1_psi_w=np.ascontiguousarray(card.ep1_psi.wq, np.int16),
+            ep1_psi_b=np.ascontiguousarray(card.ep1_psi.bq, np.int64),
             ep1_w=np.ascontiguousarray(card.ep1_phi.wq, np.int16),
             ep2_w=np.ascontiguousarray(card.ep2.wq, np.int16),
             ep2_b=np.ascontiguousarray(card.ep2.bq, np.int64),
@@ -378,6 +383,19 @@ class ArPortableCoder:
             _ptr(arrs["table_off"], ctypes.c_int64),
             _ptr(arrs["table_len"], ctypes.c_int64),
             _ptr(arrs["exp_lut"], ctypes.c_int64), len(arrs["exp_lut"]))
+
+    def psi(self, psi_flat: np.ndarray) -> np.ndarray:
+        """(n, psi_dim) int64 psi activations -> (n, hidden) int64 layer-1
+        accumulators (bias included) — native twin of card.psi_precompute."""
+        psi_flat = np.ascontiguousarray(psi_flat, np.int64)
+        n = psi_flat.shape[0]
+        out = np.empty((n, self.hidden), np.int64)
+        self._lib.arport_psi(_ptr(self._arrs["ep1_psi_w"], ctypes.c_int16),
+                             _ptr(self._arrs["ep1_psi_b"], ctypes.c_int64),
+                             self.psi_dim, self.hidden,
+                             _ptr(psi_flat, ctypes.c_int64), n,
+                             _ptr(out, ctypes.c_int64))
+        return out
 
     def encode(self, y_q: np.ndarray, p_acc: np.ndarray) -> bytes:
         """y_q: (H, W, M) integer-valued; p_acc: (H*W, hidden) int64."""

@@ -412,10 +412,17 @@ class PortableCard:
                 x = _lrelu(x)
         return x
 
-    def psi_precompute(self, psi_fix: np.ndarray) -> np.ndarray:
+    def psi_precompute(self, psi_fix: np.ndarray,
+                       native: bool = None) -> np.ndarray:
         """(h, w, 2M) psi -> (h*w, hidden) int64 accumulators (layer-1 psi
-        half + bias, NOT yet requantized)."""
+        half + bias, NOT yet requantized). Exact integer on both paths, so
+        native (C++) and numpy results are identical; native defaults to
+        the NIC_DISABLE_NATIVE_AR convention."""
         flat = psi_fix.reshape(-1, psi_fix.shape[-1])
+        if native is None:
+            native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+        if native:
+            return _native_coder(self).psi(flat)
         return _gemm(flat, self.ep1_psi)
 
     def wave_params(self, gathered: np.ndarray, p_acc: np.ndarray):
@@ -605,7 +612,7 @@ def portable_ar_encode(card: PortableCard, y_q: np.ndarray,
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
     if native:
-        p_acc = card.psi_precompute(psi_fix)
+        p_acc = card.psi_precompute(psi_fix, native=True)
         return _native_coder(card).encode(
             np.asarray(y_q).astype(np.int32), p_acc)
     return _py_ar_encode(card, y_q, psi_fix)
@@ -619,7 +626,7 @@ def _py_ar_encode(card: PortableCard, y_q: np.ndarray,
     M, K = card.M, card.K
     y_int = np.asarray(y_q).astype(np.int64)
     pix, wave_sizes = wavefront_order(h, w)
-    p_acc = card.psi_precompute(psi_fix).reshape(h * w, -1)
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
     y_pad = np.zeros((h + 4, w + 4, M), np.int64)
     y_pad[2:-2, 2:-2] = y_int << F_BITS
 
@@ -659,7 +666,7 @@ def portable_ar_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
     if native:
-        p_acc = card.psi_precompute(psi_fix)
+        p_acc = card.psi_precompute(psi_fix, native=True)
         return _native_coder(card).decode(data, p_acc, h, w)
     return _py_ar_decode(card, data, psi_fix, h, w)
 
@@ -670,7 +677,7 @@ def _py_ar_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
 
     M = card.M
     pix, wave_sizes = wavefront_order(h, w)
-    p_acc = card.psi_precompute(psi_fix).reshape(h * w, -1)
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
     y_pad = np.zeros((h + 4, w + 4, M), np.int64)
     y_out = np.zeros((h, w, M), np.int64)
     dec = PyDecoder(data)

@@ -18,10 +18,18 @@
 // GEMMs, symbol models, rANS.
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+
+#if defined(__AVX512F__)
+#define NIC_PORT_AVX512 1
+#include <immintrin.h>
+#endif
 
 #include "rans_core.h"
 
@@ -57,21 +65,235 @@ struct QLayer {
   std::vector<int64_t> b;  // (m,)
   int sw = 0;
   int kd = 0, md = 0;
+  // IFMA fast-path derivatives (see gemm_panel_ifma): biased weights
+  // w + 2^15 as uint16, and per-column correction
+  // corr0[j] = colsum_w[j]*2^31 + kd*2^46.
+  std::vector<uint16_t> wb;
+  std::vector<int64_t> corr0;
+
+  void finalize() {
+    wb.resize(w.size());
+    for (size_t i = 0; i < w.size(); ++i)
+      wb[i] = static_cast<uint16_t>(w[i]) ^ 0x8000u;
+    corr0.assign(md, static_cast<int64_t>(kd) * (int64_t{1} << 46));
+    for (int k = 0; k < kd; ++k)
+      for (int j = 0; j < md; ++j)
+        corr0[j] += static_cast<int64_t>(w[static_cast<size_t>(k) * md + j]) *
+                    (int64_t{1} << 31);
+  }
 };
 
-// out (n, md) = bias + A (n, kd) @ W; exact integer, order-free.
-void gemm_int(const int64_t* A, int n, const QLayer& L, int64_t* out) {
+bool use_avx512() {
+  static const bool v = [] {
+#ifdef NIC_PORT_AVX512
+    return std::getenv("NIC_PORT_NO_AVX512") == nullptr;
+#else
+    return false;
+#endif
+  }();
+  return v;
+}
+
+// out (n, md) = init + A (n, kd) @ W with init = bias row, or the existing
+// contents of out when bias == nullptr. Exact integer, order-free.
+void gemm_scalar(const int64_t* A, int n, const int16_t* W,
+                 const int64_t* bias, int kd, int md, int64_t* out) {
   for (int i = 0; i < n; ++i) {
-    const int64_t* a = A + static_cast<size_t>(i) * L.kd;
-    int64_t* o = out + static_cast<size_t>(i) * L.md;
-    std::memcpy(o, L.b.data(), L.md * sizeof(int64_t));
-    for (int k = 0; k < L.kd; ++k) {
+    const int64_t* a = A + static_cast<size_t>(i) * kd;
+    int64_t* o = out + static_cast<size_t>(i) * md;
+    if (bias) std::memcpy(o, bias, md * sizeof(int64_t));
+    for (int k = 0; k < kd; ++k) {
       const int64_t av = a[k];
       if (av == 0) continue;
-      const int16_t* wr = L.w.data() + static_cast<size_t>(k) * L.md;
-      for (int j = 0; j < L.md; ++j) o[j] += av * wr[j];
+      const int16_t* wr = W + static_cast<size_t>(k) * md;
+      for (int j = 0; j < md; ++j) o[j] += av * wr[j];
     }
   }
+}
+
+// Bias-narrow an int64 activation block for the IFMA kernel:
+// dst[i] = (uint32)(a + 2^31) in a qword, rowsum[r] = sum of true a over
+// the row. Returns true iff every value fits int32 (the fast-GEMM
+// precondition).
+bool to_biased(const int64_t* src, int rows, int kd, uint64_t* dst,
+               int64_t* rowsum) {
+  uint64_t m = 0;
+  for (int r = 0; r < rows; ++r) {
+    const int64_t* s = src + static_cast<size_t>(r) * kd;
+    uint64_t* d = dst + static_cast<size_t>(r) * kd;
+    int64_t acc = 0;
+    for (int k = 0; k < kd; ++k) {
+      const int64_t v = s[k];
+      m |= static_cast<uint64_t>(v ^ (v >> 63));
+      acc += v;
+      d[k] = static_cast<uint64_t>(static_cast<uint32_t>(v)) ^ 0x80000000ull;
+    }
+    rowsum[r] = acc;
+  }
+  return m <= 0x7fffffffull;
+}
+
+#ifdef NIC_PORT_AVX512
+#ifdef __AVX512IFMA__
+// R-row panel of the exact GEMM via vpmadd52luq. Operands are biased
+// non-negative (a' = a + 2^31 < 2^32, w' = w + 2^15 < 2^16), so every
+// product a'*w' < 2^48 — below 2^52, meaning the "low 52 bits" IS the full
+// product and each madd52 is one exact MAC. The bias expands to
+//   sum a'w' = sum a*w + 2^15*rowsum_a + 2^31*colsum_w + kd*2^46,
+// undone per element with QLayer::corr0 (col terms) and rowsum*2^15 —
+// all int64-exact, so the result is bit-identical to gemm_scalar whenever
+// to_biased accepted the block.
+template <int R>
+void gemm_panel_ifma(const uint64_t* Ab, int kd, const QLayer& L,
+                     const int64_t* rowsum, const int64_t* bias,
+                     int64_t* out) {
+  const int md = L.md;
+  const uint16_t* Wb = L.wb.data();
+  int jb = 0;
+  for (; jb + 16 <= md; jb += 16) {
+    __m512i acc[R][2];
+    for (int r = 0; r < R; ++r) {
+      acc[r][0] = _mm512_setzero_si512();
+      acc[r][1] = _mm512_setzero_si512();
+    }
+    const uint16_t* wp = Wb + jb;
+    for (int k = 0; k < kd; ++k, wp += md) {
+      const __m512i w0 = _mm512_cvtepu16_epi64(
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(wp)));
+      const __m512i w1 = _mm512_cvtepu16_epi64(
+          _mm_loadu_si128(reinterpret_cast<const __m128i*>(wp + 8)));
+      for (int r = 0; r < R; ++r) {
+        const __m512i av = _mm512_set1_epi64(
+            static_cast<int64_t>(Ab[static_cast<size_t>(r) * kd + k]));
+        acc[r][0] = _mm512_madd52lo_epu64(acc[r][0], av, w0);
+        acc[r][1] = _mm512_madd52lo_epu64(acc[r][1], av, w1);
+      }
+    }
+    for (int r = 0; r < R; ++r) {
+      int64_t* orow = out + static_cast<size_t>(r) * md + jb;
+      const __m512i rs = _mm512_set1_epi64(rowsum[r] * (int64_t{1} << 15));
+      for (int half = 0; half < 2; ++half) {
+        const int64_t* init = bias ? bias + jb + 8 * half : orow + 8 * half;
+        __m512i v = acc[r][half];
+        v = _mm512_sub_epi64(v,
+                             _mm512_loadu_si512(L.corr0.data() + jb + 8 * half));
+        v = _mm512_sub_epi64(v, rs);
+        v = _mm512_add_epi64(v, _mm512_loadu_si512(init));
+        _mm512_storeu_si512(orow + 8 * half, v);
+      }
+    }
+  }
+  for (int j = jb; j < md; ++j)  // column tail (md % 16): scalar, true values
+    for (int r = 0; r < R; ++r) {
+      const uint64_t* a = Ab + static_cast<size_t>(r) * kd;
+      int64_t s = bias ? bias[j] : out[static_cast<size_t>(r) * md + j];
+      for (int k = 0; k < kd; ++k)
+        s += (static_cast<int64_t>(static_cast<uint32_t>(a[k])) -
+              0x80000000ll) *
+             L.w[static_cast<size_t>(k) * md + j];
+      out[static_cast<size_t>(r) * md + j] = s;
+    }
+}
+#else
+// R-row panel of the exact GEMM for AVX512F-only hosts: int32 activations
+// (stored in qword scratch) x int16 weights via vpmuldq (signed 32x32->64)
+// on the even/odd 32-bit lanes, int64 adds. Products fit 2^46 and sums
+// 2^57+bias — bit-identical to gemm_scalar when to_biased accepted.
+template <int R>
+void gemm_panel_muldq(const uint64_t* Ab, int kd, const QLayer& L,
+                      const int64_t* /*rowsum*/, const int64_t* bias,
+                      int64_t* out) {
+  const int md = L.md;
+  const int16_t* W = L.w.data();
+  const __m512i idx_lo = _mm512_setr_epi64(0, 8, 1, 9, 2, 10, 3, 11);
+  const __m512i idx_hi = _mm512_setr_epi64(4, 12, 5, 13, 6, 14, 7, 15);
+  int jb = 0;
+  for (; jb + 16 <= md; jb += 16) {
+    __m512i ae[R], ao[R];
+    for (int r = 0; r < R; ++r) {
+      ae[r] = _mm512_setzero_si512();
+      ao[r] = _mm512_setzero_si512();
+    }
+    const int16_t* wp = W + jb;
+    for (int k = 0; k < kd; ++k, wp += md) {
+      const __m512i w = _mm512_cvtepi16_epi32(
+          _mm256_loadu_si256(reinterpret_cast<const __m256i*>(wp)));
+      const __m512i wo = _mm512_srli_epi64(w, 32);
+      for (int r = 0; r < R; ++r) {
+        // un-bias on the fly: low 32 bits of (Ab ^ 0x80000000) = true a
+        const __m512i av = _mm512_set1_epi32(static_cast<int32_t>(
+            static_cast<uint32_t>(Ab[static_cast<size_t>(r) * kd + k]) ^
+            0x80000000u));
+        ae[r] = _mm512_add_epi64(ae[r], _mm512_mul_epi32(av, w));
+        ao[r] = _mm512_add_epi64(ao[r], _mm512_mul_epi32(av, wo));
+      }
+    }
+    for (int r = 0; r < R; ++r) {
+      int64_t* orow = out + static_cast<size_t>(r) * md + jb;
+      const int64_t* init = bias ? bias + jb : orow;
+      const __m512i lo = _mm512_permutex2var_epi64(ae[r], idx_lo, ao[r]);
+      const __m512i hi = _mm512_permutex2var_epi64(ae[r], idx_hi, ao[r]);
+      const __m512i i0 = _mm512_loadu_si512(init);
+      const __m512i i1 = _mm512_loadu_si512(init + 8);
+      _mm512_storeu_si512(orow, _mm512_add_epi64(i0, lo));
+      _mm512_storeu_si512(orow + 8, _mm512_add_epi64(i1, hi));
+    }
+  }
+  for (int j = jb; j < md; ++j)  // column tail (md % 16)
+    for (int r = 0; r < R; ++r) {
+      const uint64_t* a = Ab + static_cast<size_t>(r) * kd;
+      int64_t s = bias ? bias[j] : out[static_cast<size_t>(r) * md + j];
+      for (int k = 0; k < kd; ++k)
+        s += (static_cast<int64_t>(static_cast<uint32_t>(a[k])) -
+              0x80000000ll) *
+             W[static_cast<size_t>(k) * md + j];
+      out[static_cast<size_t>(r) * md + j] = s;
+    }
+}
+#endif  // __AVX512IFMA__
+#endif  // NIC_PORT_AVX512
+
+// Exact GEMM with runtime dispatch. n_pad must be a multiple of 4 (caller
+// zero-pads activation rows); a_scr holds n_pad*kd qwords, rowsum_scr n_pad
+// entries. Results are identical on every path — dispatch never affects
+// the stream.
+void gemm_exact(const int64_t* A, int n_pad, const QLayer& L,
+                const int64_t* bias, uint64_t* a_scr, int64_t* rowsum_scr,
+                int64_t* out) {
+#ifdef NIC_PORT_AVX512
+  if (use_avx512() && to_biased(A, n_pad, L.kd, a_scr, rowsum_scr)) {
+#ifdef __AVX512IFMA__
+    constexpr auto panel8 = gemm_panel_ifma<8>;
+    constexpr auto panel4 = gemm_panel_ifma<4>;
+#else
+    constexpr auto panel8 = gemm_panel_muldq<8>;
+    constexpr auto panel4 = gemm_panel_muldq<4>;
+#endif
+    int p = 0;
+    for (; p + 8 <= n_pad; p += 8)
+      panel8(a_scr + static_cast<size_t>(p) * L.kd, L.kd, L, rowsum_scr + p,
+             bias, out + static_cast<size_t>(p) * L.md);
+    if (p < n_pad)
+      panel4(a_scr + static_cast<size_t>(p) * L.kd, L.kd, L, rowsum_scr + p,
+             bias, out + static_cast<size_t>(p) * L.md);
+    return;
+  }
+#else
+  (void)a_scr;
+  (void)rowsum_scr;
+#endif
+  gemm_scalar(A, n_pad, L.w.data(), bias, L.kd, L.md, out);
+}
+
+bool prof_on() {
+  static const bool v = std::getenv("NIC_ARPORT_PROFILE") != nullptr;
+  return v;
+}
+
+double now_s() {
+  return std::chrono::duration<double>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
 }
 
 struct PortNets {
@@ -171,19 +393,26 @@ void build_model(const PortNets& net, const int64_t* mu_fix,
 
 struct PScratch {
   const PortNets& net;
-  int H, W, nmax;
+  int H, W, nmax, nmax_pad;
   std::vector<int64_t> y_pad;  // (H+4, W+4, M) at F=12
   std::vector<int64_t> A, phi, h1, h2, h3;
+  std::vector<uint64_t> a_scr;  // biased-activation scratch for gemm_exact
+  std::vector<int64_t> rowsum_scr;
   std::vector<int> wave_i, wave_j;
+  double t_gemm = 0;  // wave_params seconds (NIC_ARPORT_PROFILE)
 
   PScratch(const PortNets& n, int h, int w) : net(n), H(h), W(w) {
     nmax = std::min((W + 2) / 3, H);
+    nmax_pad = (nmax + 3) & ~3;
     y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * net.M, 0);
-    A.resize(static_cast<size_t>(nmax) * 12 * net.M);
-    phi.resize(static_cast<size_t>(nmax) * net.phi_dim);
-    h1.resize(static_cast<size_t>(nmax) * net.hidden);
-    h2.resize(static_cast<size_t>(nmax) * net.hidden);
-    h3.resize(static_cast<size_t>(nmax) * net.out_dim);
+    A.resize(static_cast<size_t>(nmax_pad) * 12 * net.M);
+    phi.resize(static_cast<size_t>(nmax_pad) * net.phi_dim);
+    h1.resize(static_cast<size_t>(nmax_pad) * net.hidden);
+    h2.resize(static_cast<size_t>(nmax_pad) * net.hidden);
+    h3.resize(static_cast<size_t>(nmax_pad) * net.out_dim);
+    a_scr.resize(static_cast<size_t>(nmax_pad) *
+                 std::max(12 * net.M, std::max(net.phi_dim, net.hidden)));
+    rowsum_scr.resize(nmax_pad);
     wave_i.resize(nmax);
     wave_j.resize(nmax);
   }
@@ -208,8 +437,12 @@ struct PScratch {
   }
 
   // Gather + full GEMM stack; p_acc: (H*W, hidden) int64 accumulators.
+  // Rows [n, n_pad) are zero-filled so the panel kernel can run whole
+  // 8-row blocks; their outputs are deterministic and never read.
   void wave_params(int n, const int64_t* p_acc) {
+    const double t0 = prof_on() ? now_s() : 0;
     const int M = net.M;
+    const int n_pad = (n + 3) & ~3;
     for (int p = 0; p < n; ++p) {
       int64_t* dst = &A[static_cast<size_t>(p) * 12 * M];
       const int i = wave_i[p], j = wave_j[p];
@@ -218,8 +451,12 @@ struct PScratch {
                     5 * M * sizeof(int64_t));
       std::memcpy(dst + 10 * M, pad_at(i + 2, j), 2 * M * sizeof(int64_t));
     }
-    gemm_int(A.data(), n, net.ctx, phi.data());
-    for (size_t i = 0; i < static_cast<size_t>(n) * net.phi_dim; ++i)
+    for (int p = n; p < n_pad; ++p)
+      std::memset(&A[static_cast<size_t>(p) * 12 * M], 0,
+                  12 * M * sizeof(int64_t));
+    gemm_exact(A.data(), n_pad, net.ctx, net.ctx.b.data(), a_scr.data(),
+               rowsum_scr.data(), phi.data());
+    for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.phi_dim; ++i)
       phi[i] = rsr(phi[i], net.ctx.sw);
     // ep1: phi half accumulates on top of the caller-provided psi half
     for (int p = 0; p < n; ++p)
@@ -227,25 +464,22 @@ struct PScratch {
                   p_acc + (static_cast<size_t>(wave_i[p]) * W + wave_j[p]) *
                               net.hidden,
                   net.hidden * sizeof(int64_t));
-    for (int p = 0; p < n; ++p) {
-      const int64_t* a = &phi[static_cast<size_t>(p) * net.phi_dim];
-      int64_t* o = &h1[static_cast<size_t>(p) * net.hidden];
-      for (int k = 0; k < net.phi_dim; ++k) {
-        const int64_t av = a[k];
-        if (av == 0) continue;
-        const int16_t* wr =
-            net.ep1_phi.w.data() + static_cast<size_t>(k) * net.hidden;
-        for (int j = 0; j < net.hidden; ++j) o[j] += av * wr[j];
-      }
-    }
-    for (size_t i = 0; i < static_cast<size_t>(n) * net.hidden; ++i)
+    for (int p = n; p < n_pad; ++p)
+      std::memset(&h1[static_cast<size_t>(p) * net.hidden], 0,
+                  net.hidden * sizeof(int64_t));
+    gemm_exact(phi.data(), n_pad, net.ep1_phi, nullptr, a_scr.data(),
+               rowsum_scr.data(), h1.data());
+    for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.hidden; ++i)
       h1[i] = lrelu1(rsr(h1[i], net.ep1_phi.sw));
-    gemm_int(h1.data(), n, net.ep2, h2.data());
-    for (size_t i = 0; i < static_cast<size_t>(n) * net.hidden; ++i)
+    gemm_exact(h1.data(), n_pad, net.ep2, net.ep2.b.data(), a_scr.data(),
+               rowsum_scr.data(), h2.data());
+    for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.hidden; ++i)
       h2[i] = lrelu1(rsr(h2[i], net.ep2.sw));
-    gemm_int(h2.data(), n, net.ep3, h3.data());
-    for (size_t i = 0; i < static_cast<size_t>(n) * net.out_dim; ++i)
+    gemm_exact(h2.data(), n_pad, net.ep3, net.ep3.b.data(), a_scr.data(),
+               rowsum_scr.data(), h3.data());
+    for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.out_dim; ++i)
       h3[i] = rsr(h3[i], net.ep3.sw);
+    if (prof_on()) t_gemm += now_s() - t0;
   }
 
   // One pixel's h3 row -> per-channel (mu_fix, bin, wfix), coder layout.
@@ -330,6 +564,7 @@ void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
     L.sw = sw;
     L.kd = kd;
     L.md = md;
+    L.finalize();
   };
   fill(n->ctx, ctx_w, ctx_b, ctx_sw, 12 * M, phi_dim);
   fill(n->ep1_phi, ep1_phi_w, nullptr, ep1_sw, phi_dim, hidden);
@@ -348,6 +583,29 @@ void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
 }
 
 void arport_destroy(void* h) { delete static_cast<PortNets*>(h); }
+
+// p_acc (n, hidden) = psi_fix (n, psi_dim) @ W + bias: the ep-layer-1
+// psi-half accumulators, exact int64 through the same kernel as the
+// wavefront GEMMs (bit-identical to the numpy float64-BLAS fast path,
+// which is likewise exact).
+void arport_psi(const int16_t* w, const int64_t* b, int kd, int md,
+                const int64_t* psi, int n, int64_t* out) {
+  QLayer L;
+  L.w.assign(w, w + static_cast<size_t>(kd) * md);
+  L.b.assign(b, b + md);
+  L.kd = kd;
+  L.md = md;
+  L.finalize();
+  const int n_main = n & ~3;
+  if (n_main) {
+    std::vector<uint64_t> a_scr(static_cast<size_t>(n_main) * kd);
+    std::vector<int64_t> rowsum(n_main);
+    gemm_exact(psi, n_main, L, b, a_scr.data(), rowsum.data(), out);
+  }
+  if (n_main < n)
+    gemm_scalar(psi + static_cast<size_t>(n_main) * kd, n - n_main, w, b,
+                kd, md, out + static_cast<size_t>(n_main) * md);
+}
 
 // y_q: (H, W, M) int32 latents; p_acc: (H*W, hidden) int64 psi-half
 // accumulators. Returns stream length, or -1 on overflow.
@@ -382,6 +640,7 @@ int arport_encode(void* handle, const int32_t* y_q, const int64_t* p_acc,
     }
   }
 
+  const double t1 = prof_on() ? now_s() : 0;
   Encoder enc;
   enc.bytes.reserve(n_sym * 2 + 16);
   SymModel sm;
@@ -399,6 +658,10 @@ int arport_encode(void* handle, const int32_t* y_q, const int64_t* p_acc,
       enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
     }
   }
+  if (prof_on())
+    std::fprintf(stderr,
+                 "[arport_encode] wave_params %.1f ms, model+rans %.1f ms\n",
+                 sc.t_gemm * 1e3, (now_s() - t1) * 1e3);
   return enc.flush(out, cap);
 }
 
@@ -441,6 +704,9 @@ int arport_decode(void* handle, const uint8_t* buf, int len,
       }
     }
   }
+  if (prof_on())
+    std::fprintf(stderr, "[arport_decode] wave_params %.1f ms\n",
+                 sc.t_gemm * 1e3);
   return dec.ok() ? 0 : -1;
 }
 
