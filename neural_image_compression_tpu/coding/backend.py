@@ -133,6 +133,13 @@ def get_lib() -> ctypes.CDLL:
                                   ctypes.c_int, ctypes.c_int, i32p]
     lib.arport_psi.argtypes = [i16p, i64p, ctypes.c_int, ctypes.c_int, i64p,
                                ctypes.c_int, i64p]
+    lib.arport_hyper_create.restype = ctypes.c_void_p
+    lib.arport_hyper_create.argtypes = [ctypes.c_int, i64p, i16p, i64p, i64p,
+                                        i64p]
+    lib.arport_hyper_destroy.argtypes = [ctypes.c_void_p]
+    lib.arport_hyper_run.restype = ctypes.c_int64
+    lib.arport_hyper_run.argtypes = [ctypes.c_void_p, i32p, ctypes.c_int,
+                                     ctypes.c_int, i64p, ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -345,6 +352,28 @@ class ArPortableCoder:
         table_len = np.array([len(t) for t in card.tables], np.int64)
         table_off = np.concatenate([[0], np.cumsum(table_len[:-1])]).astype(np.int64)
         self.psi_dim = card.ep1_psi.wq.shape[0]
+        # hyper-decoder stack (kind, kh, kw, cin, cout, stride, pad, opad, sw)
+        metas, w_parts, b_parts = [], [], []
+        self._hyper_geom = []
+        for kind, layer, geom in card.hyper:
+            kh, kw, cin, cout = layer.wq.shape
+            stride, pad = geom[0], geom[1]
+            opad = geom[2] if kind == "deconv" else 0
+            metas.append([0 if kind == "conv" else 1, kh, kw, cin, cout,
+                          stride, pad, opad, layer.sw])
+            w_parts.append(np.ascontiguousarray(layer.wq, np.int16).reshape(-1))
+            b_parts.append(np.ascontiguousarray(layer.bq, np.int64))
+            self._hyper_geom.append((kind, kh, kw, cout, stride, pad, opad))
+        hyper_meta = np.ascontiguousarray(np.array(metas, np.int64))
+        w_off = np.concatenate(
+            [[0], np.cumsum([p.size for p in w_parts[:-1]])]).astype(np.int64)
+        b_off = np.concatenate(
+            [[0], np.cumsum([p.size for p in b_parts[:-1]])]).astype(np.int64)
+        self._hyper_arrs = dict(meta=hyper_meta,
+                                w=np.concatenate(w_parts),
+                                w_off=w_off,
+                                b=np.concatenate(b_parts),
+                                b_off=b_off)
         arrs = dict(
             ctx_w=np.ascontiguousarray(card.ctx.wq, np.int16),
             ctx_b=np.ascontiguousarray(card.ctx.bq, np.int64),
@@ -383,6 +412,38 @@ class ArPortableCoder:
             _ptr(arrs["table_off"], ctypes.c_int64),
             _ptr(arrs["table_len"], ctypes.c_int64),
             _ptr(arrs["exp_lut"], ctypes.c_int64), len(arrs["exp_lut"]))
+        ha = self._hyper_arrs
+        self._hyper_handle = self._lib.arport_hyper_create(
+            len(card.hyper), _ptr(ha["meta"], ctypes.c_int64),
+            _ptr(ha["w"], ctypes.c_int16), _ptr(ha["w_off"], ctypes.c_int64),
+            _ptr(ha["b"], ctypes.c_int64), _ptr(ha["b_off"], ctypes.c_int64))
+
+    def hyper_shape(self, h: int, w: int):
+        """(oh, ow, cout) of the hyper-decoder output for a (h, w) z grid."""
+        cout = None
+        for kind, kh, kw, cout, stride, pad, opad in self._hyper_geom:
+            if kind == "conv":
+                h = (h + 2 * pad - kh) // stride + 1
+                w = (w + 2 * pad - kw) // stride + 1
+            else:
+                lo = kh - 1 - pad
+                hi = kh - 1 - pad + opad
+                h = (h - 1) * stride + 1 + lo + hi - kh + 1
+                w = (w - 1) * stride + 1 + lo + hi - kw + 1
+        return h, w, cout
+
+    def hyper(self, z_q: np.ndarray) -> np.ndarray:
+        """(hz, wz, M) integer z -> (oh, ow, 2M) int64 psi at F_BITS —
+        native twin of card.hyper_forward."""
+        z = np.ascontiguousarray(z_q, np.int32)
+        h, w = z.shape[:2]
+        out = np.empty(self.hyper_shape(h, w), np.int64)
+        n = self._lib.arport_hyper_run(self._hyper_handle,
+                                       _ptr(z, ctypes.c_int32), h, w,
+                                       _ptr(out, ctypes.c_int64), out.size)
+        if n != out.size:
+            raise RuntimeError("hyper-decoder output size mismatch")
+        return out
 
     def psi(self, psi_flat: np.ndarray) -> np.ndarray:
         """(n, psi_dim) int64 psi activations -> (n, hidden) int64 layer-1
@@ -427,6 +488,9 @@ class ArPortableCoder:
         if getattr(self, "_handle", None):
             self._lib.arport_destroy(self._handle)
             self._handle = None
+        if getattr(self, "_hyper_handle", None):
+            self._lib.arport_hyper_destroy(self._hyper_handle)
+            self._hyper_handle = None
 
 
 def arwave_param_sweep_time(coder: "ArWaveCoder", y_q: np.ndarray,

@@ -400,8 +400,17 @@ class PortableCard:
                    np.asarray(z_sizes, np.int32), zmin, zmax)
 
     # -- integer forward passes ----------------------------------------
-    def hyper_forward(self, z_q: np.ndarray) -> np.ndarray:
-        """z_q: (hz, wz, M) integer-valued -> psi (h, w, 2M) int64 F_BITS."""
+    def hyper_forward(self, z_q: np.ndarray,
+                      native: bool = None) -> np.ndarray:
+        """z_q: (hz, wz, M) integer-valued -> psi (h, w, 2M) int64 F_BITS.
+
+        Exact integer on both paths (same sums, order-free), so native (C++)
+        and numpy results are identical; native defaults to the
+        NIC_DISABLE_NATIVE_AR convention."""
+        if native is None:
+            native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+        if native:
+            return _native_coder(self).hyper(np.asarray(z_q))
         x = (np.asarray(z_q).astype(np.int64)) << F_BITS
         for i, (kind, layer, geom) in enumerate(self.hyper):
             if kind == "conv":

@@ -533,6 +533,145 @@ struct PScratch {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Native integer hyper-decoder (z_q -> psi), mirroring portable.py's
+// _int_conv2d / _int_deconv2d exactly: same geometry, same exact int64
+// sums (order-free), same requant/leaky placement — so hyper_forward gives
+// bit-identical psi on either implementation.
+// ---------------------------------------------------------------------------
+
+struct HLayer {
+  int kind;  // 0 conv, 1 deconv
+  int kh, kw, cin, cout, stride, pad, opad, sw;
+  std::vector<QLayer> taps;   // per (r, c): (cin, cout) GEMM
+  std::vector<int64_t> bias;  // (cout,)
+};
+
+struct HyperNet {
+  std::vector<HLayer> layers;
+};
+
+// First output/input index and count for one deconv tap (portable.py _span).
+bool dspan(int tap, int lo, int stride, int out_len, int in_len, int* o0,
+           int* i0, int* n) {
+  int o = lo - tap, i = 0;
+  while (o < 0) {
+    o += stride;
+    ++i;
+  }
+  if (o >= out_len || i >= in_len) return false;
+  *n = std::min((out_len - 1 - o) / stride, in_len - 1 - i) + 1;
+  *o0 = o;
+  *i0 = i;
+  return true;
+}
+
+struct HScratch {
+  std::vector<int64_t> a, g;  // gathered activations / output rows
+  std::vector<uint64_t> a_scr;
+  std::vector<int64_t> rowsum;
+
+  void reserve_rows(int n_pad, int kd, int md) {
+    a.resize(static_cast<size_t>(n_pad) * kd);
+    g.resize(static_cast<size_t>(n_pad) * md);
+    a_scr.resize(static_cast<size_t>(n_pad) * kd);
+    rowsum.resize(n_pad);
+  }
+};
+
+// One tap-GEMM over gathered rows; init = bias (first conv tap) or
+// accumulate onto the gathered output rows.
+void tap_gemm(HScratch& s, int n, const QLayer& tap, const int64_t* bias,
+              int64_t* out) {
+  const int n_pad = (n + 3) & ~3;
+  for (int p = n; p < n_pad; ++p)
+    std::memset(&s.a[static_cast<size_t>(p) * tap.kd], 0,
+                tap.kd * sizeof(int64_t));
+  gemm_exact(s.a.data(), n_pad, tap, bias, s.a_scr.data(), s.rowsum.data(),
+             out);
+}
+
+void hyper_conv(const HLayer& L, const int64_t* x, int h, int w,
+                std::vector<int64_t>& out, int* oh_, int* ow_, HScratch& s) {
+  const int p = L.pad, st = L.stride;
+  const int hp = h + 2 * p, wp = w + 2 * p;
+  std::vector<int64_t> xp(static_cast<size_t>(hp) * wp * L.cin, 0);
+  for (int i = 0; i < h; ++i)
+    std::memcpy(&xp[(static_cast<size_t>(i + p) * wp + p) * L.cin],
+                x + static_cast<size_t>(i) * w * L.cin,
+                static_cast<size_t>(w) * L.cin * sizeof(int64_t));
+  const int oh = (hp - L.kh) / st + 1, ow = (wp - L.kw) / st + 1;
+  const int n = oh * ow;
+  const int n_pad = (n + 3) & ~3;
+  out.resize(static_cast<size_t>(n_pad) * L.cout);
+  s.reserve_rows(n_pad, L.cin, L.cout);
+  bool first = true;
+  for (int r = 0; r < L.kh; ++r)
+    for (int c = 0; c < L.kw; ++c) {
+      for (int i = 0; i < oh; ++i)
+        for (int j = 0; j < ow; ++j)
+          std::memcpy(&s.a[(static_cast<size_t>(i) * ow + j) * L.cin],
+                      &xp[(static_cast<size_t>(r + i * st) * wp + c + j * st) *
+                          L.cin],
+                      L.cin * sizeof(int64_t));
+      tap_gemm(s, n, L.taps[r * L.kw + c],
+               first ? L.bias.data() : nullptr, out.data());
+      first = false;
+    }
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < L.cout; ++j)
+      out[static_cast<size_t>(i) * L.cout + j] =
+          rsr(out[static_cast<size_t>(i) * L.cout + j], L.sw);
+  *oh_ = oh;
+  *ow_ = ow;
+}
+
+void hyper_deconv(const HLayer& L, const int64_t* x, int h, int w,
+                  std::vector<int64_t>& out, int* oh_, int* ow_,
+                  HScratch& s) {
+  const int st = L.stride;
+  const int hd = (h - 1) * st + 1, wd = (w - 1) * st + 1;
+  const int lo = L.kh - 1 - L.pad, hi = L.kh - 1 - L.pad + L.opad;
+  const int oh = hd + lo + hi - L.kh + 1, ow = wd + lo + hi - L.kw + 1;
+  out.assign(static_cast<size_t>(oh) * ow * L.cout, 0);
+  for (int i = 0; i < oh * ow; ++i)
+    std::memcpy(&out[static_cast<size_t>(i) * L.cout], L.bias.data(),
+                L.cout * sizeof(int64_t));
+  for (int r = 0; r < L.kh; ++r) {
+    int oi0, ii0, nr;
+    if (!dspan(r, lo, st, oh, h, &oi0, &ii0, &nr)) continue;
+    for (int c = 0; c < L.kw; ++c) {
+      int oj0, jj0, nc;
+      if (!dspan(c, lo, st, ow, w, &oj0, &jj0, &nc)) continue;
+      const int n = nr * nc;
+      s.reserve_rows((n + 3) & ~3, L.cin, L.cout);
+      for (int a = 0; a < nr; ++a)
+        for (int b = 0; b < nc; ++b) {
+          std::memcpy(&s.a[(static_cast<size_t>(a) * nc + b) * L.cin],
+                      &x[(static_cast<size_t>(ii0 + a) * w + jj0 + b) * L.cin],
+                      L.cin * sizeof(int64_t));
+          std::memcpy(
+              &s.g[(static_cast<size_t>(a) * nc + b) * L.cout],
+              &out[(static_cast<size_t>(oi0 + a * st) * ow + oj0 + b * st) *
+                   L.cout],
+              L.cout * sizeof(int64_t));
+        }
+      tap_gemm(s, n, L.taps[r * L.kw + c], nullptr, s.g.data());
+      for (int a = 0; a < nr; ++a)
+        for (int b = 0; b < nc; ++b)
+          std::memcpy(
+              &out[(static_cast<size_t>(oi0 + a * st) * ow + oj0 + b * st) *
+                   L.cout],
+              &s.g[(static_cast<size_t>(a) * nc + b) * L.cout],
+              L.cout * sizeof(int64_t));
+    }
+  }
+  for (size_t i = 0; i < static_cast<size_t>(oh) * ow * L.cout; ++i)
+    out[i] = rsr(out[i], L.sw);
+  *oh_ = oh;
+  *ow_ = ow;
+}
+
 }  // namespace
 
 extern "C" {
@@ -583,6 +722,81 @@ void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
 }
 
 void arport_destroy(void* h) { delete static_cast<PortNets*>(h); }
+
+// Build a native hyper-decoder from the card's quantized layer stack.
+// meta: (n_layers, 9) int64 rows [kind, kh, kw, cin, cout, stride, pad,
+// opad, sw]; w_cat/b_cat: concatenated HWIO int16 kernels / int64 biases
+// with per-layer offsets.
+void* arport_hyper_create(int n_layers, const int64_t* meta,
+                          const int16_t* w_cat, const int64_t* w_off,
+                          const int64_t* b_cat, const int64_t* b_off) {
+  HyperNet* net = new HyperNet();
+  net->layers.resize(n_layers);
+  for (int l = 0; l < n_layers; ++l) {
+    HLayer& L = net->layers[l];
+    const int64_t* m = meta + l * 9;
+    L.kind = static_cast<int>(m[0]);
+    L.kh = static_cast<int>(m[1]);
+    L.kw = static_cast<int>(m[2]);
+    L.cin = static_cast<int>(m[3]);
+    L.cout = static_cast<int>(m[4]);
+    L.stride = static_cast<int>(m[5]);
+    L.pad = static_cast<int>(m[6]);
+    L.opad = static_cast<int>(m[7]);
+    L.sw = static_cast<int>(m[8]);
+    const int16_t* w = w_cat + w_off[l];
+    L.taps.resize(L.kh * L.kw);
+    for (int t = 0; t < L.kh * L.kw; ++t) {
+      QLayer& q = L.taps[t];
+      const int16_t* wt = w + static_cast<size_t>(t) * L.cin * L.cout;
+      q.w.assign(wt, wt + static_cast<size_t>(L.cin) * L.cout);
+      q.b.assign(L.cout, 0);
+      q.kd = L.cin;
+      q.md = L.cout;
+      q.finalize();
+    }
+    L.bias.assign(b_cat + b_off[l], b_cat + b_off[l] + L.cout);
+  }
+  return net;
+}
+
+void arport_hyper_destroy(void* h) { delete static_cast<HyperNet*>(h); }
+
+// z: (hz, wz, cin0) int32 integer latents. Writes psi (oh, ow, cout_last)
+// int64 at F_BITS into out; returns the element count, or -1 if it would
+// exceed cap. Leaky-ReLU between layers, none after the last — exactly
+// PortableCard.hyper_forward.
+int64_t arport_hyper_run(void* handle, const int32_t* z, int hz, int wz,
+                         int64_t* out, int64_t cap) {
+  const HyperNet& net = *static_cast<HyperNet*>(handle);
+  const int n_layers = static_cast<int>(net.layers.size());
+  std::vector<int64_t> cur(static_cast<size_t>(hz) * wz *
+                           net.layers[0].cin);
+  for (size_t i = 0; i < cur.size(); ++i)
+    cur[i] = static_cast<int64_t>(z[i]) << kF;
+  int h = hz, w = wz;
+  HScratch s;
+  std::vector<int64_t> nxt;
+  for (int l = 0; l < n_layers; ++l) {
+    const HLayer& L = net.layers[l];
+    int oh = 0, ow = 0;
+    if (L.kind == 0)
+      hyper_conv(L, cur.data(), h, w, nxt, &oh, &ow, s);
+    else
+      hyper_deconv(L, cur.data(), h, w, nxt, &oh, &ow, s);
+    h = oh;
+    w = ow;
+    if (l < n_layers - 1) {
+      const size_t cnt = static_cast<size_t>(h) * w * L.cout;
+      for (size_t i = 0; i < cnt; ++i) nxt[i] = lrelu1(nxt[i]);
+    }
+    cur.swap(nxt);
+  }
+  const int64_t cnt = static_cast<int64_t>(h) * w * net.layers.back().cout;
+  if (cnt > cap) return -1;
+  std::memcpy(out, cur.data(), static_cast<size_t>(cnt) * sizeof(int64_t));
+  return cnt;
+}
 
 // p_acc (n, hidden) = psi_fix (n, psi_dim) @ W + bias: the ep-layer-1
 // psi-half accumulators, exact int64 through the same kernel as the

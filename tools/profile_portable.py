@@ -56,17 +56,19 @@ def main():
     y_q.flat[::997] = rng.randint(-60, 60, y_q.flat[::997].shape)  # outliers
     z_q = np.round(rng.randn(hz, wz, M) * 2.0).astype(np.int32)
 
+    psi_fix = card.hyper_forward(z_q)  # warm (builds the native lib)
     t0 = time.perf_counter()
-    psi_fix = card.hyper_forward(z_q)
-    t_hyper = time.perf_counter() - t0
-    print(f"hyper_forward (numpy int)  {t_hyper*1e3:8.1f} ms  "
+    for _ in range(args.iters):
+        psi_fix = card.hyper_forward(z_q)
+    t_hyper = (time.perf_counter() - t0) / args.iters
+    print(f"hyper_forward (native)     {t_hyper*1e3:8.1f} ms  "
           f"psi {psi_fix.shape} max|psi|={np.abs(psi_fix).max()}")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         p_acc = card.psi_precompute(psi_fix.reshape(-1, psi_fix.shape[-1]))
     t_pre = (time.perf_counter() - t0) / args.iters
-    print(f"psi_precompute (numpy)     {t_pre*1e3:8.1f} ms  "
+    print(f"psi_precompute (native)    {t_pre*1e3:8.1f} ms  "
           f"p_acc {p_acc.shape}")
 
     from neural_image_compression_tpu.coding.portable import (
