@@ -59,6 +59,51 @@ def test_native_and_numpy_streams_bit_identical(rig):
         portable_ar_decode(card, s_py, psi_fix, h, w, native=True), y_q)
 
 
+def test_native_hyper_matches_numpy(rig):
+    """arport_hyper is an exact mirror of the numpy integer hyper-decoder:
+    identical psi (shape and values) across even/odd/degenerate z grids."""
+    _, _, card, _ = rig
+    rng = np.random.RandomState(7)
+    for hz, wz in [(2, 3), (1, 1), (5, 2), (3, 7)]:
+        z_q = rng.randint(-6, 7, (hz, wz, card.M)).astype(np.int32)
+        a = card.hyper_forward(z_q, native=False)
+        b = card.hyper_forward(z_q, native=True)
+        assert a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_psi_matches_numpy(rig):
+    """arport_psi equals the numpy psi_precompute accumulators exactly,
+    including a row count that is not a multiple of the panel size."""
+    _, _, card, _ = rig
+    rng = np.random.RandomState(8)
+    for n in (1, 5, 64, 77):
+        psi = rng.randint(-5000, 5000, (n, 2 * card.M)).astype(np.int64)
+        np.testing.assert_array_equal(
+            card.psi_precompute(psi, native=False),
+            card.psi_precompute(psi, native=True))
+
+
+def test_giant_latents_fall_back_identically(rig):
+    """Latents too large for the int32 fast-GEMM window force the scalar
+    fallback mid-stream; both implementations still agree byte-for-byte
+    (dispatch can never affect the stream)."""
+    _, _, card, _ = rig
+    rng = np.random.RandomState(9)
+    h, w = 4, 6
+    y_q = rng.randint(-3, 4, (h, w, card.M)).astype(np.float32)
+    y_q[0, 0, 0] = float(1 << 21)  # (y << F) exceeds int32
+    z_q = np.zeros((1, 2, card.M), np.float32)
+    psi_fix = card.hyper_forward(z_q)[:h, :w]
+    s_py = portable_ar_encode(card, y_q, psi_fix, native=False)
+    s_cc = portable_ar_encode(card, y_q, psi_fix, native=True)
+    assert s_py == s_cc
+    np.testing.assert_array_equal(
+        portable_ar_decode(card, s_py, psi_fix, h, w, native=True), y_q)
+    np.testing.assert_array_equal(
+        portable_ar_decode(card, s_cc, psi_fix, h, w, native=False), y_q)
+
+
 def test_escape_path_roundtrip(rig):
     """Symbols far outside the alphabet span go through the raw-16 escape on
     both implementations identically."""
