@@ -432,6 +432,12 @@ class JointARCodec:
         x = jnp.asarray(_pad_input(x, 64))
 
         y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
+        # Enqueue hyper-synthesis on the DEVICE z_q before touching host
+        # copies: the integer z_q values are identical either way and psi
+        # still comes from the same standalone program as decode (the
+        # determinism contract), but skipping the host round-trip removes
+        # one upload and lets both programs pipeline over the tunnel.
+        (psi_dev,) = self._hyper_synthesis(self.variables, z_q_dev)
         y_q = np.asarray(y_q_dev)[0]  # (h, w, M)
         z_q = np.asarray(z_q_dev)[0]  # (hz, wz, M)
 
@@ -445,7 +451,6 @@ class JointARCodec:
                                          cdfs, offsets, sizes)
 
         # --- y stream(s): wavefront-ordered AR coding -------------------
-        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
 
         h, w = y_q.shape[:2]
@@ -562,12 +567,14 @@ class JointARCodec:
         xp = _pad_input(xs, 64)
         per = [self._analysis_q(self.variables, jnp.asarray(xp[b:b + 1]))
                for b in range(xp.shape[0])]
+        # batch-1 hyper-synthesis per image from the DEVICE z_q (identical
+        # integer values, same standalone program as decode — see compress());
+        # everything is enqueued before the first host fetch so the tunnel
+        # pipelines all 2B programs.
+        psi_dev = [self._hyper_synthesis(self.variables, p[1])[0] for p in per]
         y_q = np.concatenate([np.asarray(p[0]) for p in per])  # (B, h, w, M)
         z_q = np.concatenate([np.asarray(p[1]) for p in per])  # (B, hz, wz, M)
-        psi = np.concatenate([
-            np.asarray(self._hyper_synthesis(self.variables,
-                                             jnp.asarray(z_q[b])[None])[0])
-            for b in range(z_q.shape[0])])        # (B, h, w, 2M)
+        psi = np.concatenate([np.asarray(pd) for pd in psi_dev])  # (B, h, w, 2M)
 
         def _one(b):
             zb = z_q[b]
@@ -836,6 +843,10 @@ class ScalableCodec:
         img_h, img_w = x.shape[1], x.shape[2]
         y_q_dev, z_q_dev = self._analysis_q(self.variables,
                                             jnp.asarray(_pad_input(x, 64)))
+        # device z_q straight into the standalone hyper-synthesis program
+        # (identical integer values — see JointARCodec.compress); both
+        # programs enqueue before the first host fetch.
+        (psi_dev,) = self._hyper_synthesis(self.variables, z_q_dev)
         y_q = np.asarray(y_q_dev)[0]
         z_q = np.asarray(z_q_dev)[0]
 
@@ -846,7 +857,6 @@ class ScalableCodec:
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
                                          cdfs, offsets, sizes)
 
-        (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
         psi = np.asarray(psi_dev)[0]
         with ThreadPoolExecutor(max_workers=2) as ex:
             f1 = ex.submit(_ar_encode_latents, self._nets1,
