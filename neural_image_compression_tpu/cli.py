@@ -184,10 +184,15 @@ def cmd_compress(args):
     from neural_image_compression_tpu.data import load_image, pad_to_multiple
 
     model = build_model(cfg.model)
-    imgs = [load_image(p)[None] for p in args.image]
+    # uint8 straight from the decoder: the codecs divide by 255 on device,
+    # which uploads 4x less than host-side f32 (codec._make_analysis) and
+    # yields the identical stream.
+    imgs = [load_image(p, np.uint8)[None] for p in args.image]
     sizes = [im.shape[1:3] for im in imgs]
-    # codecs pad internally (pad-code-crop); the example is only for init
-    params = _restore_params(model, cfg, pad_to_multiple(imgs[0], 64))
+    # codecs pad internally (pad-code-crop); the example is only for init,
+    # which traces the f32 path
+    example = pad_to_multiple(imgs[0].astype(np.float32) / 255.0, 64)
+    params = _restore_params(model, cfg, example)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
     codec = _make_codec(cfg, model, params, card_path if portable else None)
@@ -248,14 +253,15 @@ def cmd_decompress(args):
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
     portable = any(len(d) > 4 and d[4] == 4 for d in datas)  # kind byte
+    # as_uint8: clip/round/*255 runs on device and uint8 pixels come off the
+    # link (4x less download traffic than f32 reconstructions)
     if multi and same_shape and not portable \
             and hasattr(codec, "decompress_batch"):
-        recons = list(codec.decompress_batch(datas))
+        recons = list(codec.decompress_batch(datas, as_uint8=True))
     else:
-        recons = [codec.decompress(d)[0] for d in datas]
+        recons = [codec.decompress(d, as_uint8=True)[0] for d in datas]
     for path, out, meta, x_hat in zip(args.bitstream, outs, metas, recons):
-        x_hat = x_hat[:meta["orig_h"], :meta["orig_w"]]
-        Image.fromarray((np.clip(x_hat, 0, 1) * 255).astype(np.uint8)).save(out)
+        Image.fromarray(x_hat[:meta["orig_h"], :meta["orig_w"]]).save(out)
         print(f"{path} -> {out}")
 
 

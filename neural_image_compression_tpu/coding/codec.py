@@ -66,9 +66,50 @@ def _pad_input(x, mult: int) -> np.ndarray:
     is edge-replicate-padded so H, W divide the model's total downsampling,
     latents are coded over the PADDED grid, the header records the TRUE size,
     and decompress crops the synthesis output back. bpp is reported per true
-    pixel (the padding cost is real bits and is charged to the image)."""
+    pixel (the padding cost is real bits and is charged to the image).
+
+    uint8 inputs stay uint8 (the codecs ship them to the device as-is and
+    divide by 255 on-device — 4x less upload traffic, see _make_analysis);
+    anything else is coerced to float32 in [0,1]."""
     from neural_image_compression_tpu.data.datasets import pad_to_multiple
-    return pad_to_multiple(np.asarray(x, np.float32), mult)
+    arr = np.asarray(x)
+    if arr.dtype != np.uint8:
+        arr = np.asarray(arr, np.float32)
+    return pad_to_multiple(arr, mult)
+
+
+def _make_analysis(model, with_hyper: bool):
+    """Fused encode program x -> integer latents, compiled per input dtype.
+
+    uint8 inputs are converted to f32/255 ON DEVICE: over a bandwidth- or
+    latency-limited host->device link the 4x smaller upload dominates the
+    single-image encode latency (measured on the tunneled v5e: the
+    analysis stage drops ~2.5x, /tmp/ab_upload data in DESIGN.md). u8/255
+    is computed in f32 exactly as a host-side conversion would, so the
+    latents are the same quantity; streams remain self-consistent either
+    way because decode never recomputes y_q/z_q (they are in the stream)
+    and psi always derives from z_q through the standalone hyper-synthesis
+    program. jit compiles one executable per input dtype on first use."""
+    def body(mdl, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        y = mdl.encoder(x)
+        if not with_hyper:
+            return (jnp.round(y.astype(jnp.float32)),)
+        return (jnp.round(y.astype(jnp.float32)),
+                jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+    return jax.jit(lambda v, x: model.apply(v, x, method=body))
+
+
+def _make_synthesis_u8(model):
+    """Decoder program with on-device clip+round+*255: only uint8 pixels
+    cross the host<->device link (vs the full float reconstruction). The
+    default f32 synthesis program is untouched; this is a separate opt-in
+    executable (decompress(..., as_uint8=True)), compiled on first use."""
+    def body(mdl, yq):
+        x_hat = jnp.clip(mdl.decoder(yq).astype(jnp.float32), 0.0, 1.0)
+        return (jnp.round(x_hat * 255.0).astype(jnp.uint8),)
+    return jax.jit(lambda v, yq: model.apply(v, yq, method=body))
 
 
 def stream_size(data: bytes) -> Tuple[int, int]:
@@ -303,15 +344,14 @@ class JointARCodec:
         # the same standalone hyper_synthesis program on both sides), so
         # fusing cannot break the determinism contract. Saves one device
         # round-trip + the full-precision y/z result transfers per image.
-        self._analysis_q = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (
-                lambda y: (jnp.round(y.astype(jnp.float32)),
-                           jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
-            )(mdl.encoder(x))))
+        # uint8 inputs compile a second executable with the /255 on device
+        # (see _make_analysis).
+        self._analysis_q = _make_analysis(model, with_hyper=True)
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
 
     # -- helpers --------------------------------------------------------
     def _z_tables(self, zmin: int, zmax: int):
@@ -396,8 +436,10 @@ class JointARCodec:
 
     # -- encode ---------------------------------------------------------
     def compress(self, x: np.ndarray, tiles=None, n_streams: int = 1) -> bytes:
-        """x: (1, H, W, 3) float32 in [0,1], any size (padded internally to
-        multiples of 64 and cropped back at decompress).
+        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded
+        internally to multiples of 64 and cropped back at decompress).
+        uint8 uploads 4x less and divides by 255 on device — prefer it for
+        serving; the stream is equally self-consistent either way.
 
         n_streams=N (N>1): N-way INTERLEAVED rANS — symbol s goes to stream
         s % N with UNCHANGED entropy params/context, so the rate cost is
@@ -544,11 +586,19 @@ class JointARCodec:
                     y_hat[r0:r1, c0:c1] = block
         return y_hat.astype(np.float32), z_q
 
-    def decompress(self, data: bytes) -> np.ndarray:
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
+        """Reconstruct (1, H, W, 3). as_uint8=True runs the clip/round/*255
+        on device and downloads uint8 pixels — 4x less link traffic, the
+        right output for serving (values equal round(clip(f32_output)*255)
+        up to the synthesis program's bf16 epsilon)."""
         y_hat, _ = self.decode_latents(data)
+        img_h, img_w = _stream_size(data)
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables,
+                                         jnp.asarray(y_hat, jnp.float32)[None])
+            return np.asarray(x_u8)[:, :img_h, :img_w]
         (x_hat,) = self._synthesis(self.variables,
                                    jnp.asarray(y_hat, jnp.float32)[None])
-        img_h, img_w = _stream_size(data)
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
     # -- batched serving path --------------------------------------------
@@ -600,10 +650,12 @@ class JointARCodec:
                 max_workers=workers or min(n, os.cpu_count() or 1)) as ex:
             return list(ex.map(_one, range(n)))
 
-    def decompress_batch(self, datas: list, workers: int = None) -> np.ndarray:
+    def decompress_batch(self, datas: list, workers: int = None,
+                         as_uint8: bool = False) -> np.ndarray:
         """Decode B same-shape bitstreams: z streams + AR wavefronts decode
         per-image in parallel threads; hyper-synthesis and synthesis run as
-        single batched TPU programs. Returns (B, H, W, 3)."""
+        single batched TPU programs. Returns (B, H, W, 3); as_uint8 downloads
+        uint8 pixels (see decompress)."""
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
         heads = [struct.unpack(fmt, d[:hs]) for d in datas]
@@ -656,6 +708,9 @@ class JointARCodec:
                 max_workers=workers or min(len(datas),
                                            os.cpu_count() or 1)) as ex:
             y_all = np.stack(list(ex.map(_one, range(len(datas)))))
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, jnp.asarray(y_all))
+            return np.asarray(x_u8)[:, :img_h, :img_w]
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_all))
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
@@ -669,11 +724,10 @@ class FactorizedPriorCodec:
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
-        self._analysis_q = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (
-                jnp.round(mdl.encoder(x).astype(jnp.float32)),)))
+        self._analysis_q = _make_analysis(model, with_hyper=False)
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
         self._y_cache = {}
         self._portable_card = portable_card
 
@@ -723,7 +777,7 @@ class FactorizedPriorCodec:
                              img_w, 0, card.ymin, card.ymax, 0, len(y_bytes))
         return header + card.hash + y_bytes
 
-    def decompress(self, data: bytes) -> np.ndarray:
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
         magic, kind, _, M, img_h, img_w, _, ymin, ymax, _, len_y = (
@@ -745,6 +799,9 @@ class FactorizedPriorCodec:
         index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
         sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, jnp.asarray(y_q))
+            return np.asarray(x_u8)[:, :img_h, :img_w]
         (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_q))
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
@@ -778,15 +835,12 @@ class ScalableCodec:
                                      p["entropy_parameters_2"], self.M2, self.K)
         # One fused encode program (x -> integer y_q, z_q); see JointARCodec
         # for why this cannot break codec determinism.
-        self._analysis_q = jax.jit(lambda v, x: model.apply(
-            v, x, method=lambda mdl, x: (
-                lambda y: (jnp.round(y.astype(jnp.float32)),
-                           jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
-            )(mdl.encoder(x))))
+        self._analysis_q = _make_analysis(model, with_hyper=True)
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
         self._lst = jax.jit(lambda v, y1: model.apply(
             v, y1, method=lambda mdl, y1: (mdl.LST(y1),)))
         self._z_cache = {}
@@ -939,8 +993,9 @@ class ScalableCodec:
         (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
         return y1.astype(np.float32), np.asarray(f_tilde)
 
-    def decompress(self, data: bytes) -> np.ndarray:
-        """Full decode -> reconstructed image."""
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
+        """Full decode -> reconstructed image (uint8 pixels straight off the
+        device with as_uint8, see JointARCodec.decompress)."""
         y1_bytes, y2_bytes, psi, _, h, w, portable = self._decode_common(data)
         if len(y2_bytes) == 0:
             raise ValueError("enhancement stream missing (truncated bitstream); "
@@ -953,8 +1008,12 @@ class ScalableCodec:
             f2 = ex.submit(self._decode_layer, 2, y2_bytes, psi, h, w, portable)
             y1, y2 = f1.result(), f2.result()
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
-        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
         img_h, img_w = _stream_size(data)
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables,
+                                         jnp.asarray(y_full)[None])
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 

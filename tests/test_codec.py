@@ -513,3 +513,80 @@ def test_corrupt_and_mismatched_streams_fail_fast():
     other_codec = JointARCodec(other, other_vars)
     with pytest.raises(ValueError, match="M=8"):
         other_codec.decompress_batch([data])
+
+
+class TestUint8IO:
+    """uint8 fast path: encode accepts raw uint8 (u8/255 computed on device,
+    codec._make_analysis) and must emit the byte-identical stream to the
+    host-side f32 conversion; decompress(as_uint8=True) runs clip/round/*255
+    on device and must equal the f32 reconstruction quantized on host."""
+
+    def _u8(self, shape, seed=7):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+    def test_joint_ar_stream_identical_and_u8_decode(self):
+        model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+        u8 = self._u8((1, 70, 50, 3))  # odd size: pad-path must keep uint8
+        f32 = u8.astype(np.float32) / 255.0
+        variables = {"params": model.init(
+            {"params": KEY, "noise": KEY}, jnp.zeros((1, 64, 64, 3)),
+            training=False)["params"]}
+        codec = JointARCodec(model, variables)
+        assert codec.compress(u8) == codec.compress(f32)
+
+        data = codec.compress(u8)
+        x_f32 = codec.decompress(data)
+        x_u8 = codec.decompress(data, as_uint8=True)
+        assert x_u8.dtype == np.uint8 and x_u8.shape == u8.shape
+        np.testing.assert_array_equal(
+            x_u8, np.round(np.clip(x_f32, 0, 1) * 255).astype(np.uint8))
+
+    def test_joint_ar_batch_u8_decode(self):
+        model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+        u8 = self._u8((2, 64, 64, 3))
+        f32 = u8.astype(np.float32) / 255.0
+        variables = {"params": model.init(
+            {"params": KEY, "noise": KEY}, jnp.asarray(f32[:1]),
+            training=False)["params"]}
+        codec = JointARCodec(model, variables)
+        datas = codec.compress_batch(u8)
+        assert datas == codec.compress_batch(f32)
+        x_f32 = codec.decompress_batch(datas)
+        x_u8 = codec.decompress_batch(datas, as_uint8=True)
+        assert x_u8.dtype == np.uint8
+        np.testing.assert_array_equal(
+            x_u8, np.round(np.clip(x_f32, 0, 1) * 255).astype(np.uint8))
+
+    def test_factorized_u8(self):
+        model = FactorizedPrior(latent_channels=8)
+        u8 = self._u8((1, 48, 48, 3))
+        f32 = u8.astype(np.float32) / 255.0
+        variables = {"params": model.init(
+            {"params": KEY, "noise": KEY}, jnp.asarray(f32),
+            training=False)["params"]}
+        codec = FactorizedPriorCodec(model, variables)
+        assert codec.compress(u8) == codec.compress(f32)
+        data = codec.compress(u8)
+        np.testing.assert_array_equal(
+            codec.decompress(data, as_uint8=True),
+            np.round(np.clip(codec.decompress(data), 0, 1) * 255
+                     ).astype(np.uint8))
+
+    def test_scalable_u8(self):
+        from neural_image_compression_tpu.coding.codec import ScalableCodec
+        from neural_image_compression_tpu.models import ScalableImageCoding
+
+        model = ScalableImageCoding(latent_channels=8, base_channels=4, K=1)
+        u8 = self._u8((1, 64, 64, 3))
+        f32 = u8.astype(np.float32) / 255.0
+        variables = {"params": model.init(
+            {"params": KEY, "noise": KEY}, jnp.asarray(f32),
+            training=False)["params"]}
+        codec = ScalableCodec(model, variables)
+        assert codec.compress(u8) == codec.compress(f32)
+        data = codec.compress(u8)
+        np.testing.assert_array_equal(
+            codec.decompress(data, as_uint8=True),
+            np.round(np.clip(codec.decompress(data), 0, 1) * 255
+                     ).astype(np.uint8))
