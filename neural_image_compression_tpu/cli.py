@@ -148,13 +148,17 @@ def _make_codec(cfg: Config, model, params, card_path=None):
 
     cls = {"factorized": FactorizedPriorCodec,
            "scalable": ScalableCodec}.get(cfg.model.name, JointARCodec)
-    if card_path and cls is not JointARCodec:
-        sys.exit("--card / portable mode applies to the joint-AR models only")
     if card_path and os.path.exists(card_path):
-        from neural_image_compression_tpu.coding import PortableCard
+        from neural_image_compression_tpu.coding import portable as P
 
+        if cls is FactorizedPriorCodec:
+            return cls(model, {"params": params},
+                       portable_card=P.FactorizedCard.load(card_path))
+        if cls is ScalableCodec:
+            return cls(model, {"params": params},
+                       portable_cards=P.load_scalable_cards(card_path))
         return cls(model, {"params": params},
-                   portable_card=PortableCard.load(card_path))
+                   portable_card=P.PortableCard.load(card_path))
     return cls(model, {"params": params})
 
 
@@ -204,11 +208,16 @@ def cmd_compress(args):
     if multi:
         os.makedirs(args.out, exist_ok=True)
     if portable:
-        if cfg.model.name in ("factorized", "scalable"):
-            sys.exit("--portable applies to the joint-AR models only")
         streams = [codec.compress_portable(p) for p in imgs]
         if card_path and not os.path.exists(card_path):
-            codec.portable_card().save(card_path)
+            if cfg.model.name == "scalable":
+                from neural_image_compression_tpu.coding.portable import (
+                    save_scalable_cards,
+                )
+
+                save_scalable_cards(card_path, codec.portable_cards())
+            else:
+                codec.portable_card().save(card_path)
             print(f"portable card saved -> {card_path}")
     else:
         n_streams = _auto_streams(args, cfg)
@@ -252,7 +261,8 @@ def cmd_decompress(args):
     if multi:
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
-    portable = any(len(d) > 4 and d[4] == 4 for d in datas)  # kind byte
+    # kind byte: 4/5/6 = joint/factorized/scalable portable (codec.py _KIND_*)
+    portable = any(len(d) > 4 and d[4] in (4, 5, 6) for d in datas)
     # as_uint8: clip/round/*255 runs on device and uint8 pixels come off the
     # link (4x less download traffic than f32 reconstructions)
     if multi and same_shape and not portable \

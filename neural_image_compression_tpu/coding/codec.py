@@ -821,7 +821,8 @@ class ScalableCodec:
     'quality-scalable bitstream truncation' config.)
     """
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, portable_cards=None):
+        self._portable_cards = portable_cards  # (base, enhancement) or None
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
@@ -854,7 +855,7 @@ class ScalableCodec:
 
     # -- portable mode: one card per latent layer (shared hyper + z) ------
     def portable_cards(self):
-        if getattr(self, "_portable_cards", None) is None:
+        if self._portable_cards is None:
             from neural_image_compression_tpu.coding.portable import PortableCard
 
             self._portable_cards = (

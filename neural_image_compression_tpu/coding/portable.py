@@ -274,7 +274,12 @@ class PortableCard:
 
     @classmethod
     def load(cls, path: str) -> "PortableCard":
-        d = np.load(path)
+        return cls._from_mapping(np.load(path))
+
+    @classmethod
+    def _from_mapping(cls, d) -> "PortableCard":
+        """Rebuild from any mapping with `in` + `[]` over the _arrays() keys
+        (an NpzFile, or a prefix-stripped dict — see load_scalable_cards)."""
         meta = d["meta"]
         version, M, K, zmin, zmax = (int(v) for v in meta)
         if version != _CARD_VERSION:
@@ -758,3 +763,27 @@ class FactorizedCard:
         d = np.load(path)
         ymin, ymax = (int(v) for v in d["meta"])
         return cls(d["cdfs"], d["offsets"], d["sizes"], ymin, ymax)
+
+
+def save_scalable_cards(path: str, cards) -> None:
+    """One card file for ScalableCodec's two latent layers (base,
+    enhancement): the layers' arrays are namespaced l1_/l2_ in a single
+    npz so a scalable portable card travels as one artifact, like the
+    joint-AR and factorized ones."""
+    card1, card2 = cards
+    arrs = {}
+    for prefix, card in (("l1_", card1), ("l2_", card2)):
+        arrs.update({prefix + k: v for k, v in card._arrays()})
+    np.savez_compressed(path, **arrs)
+
+
+def load_scalable_cards(path: str):
+    d = np.load(path)
+    out = []
+    for prefix in ("l1_", "l2_"):
+        sub = {k[len(prefix):]: d[k] for k in d.files if k.startswith(prefix)}
+        if not sub:
+            raise ValueError(f"{path} is not a scalable card pair "
+                             f"(missing {prefix}* arrays)")
+        out.append(PortableCard._from_mapping(sub))
+    return tuple(out)

@@ -233,3 +233,42 @@ def test_cli_portable_card_roundtrip(tmp_path):
               "--out", rec2_path])
     np.testing.assert_array_equal(np.asarray(Image.open(rec_path)),
                                   np.asarray(Image.open(rec2_path)))
+
+
+@pytest.mark.parametrize("name", ["factorized", "scalable"])
+def test_cli_portable_card_roundtrip_other_families(tmp_path, name):
+    """--card works for every codec family: factorized saves a
+    FactorizedCard, scalable a namespaced l1_/l2_ card pair; decompress
+    loads the artifact and reconstructs identically to the default path."""
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(3)
+    Image.fromarray((rng.rand(80, 96, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = name
+    cfg.model.latent_channels = 8
+    cfg.model.K = 1
+    if name == "scalable":
+        cfg.model.base_channels = 4
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    card_path = str(tmp_path / "model.card.npz")
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path, "--card", card_path])
+    assert os.path.exists(card_path)
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path, "--card", card_path])
+
+    plain_path = str(tmp_path / "plain.nic")
+    rec2_path = str(tmp_path / "rec2.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", plain_path])
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", plain_path,
+              "--out", rec2_path])
+    np.testing.assert_array_equal(np.asarray(Image.open(rec_path)),
+                                  np.asarray(Image.open(rec2_path)))
