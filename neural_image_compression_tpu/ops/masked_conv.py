@@ -19,6 +19,12 @@ from flax import linen as nn
 
 from neural_image_compression_tpu.ops.conv import conv2d, torch_bias_init, torch_kernel_init
 
+# Largest latent grid (h*w) lowered as gather-GEMM instead of a masked conv.
+# 4096 covers the eval/codec regime (Kodak 32x48) and training patches
+# (16x16); the A/B data behind the value is tools/ab_maskedconv_train.py and
+# the eval numbers in DESIGN.md. Module-level so A/B tools can override.
+GATHER_GEMM_MAX_GRID = 4096
+
 
 def causal_mask(kernel_size: int, mask_type: str = "A") -> np.ndarray:
     """(kh, kw, 1, 1) raster-scan causal mask."""
@@ -55,7 +61,7 @@ class MaskedConv2d(nn.Module):
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
-        if h * w <= 4096:
+        if h * w <= GATHER_GEMM_MAX_GRID:
             # small latent grids (the eval/codec regime): gather the live
             # taps and run ONE dense GEMM — computes only the ~half of the
             # kernel the mask keeps and tiles better than a 5x5 conv on a

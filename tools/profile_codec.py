@@ -99,6 +99,11 @@ def main():
     stream = codec.compress(x)
     t_full_dec = t_host(lambda: codec.decompress(stream), iters=3)
 
+    # uint8 link path: on-device /255 ingest, on-device clip/round/*255 out
+    x_u8 = (x * 255).round().astype(np.uint8)
+    t_enc_u8 = t_host(lambda: codec.compress(x_u8), iters=3)
+    t_dec_u8 = t_host(lambda: codec.decompress(stream, as_uint8=True), iters=3)
+
     card = codec.portable_card()
     t_hyper_int = t_host(lambda: card.hyper_forward(z_q), iters=1)
     psi_fix = card.hyper_forward(z_q)
@@ -122,6 +127,8 @@ def main():
     print(f"compress() end-to-end    {t_full_enc*1e3:8.1f} ms "
           f"({len(stream)} B, {len(stream)*8/(512*768):.4f} bpp)")
     print(f"decompress() end-to-end  {t_full_dec*1e3:8.1f} ms")
+    print(f"compress() uint8 ingest  {t_enc_u8*1e3:8.1f} ms")
+    print(f"decompress() as_uint8    {t_dec_u8*1e3:8.1f} ms")
     print(f"portable hyper (int)     {t_hyper_int*1e3:8.1f} ms")
     print(f"portable AR encode (C++) {t_penc*1e3:8.1f} ms "
           f"({len(pdata)} B, {(len(pdata)/len(stream)-1)*100:+.2f}% vs float)")
