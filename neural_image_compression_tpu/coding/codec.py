@@ -89,16 +89,63 @@ def _make_analysis(model, with_hyper: bool):
     latents are the same quantity; streams remain self-consistent either
     way because decode never recomputes y_q/z_q (they are in the stream)
     and psi always derives from z_q through the standalone hyper-synthesis
-    program. jit compiles one executable per input dtype on first use."""
+    program. jit compiles one executable per input dtype on first use.
+
+    The quantized y latents come back as int16 — half the download of f32,
+    and the values are exact small integers. Overflow beyond int16 (never
+    seen in practice, but correctness must not depend on that) is signalled
+    IN-BAND so the host needs no extra scalar round-trip over a
+    latency-bound link: legitimate values saturate to ±32767, and if any
+    |y| exceeded that the whole buffer is poisoned with -32768 (a value
+    saturation can never produce); the host then refetches through the f32
+    program — see _fetch_y16. z stays f32: it is tiny AND it feeds the
+    standalone hyper-synthesis program on device, whose input dtype is
+    part of the psi determinism contract (encode and decode must hit the
+    same executable)."""
     def body(mdl, x):
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
-        y = mdl.encoder(x)
+        y = jnp.round(mdl.encoder(x).astype(jnp.float32))
+        y16 = jnp.clip(y, -32767.0, 32767.0).astype(jnp.int16)
+        y16 = jnp.where(jnp.max(jnp.abs(y)) > 32767.0,
+                        jnp.full_like(y16, -32768), y16)
         if not with_hyper:
-            return (jnp.round(y.astype(jnp.float32)),)
-        return (jnp.round(y.astype(jnp.float32)),
-                jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+            return (y16,)
+        return (y16, jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
     return jax.jit(lambda v, x: model.apply(v, x, method=body))
+
+
+def _make_analysis_f32(model, with_hyper: bool):
+    """Full-precision y fallback for the (never-seen-in-practice) case of
+    latents beyond int16 range; built lazily on first overflow."""
+    def body(mdl, x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        y = jnp.round(mdl.encoder(x).astype(jnp.float32))
+        if not with_hyper:
+            return (y,)
+        return (y, jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+    return jax.jit(lambda v, x: model.apply(v, x, method=body))
+
+
+def _fetch_y16(y16_dev, refetch_f32) -> np.ndarray:
+    """Host fetch of the analysis program's int16 y latents -> (B,h,w,M)
+    f32, in ONE device round-trip. -32768 anywhere is the in-band overflow
+    poison (_make_analysis): the integer latents did not fit int16, so
+    refetch through the f32 program (refetch_f32: () -> (B,h,w,M) f32)."""
+    arr = np.asarray(y16_dev)
+    if arr.size == 0 or int(arr.min()) != -32768:
+        return arr.astype(np.float32)
+    return refetch_f32()
+
+
+def _latents_to_device(y: np.ndarray):
+    """Upload integer latents for synthesis: int16 when every value fits
+    (half the f32 upload), f32 otherwise. The synthesis programs cast to
+    f32 at entry, so both dtypes hit identical math."""
+    if y.size and float(np.abs(y).max()) <= 32767.0:
+        return jnp.asarray(np.asarray(y, np.float32).astype(np.int16))
+    return jnp.asarray(y, jnp.float32)
 
 
 def _make_synthesis_u8(model):
@@ -107,7 +154,8 @@ def _make_synthesis_u8(model):
     default f32 synthesis program is untouched; this is a separate opt-in
     executable (decompress(..., as_uint8=True)), compiled on first use."""
     def body(mdl, yq):
-        x_hat = jnp.clip(mdl.decoder(yq).astype(jnp.float32), 0.0, 1.0)
+        x_hat = mdl.decoder(yq.astype(jnp.float32)).astype(jnp.float32)
+        x_hat = jnp.clip(x_hat, 0.0, 1.0)
         return (jnp.round(x_hat * 255.0).astype(jnp.uint8),)
     return jax.jit(lambda v, yq: model.apply(v, yq, method=body))
 
@@ -350,10 +398,18 @@ class JointARCodec:
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
-            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
         self._synthesis_u8 = _make_synthesis_u8(model)
+        self._analysis_f32 = None  # int16-overflow fallback, built lazily
 
     # -- helpers --------------------------------------------------------
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=True)
+        return self._analysis_f32
+
     def _z_tables(self, zmin: int, zmax: int):
         # cached: encode AND decode of every image rebuild the same tables
         key = (zmin, zmax)
@@ -390,9 +446,10 @@ class JointARCodec:
         card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
-        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
-        y_q = np.asarray(y_q_dev)[0]
-        z_q = np.asarray(z_q_dev)[0]
+        outs = self._analysis_q(self.variables, x)
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
 
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
@@ -473,15 +530,17 @@ class JointARCodec:
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
 
-        y_q_dev, z_q_dev = self._analysis_q(self.variables, x)
+        outs = self._analysis_q(self.variables, x)
         # Enqueue hyper-synthesis on the DEVICE z_q before touching host
         # copies: the integer z_q values are identical either way and psi
         # still comes from the same standalone program as decode (the
-        # determinism contract), but skipping the host round-trip removes
-        # one upload and lets both programs pipeline over the tunnel.
-        (psi_dev,) = self._hyper_synthesis(self.variables, z_q_dev)
-        y_q = np.asarray(y_q_dev)[0]  # (h, w, M)
-        z_q = np.asarray(z_q_dev)[0]  # (hz, wz, M)
+        # determinism contract — z stays f32 for exactly this reason), but
+        # skipping the host round-trip removes one upload and lets both
+        # programs pipeline over the tunnel.
+        (psi_dev,) = self._hyper_synthesis(self.variables, outs[1])
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
+        z_q = np.asarray(outs[1])[0]  # (hz, wz, M)
 
         # --- z stream: per-channel factorized tables -------------------
         zmin = int(z_q.min())
@@ -593,12 +652,11 @@ class JointARCodec:
         up to the synthesis program's bf16 epsilon)."""
         y_hat, _ = self.decode_latents(data)
         img_h, img_w = _stream_size(data)
+        y_dev = _latents_to_device(y_hat[None])
         if as_uint8:
-            (x_u8,) = self._synthesis_u8(self.variables,
-                                         jnp.asarray(y_hat, jnp.float32)[None])
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
             return np.asarray(x_u8)[:, :img_h, :img_w]
-        (x_hat,) = self._synthesis(self.variables,
-                                   jnp.asarray(y_hat, jnp.float32)[None])
+        (x_hat,) = self._synthesis(self.variables, y_dev)
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
     # -- batched serving path --------------------------------------------
@@ -622,7 +680,10 @@ class JointARCodec:
         # everything is enqueued before the first host fetch so the tunnel
         # pipelines all 2B programs.
         psi_dev = [self._hyper_synthesis(self.variables, p[1])[0] for p in per]
-        y_q = np.concatenate([np.asarray(p[0]) for p in per])  # (B, h, w, M)
+        y_q = np.concatenate([
+            _fetch_y16(p[0], lambda b=b: np.asarray(self._analysis_full()(
+                self.variables, jnp.asarray(xp[b:b + 1]))[0]))
+            for b, p in enumerate(per)])  # (B, h, w, M)
         z_q = np.concatenate([np.asarray(p[1]) for p in per])  # (B, hz, wz, M)
         psi = np.concatenate([np.asarray(pd) for pd in psi_dev])  # (B, h, w, 2M)
 
@@ -708,10 +769,11 @@ class JointARCodec:
                 max_workers=workers or min(len(datas),
                                            os.cpu_count() or 1)) as ex:
             y_all = np.stack(list(ex.map(_one, range(len(datas)))))
+        y_dev = _latents_to_device(y_all)
         if as_uint8:
-            (x_u8,) = self._synthesis_u8(self.variables, jnp.asarray(y_all))
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
             return np.asarray(x_u8)[:, :img_h, :img_w]
-        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_all))
+        (x_hat,) = self._synthesis(self.variables, y_dev)
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 
@@ -726,8 +788,10 @@ class FactorizedPriorCodec:
         self.M = model.latent_channels
         self._analysis_q = _make_analysis(model, with_hyper=False)
         self._synthesis = jax.jit(lambda v, yq: model.apply(
-            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
         self._synthesis_u8 = _make_synthesis_u8(model)
+        self._analysis_f32 = None  # int16-overflow fallback, built lazily
         self._y_cache = {}
         self._portable_card = portable_card
 
@@ -738,12 +802,19 @@ class FactorizedPriorCodec:
                                                    ymin, ymax)
         return self._y_cache[key]
 
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=False)
+        return self._analysis_f32
+
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        (y_q_dev,) = self._analysis_q(self.variables,
-                                      jnp.asarray(_pad_input(x, 16)))
-        y_q = np.asarray(y_q_dev)[0]
+        xd = jnp.asarray(_pad_input(x, 16))
+        y_q = _fetch_y16(self._analysis_q(self.variables, xd)[0], lambda:
+                         np.asarray(self._analysis_full()(self.variables,
+                                                          xd)[0]))[0]
         ymin, ymax = int(y_q.min()), int(y_q.max())
         cdfs, offsets, sizes = self._tables(ymin, ymax)
         sym = y_q.reshape(-1, self.M).astype(np.int32)
@@ -765,9 +836,10 @@ class FactorizedPriorCodec:
         assert x.ndim == 4 and x.shape[0] == 1
         card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
-        (y_q_dev,) = self._analysis_q(self.variables,
-                                      jnp.asarray(_pad_input(x, 16)))
-        y_q = np.asarray(y_q_dev)[0]
+        xd = jnp.asarray(_pad_input(x, 16))
+        y_q = _fetch_y16(self._analysis_q(self.variables, xd)[0], lambda:
+                         np.asarray(self._analysis_full()(self.variables,
+                                                          xd)[0]))[0]
         sym = y_q.reshape(-1, self.M).astype(np.int32)
         index = np.tile(np.arange(self.M, dtype=np.int32), sym.shape[0])
         y_bytes = backend.encode_indexed(sym.reshape(-1), index, card.cdfs,
@@ -799,10 +871,11 @@ class FactorizedPriorCodec:
         index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
         sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
+        y_dev = _latents_to_device(y_q)
         if as_uint8:
-            (x_u8,) = self._synthesis_u8(self.variables, jnp.asarray(y_q))
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
             return np.asarray(x_u8)[:, :img_h, :img_w]
-        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_q))
+        (x_hat,) = self._synthesis(self.variables, y_dev)
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 
@@ -840,11 +913,19 @@ class ScalableCodec:
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
             v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
-            v, yq, method=lambda mdl, y: (mdl.decoder(y),)))
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
         self._synthesis_u8 = _make_synthesis_u8(model)
         self._lst = jax.jit(lambda v, y1: model.apply(
-            v, y1, method=lambda mdl, y1: (mdl.LST(y1),)))
+            v, y1, method=lambda mdl, y1: (mdl.LST(y1.astype(jnp.float32)),)))
+        self._analysis_f32 = None  # int16-overflow fallback, built lazily
         self._z_cache = {}
+
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=True)
+        return self._analysis_f32
 
     def _z_tables(self, zmin, zmax):
         key = (zmin, zmax)
@@ -875,10 +956,11 @@ class ScalableCodec:
         assert x.ndim == 4 and x.shape[0] == 1
         card1, card2 = self.portable_cards()
         img_h, img_w = x.shape[1], x.shape[2]
-        y_q_dev, z_q_dev = self._analysis_q(self.variables,
-                                            jnp.asarray(_pad_input(x, 64)))
-        y_q = np.asarray(y_q_dev)[0]
-        z_q = np.asarray(z_q_dev)[0]
+        xd = jnp.asarray(_pad_input(x, 64))
+        outs = self._analysis_q(self.variables, xd)
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, xd)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -896,14 +978,15 @@ class ScalableCodec:
     def compress(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
         img_h, img_w = x.shape[1], x.shape[2]
-        y_q_dev, z_q_dev = self._analysis_q(self.variables,
-                                            jnp.asarray(_pad_input(x, 64)))
+        xd = jnp.asarray(_pad_input(x, 64))
+        outs = self._analysis_q(self.variables, xd)
         # device z_q straight into the standalone hyper-synthesis program
         # (identical integer values — see JointARCodec.compress); both
         # programs enqueue before the first host fetch.
-        (psi_dev,) = self._hyper_synthesis(self.variables, z_q_dev)
-        y_q = np.asarray(y_q_dev)[0]
-        z_q = np.asarray(z_q_dev)[0]
+        (psi_dev,) = self._hyper_synthesis(self.variables, outs[1])
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, xd)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
 
         zmin, zmax = int(z_q.min()), int(z_q.max())
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
@@ -991,7 +1074,8 @@ class ScalableCodec:
         a multiple of 64 (use coding.stream_size(data) to recover the true size)."""
         y1_bytes, _, psi, _, h, w, portable = self._decode_common(data)
         y1 = self._decode_layer(1, y1_bytes, psi, h, w, portable)
-        (f_tilde,) = self._lst(self.variables, jnp.asarray(y1, jnp.float32)[None])
+        (f_tilde,) = self._lst(self.variables,
+                               _latents_to_device(np.asarray(y1)[None]))
         return y1.astype(np.float32), np.asarray(f_tilde)
 
     def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
@@ -1010,11 +1094,11 @@ class ScalableCodec:
             y1, y2 = f1.result(), f2.result()
         y_full = np.concatenate([y1, y2], axis=-1).astype(np.float32)
         img_h, img_w = _stream_size(data)
+        y_dev = _latents_to_device(y_full[None])
         if as_uint8:
-            (x_u8,) = self._synthesis_u8(self.variables,
-                                         jnp.asarray(y_full)[None])
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
             return np.asarray(x_u8)[:, :img_h, :img_w]
-        (x_hat,) = self._synthesis(self.variables, jnp.asarray(y_full)[None])
+        (x_hat,) = self._synthesis(self.variables, y_dev)
         return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
 
 

@@ -590,3 +590,39 @@ class TestUint8IO:
             codec.decompress(data, as_uint8=True),
             np.round(np.clip(codec.decompress(data), 0, 1) * 255
                      ).astype(np.uint8))
+
+
+class TestInt16LatentTransfers:
+    """The analysis program returns y as int16 (half the download) with an
+    in-band -32768 poison on overflow; synthesis uploads int16 when values
+    fit. Streams and reconstructions must be unchanged."""
+
+    def test_fetch_and_upload_helpers(self):
+        from neural_image_compression_tpu.coding.codec import (
+            _fetch_y16, _latents_to_device,
+        )
+
+        ok = np.array([[-32767, 5]], np.int16)
+        out = _fetch_y16(ok, lambda: (_ for _ in ()).throw(AssertionError))
+        assert out.dtype == np.float32 and out[0, 0] == -32767.0
+        sentinel = np.zeros((2, 2), np.float32)
+        assert _fetch_y16(np.full((2, 2), -32768, np.int16),
+                          lambda: sentinel) is sentinel
+        assert _latents_to_device(np.array([40000.0], np.float32)
+                                  ).dtype == jnp.float32
+        assert _latents_to_device(np.array([3.0, -7.0], np.float32)
+                                  ).dtype == jnp.int16
+
+    def test_compress_overflow_falls_back_to_f32(self, monkeypatch):
+        model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+        x = np.asarray(jax.random.uniform(KEY, (1, 64, 64, 3)))
+        variables = {"params": model.init({"params": KEY, "noise": KEY},
+                                          jnp.asarray(x),
+                                          training=False)["params"]}
+        ref = JointARCodec(model, variables).compress(x)
+
+        codec = JointARCodec(model, variables)
+        real = codec._analysis_q(codec.variables, jnp.asarray(x))
+        poisoned = (jnp.full_like(real[0], -32768), real[1])
+        monkeypatch.setattr(codec, "_analysis_q", lambda v, xx: poisoned)
+        assert codec.compress(x) == ref  # refetched through the f32 program

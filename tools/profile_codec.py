@@ -78,7 +78,8 @@ def main():
     # -- TPU stages -----------------------------------------------------
     t_an = t_device(lambda: codec._analysis_q(variables, jnp.asarray(x)))
     y_q_dev, z_q_dev = codec._analysis_q(variables, jnp.asarray(x))
-    y_q, z_q = np.asarray(y_q_dev)[0], np.asarray(z_q_dev)[0]
+    y_q = np.asarray(y_q_dev)[0].astype(np.float32)  # int16 off the device
+    z_q = np.asarray(z_q_dev)[0]
     t_hs = t_device(lambda: codec._hyper_synthesis(variables,
                                                    jnp.asarray(z_q)[None]))
     (psi_dev,) = codec._hyper_synthesis(variables, jnp.asarray(z_q)[None])

@@ -119,7 +119,8 @@ def main():
     # cross-implementation bit-identity on converged stats
     y_q_dev, z_q_dev = codec._analysis_q(variables, jnp.asarray(
         nic.data.pad_to_multiple(np.asarray(img, np.float32), 64)))
-    y_q, z_q = np.asarray(y_q_dev)[0], np.asarray(z_q_dev)[0]
+    y_q = np.asarray(y_q_dev)[0].astype(np.float32)
+    z_q = np.asarray(z_q_dev)[0]
     psi_fix = card.hyper_forward(z_q)
     s_cc = nic.coding.portable_ar_encode(card, y_q, psi_fix, native=True)
     s_py = nic.coding.portable_ar_encode(card, y_q, psi_fix, native=False)
