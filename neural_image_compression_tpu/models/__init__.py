@@ -13,6 +13,9 @@ from neural_image_compression_tpu.models.scalable import ScalableImageCoding
 from neural_image_compression_tpu.models.vision import (
     FirstHalf, FrozenActivationBlock, GraphBackbone, SecondHalf,
 )
+from neural_image_compression_tpu.models.backbones import (
+    C3, SPPF, ConvBNSiLU, build_yolo_backbone, frozen_activation_from_conv,
+)
 
 __all__ = [
     "Encoder5x5", "Decoder5x5", "Encoder3x3", "Decoder3x3",
@@ -21,5 +24,7 @@ __all__ = [
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "ScalableImageCoding",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
+    "ConvBNSiLU", "C3", "SPPF", "build_yolo_backbone",
+    "frozen_activation_from_conv",
     "noise_quantize", "round_quantize", "quantize",
 ]

@@ -66,3 +66,110 @@ def test_frozen_block_has_no_trainable_params():
         scale=np.ones(3), bias=np.zeros(3), mean=np.zeros(3), var=np.ones(3))
     vs = blk.init(KEY, jnp.ones((1, 2, 2, 3)))
     assert vs == {} or jax.tree.leaves(vs) == []
+
+
+# ---------------------------------------------------------------------------
+# Realistic CSP/YOLO-style backbone (models/backbones.py)
+# ---------------------------------------------------------------------------
+
+from neural_image_compression_tpu.models.backbones import (
+    build_yolo_backbone, frozen_activation_from_conv,
+)
+
+
+class TestYoloBackbone:
+    def _init(self, w=4, size=64):
+        bb = build_yolo_backbone(width=w)
+        x = jax.random.normal(KEY, (1, size, size, 3))
+        vs = bb.init(KEY, x)
+        return bb, vs, x
+
+    def test_shapes_and_grid(self):
+        bb, vs, x = self._init()
+        out = bb.apply(vs, x)
+        # neck output: P3 grid (/8) with 4w channels
+        assert out.shape == (1, 8, 8, 16)
+
+    def test_split_across_neck_concat(self):
+        """Cuts before layer 10 force SecondHalf to read layer 4's output
+        through prev_outputs — the YOLO-neck hand-off the machinery exists
+        for (Extra.py:21-42)."""
+        bb, vs, x = self._init()
+        full = bb.apply(vs, x)
+        nested = {"params": {"backbone": vs["params"]},
+                  "batch_stats": {"backbone": vs["batch_stats"]}}
+        for cut in (3, 5, 7, 9):
+            fh = FirstHalf(backbone=bb, cut=cut)
+            sh = SecondHalf(backbone=bb, cut=cut)
+            mid, outs = fh.apply(nested, x, collect=True)
+            rec = sh.apply(nested, mid, prev_outputs=outs)
+            np.testing.assert_allclose(np.asarray(rec), np.asarray(full),
+                                       rtol=1e-5, atol=1e-5)
+
+    def test_frozen_activation_from_cut_layer(self):
+        bb, vs, x = self._init()
+        blk = frozen_activation_from_conv(vs, 3)
+        f = jax.random.normal(KEY, (1, 8, 8, 16))
+        out = blk(f)
+        assert out.shape == f.shape
+        # matches BN+SiLU computed from the raw stats
+        p = vs["params"]["layers_3_0"]["BatchNorm_0"]
+        s = vs["batch_stats"]["layers_3_0"]["BatchNorm_0"]
+        norm = ((np.asarray(f) - np.asarray(s["mean"]))
+                / np.sqrt(np.asarray(s["var"]) + 1e-5)
+                * np.asarray(p["scale"]) + np.asarray(p["bias"]))
+        expected = norm / (1 + np.exp(-norm))
+        np.testing.assert_allclose(np.asarray(out), expected,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_frozen_activation_rejects_non_conv_layer(self):
+        bb, vs, _ = self._init()
+        import pytest
+        with pytest.raises(ValueError):
+            frozen_activation_from_conv(vs, 9)  # Upsample2x has no BN
+
+    def test_distillation_end_to_end(self):
+        """ScalableImageCoding + vision_rd_loss distilling against the
+        frozen CSP backbone: FirstHalf(cut=3) is V, the cut ConvBNSiLU's
+        frozen BN+SiLU is the activation; a few adam steps reduce the
+        loss and the vision term is finite and live."""
+        import optax
+        from neural_image_compression_tpu.models import ScalableImageCoding
+        from neural_image_compression_tpu.train.loss import vision_rd_loss
+
+        bb, bvs, _ = self._init()  # w=4: P3 channels 16 == 2*m1 with m1=8
+        cut = 3
+        fh = FirstHalf(backbone=bb, cut=cut)
+        nested = {"params": {"backbone": bvs["params"]},
+                  "batch_stats": {"backbone": bvs["batch_stats"]}}
+        V = lambda img: fh.apply(nested, img)
+        act = frozen_activation_from_conv(bvs, cut)
+
+        model = ScalableImageCoding(latent_channels=16, base_channels=8, K=1)
+        key = jax.random.PRNGKey(3)
+        x = jax.random.uniform(key, (2, 64, 64, 3))
+        params = model.init({"params": key, "noise": key}, x,
+                            training=True)["params"]
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(p, o, x, rng):
+            def loss_fn(pp):
+                out = model.apply({"params": pp}, x, training=True,
+                                  rngs={"noise": rng})
+                m = vision_rd_loss(out, x, 0.01, gamma=1.0,
+                                   frozen_activation=act, V=V)
+                return m["loss"], m
+            (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, o = tx.update(g, o)
+            return optax.apply_updates(p, u), o, m
+
+        losses, vmses = [], []
+        for i in range(12):
+            params, opt, m = step(params, opt, x, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+            vmses.append(float(m["vision_mse"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert vmses[0] > 0.0  # distillation term is live
