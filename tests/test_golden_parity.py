@@ -103,6 +103,32 @@ def test_rd_loss_golden():
         np.testing.assert_allclose(float(res[k]), float(fx[k]), rtol=1e-4)
 
 
+def test_vision_rd_loss_golden():
+    """vision_rd_loss vs the reference oracle (RateDistortionLoss.py:52-121)
+    with the distillation term live: V is the oracle's seeded 1x1 conv
+    (reproduced here as an einsum over NHWC), frozen_activation is SiLU.
+    Covers the two-layer rate split, the raw-scale lambda*MSE semantic
+    (no 255^2 — RateDistortionLoss.py:98), and the gamma-weighted vision
+    term entering both mse and mse_per_image."""
+    from neural_image_compression_tpu.train import vision_rd_loss
+
+    fx = np.load(os.path.join(GOLDEN, "vision_rd_loss_ref.npz"))
+    out = {k: jnp.asarray(_nchw_to_nhwc(fx[k]))
+           for k in ("x_hat", "F_tilde", "logp_y1", "logp_y2", "logp_z")}
+    w = jnp.asarray(fx["V_w"][:, :, 0, 0])  # (C_out, 3)
+    b = jnp.asarray(fx["V_b"])
+    V = lambda img: jnp.einsum("bhwc,oc->bhwo", img, w) + b  # noqa: E731
+    res = vision_rd_loss(out, jnp.asarray(_nchw_to_nhwc(fx["x"])), 0.02,
+                         gamma=0.7, frozen_activation=jax.nn.silu, V=V)
+    np.testing.assert_allclose(float(res["loss"]), float(fx["loss"]), rtol=1e-5)
+    for k in ("bpp_y1", "bpp_y2", "bpp_y", "bpp_z", "bpp_total", "mse",
+              "reconstruction_mse", "psnr", "vision_mse", "bits_total"):
+        np.testing.assert_allclose(float(res[k]), float(fx[k]), rtol=1e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(res["mse_per_image"]),
+                               fx["mse_per_image"], rtol=1e-4)
+
+
 class TestContextAndEntropyParamsGolden:
     """Masked-conv context model and EntropyParameters net vs the reference
     oracle (ContextModels.py:23-36, ParametersModels.py:8-64) — checks the

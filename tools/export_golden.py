@@ -94,6 +94,42 @@ def export_rd_loss():
     print("rd_loss:", float(res["loss"]))
 
 
+def export_vision_rd_loss():
+    """vision_rd_loss oracle (RateDistortionLoss.py:52-121) with the
+    distillation term live: V is a seeded 1x1 conv (weights saved so the JAX
+    test can reproduce it exactly), frozen_activation is SiLU."""
+    from RateDistortionLoss import vision_rd_loss
+
+    rng = np.random.RandomState(7)
+    B, C, H, W = 2, 5, 16, 16
+    out = {
+        "x_hat": torch.from_numpy(rng.rand(B, 3, H, W).astype(np.float32)),
+        "F_tilde": torch.from_numpy(rng.randn(B, C, H, W).astype(np.float32)),
+        "logp_y1": torch.from_numpy(-rng.rand(B, 4, 2, 2).astype(np.float32)),
+        "logp_y2": torch.from_numpy(-rng.rand(B, 3, 2, 2).astype(np.float32)),
+        "logp_z": torch.from_numpy(-rng.rand(B, 4, 1, 1).astype(np.float32)),
+    }
+    x = torch.from_numpy(rng.rand(B, 3, H, W).astype(np.float32))
+    V = torch.nn.Conv2d(3, C, 1)
+    with torch.no_grad():
+        V.weight.copy_(torch.from_numpy(rng.randn(C, 3, 1, 1).astype(np.float32)))
+        V.bias.copy_(torch.from_numpy(rng.randn(C).astype(np.float32)))
+    res = vision_rd_loss(out, x, lambda_rd=0.02, gamma=0.7,
+                         frozen_activation=torch.nn.SiLU(), V=V)
+    np.savez(os.path.join(OUT, "vision_rd_loss_ref.npz"),
+             x=x.numpy(), V_w=V.weight.detach().numpy(),
+             V_b=V.bias.detach().numpy(),
+             **{k: v.numpy() for k, v in out.items()},
+             loss=float(res["loss"]), bpp_y1=res["bpp_y1"],
+             bpp_y2=res["bpp_y2"], bpp_y=res["bpp_y"], bpp_z=res["bpp_z"],
+             bpp_total=res["bpp_total"], mse=res["mse"],
+             reconstruction_mse=res["reconstruction_mse"], psnr=res["psnr"],
+             vision_mse=float(res["vision_mse"]),
+             mse_per_image=res["mse_per_image"].numpy(),
+             bits_total=res["bits_total"])
+    print("vision_rd_loss:", float(res["loss"]))
+
+
 def export_context_ep():
     """Context model (masked 5x5 conv) + EntropyParameters net, K=1 and K=3
     (ContextModels.py:23-36, ParametersModels.py:8-64): verifies the full
@@ -324,6 +360,7 @@ if __name__ == "__main__":
     export_factorized()
     export_gaussian()
     export_rd_loss()
+    export_vision_rd_loss()
     export_context_ep()
     export_full_model()
     export_scalable()
