@@ -72,6 +72,8 @@ def cmd_train(args):
         cfg.data.val_dir = args.val_dir
     if args.max_steps:
         cfg.train.max_steps = args.max_steps
+    if getattr(args, "backbone", None):
+        cfg.train.backbone = args.backbone
 
     from neural_image_compression_tpu.data import BatchLoader, ImageFolderDataset
     from neural_image_compression_tpu.train import Trainer, rd_loss, vision_rd_loss
@@ -91,8 +93,28 @@ def cmd_train(args):
 
     loss_fn = rd_loss
     if cfg.model.name == "scalable":
+        import functools
+
         gamma = cfg.train.gamma
-        loss_fn = lambda out, x, lam: vision_rd_loss(out, x, lam, gamma)  # noqa: E731
+        frozen_activation = V = None
+        if cfg.train.backbone and gamma > 0:
+            # Distillation teacher: FirstHalf of the saved frozen backbone,
+            # activation = the cut layer's frozen BN + SiLU (Extra.py
+            # semantics; see examples/train_eval_scalable.py for the flow).
+            from neural_image_compression_tpu.models.backbones import (
+                frozen_activation_from_conv, load_backbone,
+            )
+            from neural_image_compression_tpu.models.vision import FirstHalf
+
+            backbone, bvars = load_backbone(cfg.train.backbone)
+            fh = FirstHalf(backbone=backbone, cut=cfg.train.backbone_cut)
+            nested = {"params": {"backbone": bvars["params"]},
+                      "batch_stats": {"backbone": bvars["batch_stats"]}}
+            V = functools.partial(fh.apply, nested)
+            frozen_activation = frozen_activation_from_conv(
+                bvars, cfg.train.backbone_cut)
+        loss_fn = functools.partial(vision_rd_loss, gamma=gamma,
+                                    frozen_activation=frozen_activation, V=V)
 
     trainer = Trainer(model, train_loader, val_loader=val_loader, rd_loss=loss_fn,
                       lambda_val=cfg.train.lambda_rd,
@@ -308,6 +330,9 @@ def main(argv=None):
     sp.add_argument("--train_dir", default=None)
     sp.add_argument("--val_dir", default=None)
     sp.add_argument("--max_steps", type=int, default=None)
+    sp.add_argument("--backbone", default=None,
+                    help="saved backbone .npz for scalable vision "
+                         "distillation (models.save_backbone)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("eval")

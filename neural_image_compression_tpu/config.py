@@ -47,6 +47,9 @@ class TrainConfig:
     resume: bool = False
     seed: int = 0
     gamma: float = 0.0                   # vision distillation weight (scalable)
+    backbone: str = ""                   # saved backbone .npz (models.save_backbone);
+                                         # activates the distillation term when gamma>0
+    backbone_cut: int = 3                # backbone split layer (FirstHalf = [0, cut])
     data_parallel: bool = False          # shard the batch over all devices
     scalar_interval: int = 1             # per-step scalar logging cadence
     preemption_safe: bool = False        # SIGTERM -> checkpoint + clean exit

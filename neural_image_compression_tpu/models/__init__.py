@@ -15,6 +15,7 @@ from neural_image_compression_tpu.models.vision import (
 )
 from neural_image_compression_tpu.models.backbones import (
     C3, SPPF, ConvBNSiLU, build_yolo_backbone, frozen_activation_from_conv,
+    load_backbone, save_backbone,
 )
 
 __all__ = [
@@ -25,6 +26,6 @@ __all__ = [
     "FactorizedPrior", "ScalableImageCoding",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "ConvBNSiLU", "C3", "SPPF", "build_yolo_backbone",
-    "frozen_activation_from_conv",
+    "frozen_activation_from_conv", "save_backbone", "load_backbone",
     "noise_quantize", "round_quantize", "quantize",
 ]

@@ -145,6 +145,39 @@ def build_yolo_backbone(width: int = 16, depth: int = 1,
     ))
 
 
+def save_backbone(path: str, width: int, variables) -> None:
+    """Persist a backbone's variables (params + frozen batch_stats) plus its
+    width to one .npz, so trainings can reference a backbone file instead of
+    re-seeding (and so real pretrained weights, once mapped into this
+    structure, travel the same way)."""
+    import numpy as np
+
+    flat = {}
+    for col in ("params", "batch_stats"):
+        for p, leaf in jax.tree_util.tree_leaves_with_path(variables[col]):
+            key = col + "/" + "/".join(k.key for k in p)
+            flat[key] = np.asarray(leaf)
+    np.savez(path, __width__=np.int64(width), **flat)
+
+
+def load_backbone(path: str, depth: int = 1, dtype=None):
+    """Inverse of save_backbone: returns (GraphBackbone, variables)."""
+    import numpy as np
+
+    fx = np.load(path)
+    width = int(fx["__width__"])
+    variables = {"params": {}, "batch_stats": {}}
+    for key in fx.files:
+        if key == "__width__":
+            continue
+        parts = key.split("/")
+        node = variables[parts[0]]
+        for k in parts[1:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = jnp.asarray(fx[key])
+    return build_yolo_backbone(width=width, depth=depth, dtype=dtype), variables
+
+
 def frozen_activation_from_conv(variables, layer_idx: int,
                                 eps: float = 1e-5) -> FrozenActivationBlock:
     """Clone layer `layer_idx`'s BatchNorm statistics into a

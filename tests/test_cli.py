@@ -272,3 +272,47 @@ def test_cli_portable_card_roundtrip_other_families(tmp_path, name):
               "--out", rec2_path])
     np.testing.assert_array_equal(np.asarray(Image.open(rec_path)),
                                   np.asarray(Image.open(rec2_path)))
+
+
+def test_cli_train_scalable_with_backbone(tmp_path):
+    """Scalable training through the CLI with the distillation term live:
+    gamma > 0 plus a saved backbone activates FirstHalf(V) + the frozen
+    cut-layer activation inside the jitted loss."""
+    import jax
+
+    from neural_image_compression_tpu.models import (
+        build_yolo_backbone, save_backbone)
+
+    train_dir = str(tmp_path / "train")
+    _write_images(train_dir, n=2, size=192)
+    bb = build_yolo_backbone(width=4)  # P3 channels 16 = 2*base_channels
+    bvars = bb.init(jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32))
+    bb_path = str(tmp_path / "bb.npz")
+    save_backbone(bb_path, 4, bvars)
+
+    cfg = Config()
+    cfg.model.name = "scalable"
+    cfg.model.latent_channels = 16
+    cfg.model.base_channels = 8
+    cfg.model.K = 1
+    cfg.data.train_dir = train_dir
+    cfg.data.batch_size = 1
+    cfg.train.max_steps = 2
+    cfg.train.gamma = 1.0
+    cfg.train.log_dir = str(tmp_path / "runs")
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    cli_main(["train", "--config", cfg_path, "--backbone", bb_path])
+    assert os.path.isdir(cfg.train.checkpoint_path)
+    # the vision term was live: metrics JSONL records a nonzero vision_mse
+    import glob
+    import json as _json
+    logs = glob.glob(os.path.join(cfg.train.log_dir, "**", "*.jsonl"),
+                     recursive=True)
+    assert logs
+    rows = [_json.loads(l) for l in open(logs[0])]
+    assert any(r["tag"] == "losses/vision_mse" and r["value"] > 0
+               for r in rows)

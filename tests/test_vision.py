@@ -173,3 +173,17 @@ class TestYoloBackbone:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
         assert vmses[0] > 0.0  # distillation term is live
+
+
+def test_backbone_save_load_roundtrip(tmp_path):
+    from neural_image_compression_tpu.models.backbones import (
+        load_backbone, save_backbone)
+
+    bb = build_yolo_backbone(width=4)
+    x = jax.random.normal(KEY, (1, 64, 64, 3))
+    vs = bb.init(KEY, x)
+    path = str(tmp_path / "bb.npz")
+    save_backbone(path, 4, vs)
+    bb2, vs2 = load_backbone(path)
+    np.testing.assert_allclose(np.asarray(bb2.apply(vs2, x)),
+                               np.asarray(bb.apply(vs, x)), rtol=1e-6)
