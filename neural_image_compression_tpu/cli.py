@@ -95,25 +95,8 @@ def cmd_train(args):
     if cfg.model.name == "scalable":
         import functools
 
-        gamma = cfg.train.gamma
-        frozen_activation = V = None
-        if cfg.train.backbone and gamma > 0:
-            # Distillation teacher: FirstHalf of the saved frozen backbone,
-            # activation = the cut layer's frozen BN + SiLU (Extra.py
-            # semantics; see examples/train_eval_scalable.py for the flow).
-            from neural_image_compression_tpu.models.backbones import (
-                frozen_activation_from_conv, load_backbone,
-            )
-            from neural_image_compression_tpu.models.vision import FirstHalf
-
-            backbone, bvars = load_backbone(cfg.train.backbone)
-            fh = FirstHalf(backbone=backbone, cut=cfg.train.backbone_cut)
-            nested = {"params": {"backbone": bvars["params"]},
-                      "batch_stats": {"backbone": bvars["batch_stats"]}}
-            V = functools.partial(fh.apply, nested)
-            frozen_activation = frozen_activation_from_conv(
-                bvars, cfg.train.backbone_cut)
-        loss_fn = functools.partial(vision_rd_loss, gamma=gamma,
+        frozen_activation, V = _distillation_callables(cfg)
+        loss_fn = functools.partial(vision_rd_loss, gamma=cfg.train.gamma,
                                     frozen_activation=frozen_activation, V=V)
 
     trainer = Trainer(model, train_loader, val_loader=val_loader, rd_loss=loss_fn,
@@ -130,6 +113,29 @@ def cmd_train(args):
                       checkpoint_path=cfg.train.checkpoint_path,
                       seed=cfg.train.seed, mesh=mesh)
     trainer.train()
+
+
+def _distillation_callables(cfg):
+    """(frozen_activation, V) for the scalable vision term, or (None, None).
+
+    Distillation teacher: FirstHalf of the saved frozen backbone; activation
+    = the cut layer's frozen BN + SiLU (Extra.py semantics; see
+    examples/train_eval_scalable.py for the full flow)."""
+    if not cfg.train.backbone or cfg.train.gamma <= 0:
+        return None, None
+    import functools
+
+    from neural_image_compression_tpu.models.backbones import (
+        frozen_activation_from_conv, load_backbone,
+    )
+    from neural_image_compression_tpu.models.vision import FirstHalf
+
+    backbone, bvars = load_backbone(cfg.train.backbone)
+    fh = FirstHalf(backbone=backbone, cut=cfg.train.backbone_cut)
+    nested = {"params": {"backbone": bvars["params"]},
+              "batch_stats": {"backbone": bvars["batch_stats"]}}
+    V = functools.partial(fh.apply, nested)
+    return frozen_activation_from_conv(bvars, cfg.train.backbone_cut), V
 
 
 def cmd_eval(args):
@@ -150,12 +156,21 @@ def cmd_eval(args):
     params = _restore_params(model, cfg, example)
 
     if cfg.model.name == "scalable":
+        import functools
+
+        from neural_image_compression_tpu.train import vision_rd_loss
+
+        if getattr(args, "backbone", None):
+            cfg.train.backbone = args.backbone
         ev = VisionCompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
                                         cfg.train.gamma, cfg.eval.save_dir)
+        frozen_activation, V = _distillation_callables(cfg)
+        metrics, imgs, recons = ev.evaluate(functools.partial(
+            vision_rd_loss, frozen_activation=frozen_activation, V=V))
     else:
         ev = CompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
                                   cfg.eval.save_dir)
-    metrics, imgs, recons = ev.evaluate()
+        metrics, imgs, recons = ev.evaluate()
     if getattr(args, "codec", False):
         codec_metrics = ev.evaluate_codec(_make_codec(cfg, model, params))
         metrics.update({f"codec/{k}": v for k, v in codec_metrics.items()
@@ -340,6 +355,9 @@ def main(argv=None):
     sp.add_argument("--data_dir", default=None)
     sp.add_argument("--codec", action="store_true",
                     help="also run real-bitstream codec evaluation")
+    sp.add_argument("--backbone", default=None,
+                    help="saved backbone .npz: report the vision-distillation "
+                         "MSE for scalable models")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("compress")

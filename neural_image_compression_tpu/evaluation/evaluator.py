@@ -257,7 +257,8 @@ class VisionCompressionEvaluator(CompressionEvaluator):
     def evaluate(self, vision_rd_loss_fn: Optional[Callable] = None):
         loss_fn = vision_rd_loss_fn or default_vision_rd_loss
         total_metrics = []
-        stats = {k: [] for k in ("bpp_y", "bpp_y1", "bpp_y2", "bpp_z", "bpp_total")}
+        stats = {k: [] for k in ("bpp_y", "bpp_y1", "bpp_y2", "bpp_z",
+                                 "bpp_total", "vision_mse")}
         imgs_list, recon_list = [], []
 
         for imgs in self.dataloader:
@@ -280,6 +281,9 @@ class VisionCompressionEvaluator(CompressionEvaluator):
         avg["BPP(y2)"] = float(np.mean(stats["bpp_y2"]))
         avg["BPP(z)"] = float(np.mean(stats["bpp_z"]))
         avg["BPP(reference_reported)"] = avg["BPP(y)"]
+        if any(v > 0 for v in stats["vision_mse"]):
+            # only meaningful when a distillation-aware loss was supplied
+            avg["VisionMSE"] = float(np.mean(stats["vision_mse"]))
 
         print("\n--- Evaluation Results ---")
         for k, v in avg.items():

@@ -316,3 +316,15 @@ def test_cli_train_scalable_with_backbone(tmp_path):
     rows = [_json.loads(l) for l in open(logs[0])]
     assert any(r["tag"] == "losses/vision_mse" and r["value"] > 0
                for r in rows)
+
+    # eval with the backbone reports the distillation MSE in the artifact
+    cfg.eval.data_dir = train_dir
+    cfg.eval.save_dir = str(tmp_path / "eval")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    cli_main(["eval", "--config", cfg_path, "--backbone", bb_path])
+    txts = [o for o in os.listdir(cfg.eval.save_dir)
+            if o.startswith("eval_results_")]
+    assert txts
+    body = open(os.path.join(cfg.eval.save_dir, txts[0])).read()
+    assert "VisionMSE" in body
