@@ -7,6 +7,7 @@ from neural_image_compression_tpu.utils.flops import (
 )
 from neural_image_compression_tpu.utils.torch_import import (
     joint_ar_params_from_torch, load_reference_checkpoint,
+    yolo_backbone_variables_from_torch,
     scalable_params_from_torch,
 )
 
@@ -15,4 +16,5 @@ __all__ = ["checkpoint_exists", "restore_checkpoint", "restore_raw",
            "factorized_prior_eval_flops", "joint_ar_eval_flops", "mfu",
            "scalable_eval_flops",
            "joint_ar_params_from_torch", "load_reference_checkpoint",
+           "yolo_backbone_variables_from_torch",
            "scalable_params_from_torch"]

@@ -237,3 +237,63 @@ def joint_ar_params_from_torch(sd: StateDict,
         "context_model": _context(sd, "context_model"),
         "entropy_parameters": _entropy_parameters(sd, "entropy_parameters"),
     }
+
+
+# -- YOLO-family frozen backbone (models/backbones.py) -----------------------
+
+def _conv_bn_silu(sd: StateDict, prefix: str):
+    """YOLO 'Conv' (conv no-bias + BatchNorm + SiLU) -> ConvBNSiLU variables."""
+    params = {"Conv2d_0": {"kernel": _conv_kernel(sd[prefix + ".conv.weight"])},
+              "BatchNorm_0": {"scale": np.asarray(sd[prefix + ".bn.weight"]),
+                              "bias": np.asarray(sd[prefix + ".bn.bias"])}}
+    stats = {"BatchNorm_0": {"mean": np.asarray(sd[prefix + ".bn.running_mean"]),
+                             "var": np.asarray(sd[prefix + ".bn.running_var"])}}
+    return params, stats
+
+
+def _c3(sd: StateDict, prefix: str, depth: int):
+    """YOLO C3: cv1 -> bottleneck branch, cv2 -> bypass, cv3 -> fuse
+    (forward = cv3(cat(m(cv1(x)), cv2(x))) — same dataflow as our C3)."""
+    params, stats = {}, {}
+    for ours, theirs in (("ConvBNSiLU_0", "cv1"), ("ConvBNSiLU_1", "cv2"),
+                         ("ConvBNSiLU_2", "cv3")):
+        params[ours], stats[ours] = _conv_bn_silu(sd, f"{prefix}.{theirs}")
+    for j in range(depth):
+        bp, bs = {}, {}
+        for ours, theirs in (("ConvBNSiLU_0", "cv1"), ("ConvBNSiLU_1", "cv2")):
+            bp[ours], bs[ours] = _conv_bn_silu(sd, f"{prefix}.m.{j}.{theirs}")
+        params[f"Bottleneck_{j}"], stats[f"Bottleneck_{j}"] = bp, bs
+    return params, stats
+
+
+def _sppf(sd: StateDict, prefix: str):
+    params, stats = {}, {}
+    for ours, theirs in (("ConvBNSiLU_0", "cv1"), ("ConvBNSiLU_1", "cv2")):
+        params[ours], stats[ours] = _conv_bn_silu(sd, f"{prefix}.{theirs}")
+    return params, stats
+
+
+def yolo_backbone_variables_from_torch(sd: StateDict, depth: int = 1,
+                                       prefix: str = "model.") -> Dict:
+    """Torch YOLOv5-family state_dict -> flax variables ({'params',
+    'batch_stats'}) for `models.build_yolo_backbone(width, depth)`.
+
+    Expects the standard ultralytics naming: `model.{i}.conv/bn` for Conv
+    layers, `model.{i}.cv1/cv2/cv3` + `model.{i}.m.{j}.cv1/cv2` for C3,
+    `model.{i}.cv1/cv2` for SPPF (layer 9, nn.Upsample, is parameter-free).
+    Works on a `model.state_dict()` of a DetectMultiBackend-style model when
+    keys are pre-stripped to this prefix. BatchNorm running stats land in
+    batch_stats (the backbone always runs them frozen)."""
+    layer_kind = {0: "conv", 1: "conv", 2: "c3", 3: "conv", 4: "c3",
+                  5: "conv", 6: "c3", 7: "sppf", 8: "conv", 10: "c3"}
+    params, stats = {}, {}
+    for i, kind in layer_kind.items():
+        name = f"layers_{i}_0"
+        p = f"{prefix}{i}"
+        if kind == "conv":
+            params[name], stats[name] = _conv_bn_silu(sd, p)
+        elif kind == "c3":
+            params[name], stats[name] = _c3(sd, p, depth)
+        else:
+            params[name], stats[name] = _sppf(sd, p)
+    return {"params": params, "batch_stats": stats}

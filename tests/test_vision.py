@@ -187,3 +187,100 @@ def test_backbone_save_load_roundtrip(tmp_path):
     bb2, vs2 = load_backbone(path)
     np.testing.assert_allclose(np.asarray(bb2.apply(vs2, x)),
                                np.asarray(bb.apply(vs, x)), rtol=1e-6)
+
+
+def test_yolo_backbone_torch_import_parity():
+    """Weights from a torch YOLOv5-family backbone (standard ultralytics
+    module naming: model.{i}.conv/bn, cv1/cv2/cv3, m.{j}) map into
+    build_yolo_backbone and reproduce the torch eval forward — the path a
+    real pretrained checkpoint takes into the distillation teacher."""
+    import torch
+    import torch.nn as tnn
+
+    from neural_image_compression_tpu.utils import (
+        yolo_backbone_variables_from_torch)
+
+    class TConv(tnn.Module):
+        def __init__(self, c1, c2, k=1, s=1):
+            super().__init__()
+            self.conv = tnn.Conv2d(c1, c2, k, s, (k - 1) // 2, bias=False)
+            self.bn = tnn.BatchNorm2d(c2)
+
+        def forward(self, x):
+            return tnn.functional.silu(self.bn(self.conv(x)))
+
+    class TBottleneck(tnn.Module):
+        def __init__(self, c, shortcut=True):
+            super().__init__()
+            self.cv1 = TConv(c, c, 1)
+            self.cv2 = TConv(c, c, 3)
+            self.add = shortcut
+
+        def forward(self, x):
+            y = self.cv2(self.cv1(x))
+            return x + y if self.add else y
+
+    class TC3(tnn.Module):
+        def __init__(self, c1, c2, n=1, shortcut=True):
+            super().__init__()
+            h = c2 // 2
+            self.cv1 = TConv(c1, h, 1)
+            self.cv2 = TConv(c1, h, 1)
+            self.cv3 = TConv(c2, c2, 1)
+            self.m = tnn.Sequential(*[TBottleneck(h, shortcut)
+                                      for _ in range(n)])
+
+        def forward(self, x):
+            return self.cv3(torch.cat([self.m(self.cv1(x)), self.cv2(x)], 1))
+
+    class TSPPF(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            h = c // 2
+            self.cv1 = TConv(c, h, 1)
+            self.cv2 = TConv(4 * h, c, 1)
+            self.pool = tnn.MaxPool2d(5, 1, 2)
+
+        def forward(self, x):
+            x = self.cv1(x)
+            p1 = self.pool(x); p2 = self.pool(p1); p3 = self.pool(p2)
+            return self.cv2(torch.cat([x, p1, p2, p3], 1))
+
+    class TBackbone(tnn.Module):
+        def __init__(self, w):
+            super().__init__()
+            self.model = tnn.ModuleList([
+                TConv(3, w, 6, 2), TConv(w, 2 * w, 3, 2), TC3(2 * w, 2 * w),
+                TConv(2 * w, 4 * w, 3, 2), TC3(4 * w, 4 * w),
+                TConv(4 * w, 8 * w, 3, 2), TC3(8 * w, 8 * w), TSPPF(8 * w),
+                TConv(8 * w, 4 * w, 1), tnn.Upsample(scale_factor=2),
+                TC3(8 * w, 4 * w, shortcut=False)])
+
+        def forward(self, x):
+            outs = []
+            for i, m in enumerate(self.model):
+                x = m(torch.cat([x, outs[4]], 1) if i == 10 else x)
+                outs.append(x)
+            return x
+
+    torch.manual_seed(0)
+    w = 4
+    tb = TBackbone(w).eval()
+    with torch.no_grad():  # non-trivial frozen BN statistics
+        for m in tb.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0.0, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+                m.weight.normal_(1.0, 0.2)
+                m.bias.normal_(0.0, 0.2)
+    x_t = torch.randn(1, 3, 64, 64)
+    with torch.no_grad():
+        ref = tb(x_t).numpy()
+
+    sd = {k: v.numpy() for k, v in tb.state_dict().items()}
+    variables = yolo_backbone_variables_from_torch(sd)
+    bb = build_yolo_backbone(width=w)
+    got = bb.apply(jax.tree.map(jnp.asarray, variables),
+                   jnp.asarray(np.transpose(x_t.numpy(), (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, rtol=2e-4, atol=2e-5)
