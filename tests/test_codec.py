@@ -626,3 +626,24 @@ class TestInt16LatentTransfers:
         poisoned = (jnp.full_like(real[0], -32768), real[1])
         monkeypatch.setattr(codec, "_analysis_q", lambda v, xx: poisoned)
         assert codec.compress(x) == ref  # refetched through the f32 program
+
+
+def test_residual_family_roundtrip():
+    """HierarchicalMixtureResidual (3x3 residual transforms) through the
+    same JointARCodec path the CLI routes it to: exact latents, exact
+    reconstruction vs the eval forward."""
+    from neural_image_compression_tpu.models import HierarchicalMixtureResidual
+
+    model = HierarchicalMixtureResidual(latent_channels=8, K=2)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    out = model.apply(variables, x, training=False)
+    y_dec, z_dec = codec.decode_latents(data)
+    np.testing.assert_array_equal(z_dec, np.asarray(out["z_in"])[0])
+    np.testing.assert_array_equal(y_dec, np.asarray(out["y_in"])[0])
+    x_hat = codec.decompress(data)
+    np.testing.assert_allclose(
+        x_hat, np.clip(np.asarray(out["x_hat"]), 0, 1), atol=1e-5)
