@@ -46,6 +46,10 @@ def main():
                     help="vision-distillation weight (0 disables the term)")
     ap.add_argument("--cut", type=int, default=3,
                     help="backbone split layer (FirstHalf = layers [0, cut])")
+    ap.add_argument("--backbone", default=None,
+                    help="saved backbone .npz (models.save_backbone / "
+                         "models.yolo_backbone_variables_from_torch); "
+                         "default: a seeded-random backbone")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--scalar_interval", type=int, default=1)
     args = ap.parse_args()
@@ -76,11 +80,16 @@ def main():
     # 2*base_channels features (lst_upsampling=(2,1,1,1)); a backbone of
     # width=base_channels//2 puts its P3 stage (layer `cut`=3) at the same
     # (grid, channels), so the distillation residual is well-posed.
-    if args.base_channels % 2:
-        ap.error("--base_channels must be even (backbone width = M1/2)")
-    backbone = build_yolo_backbone(width=args.base_channels // 2)
-    bvars = backbone.init(jax.random.PRNGKey(42),
-                          jnp.zeros((1, 256, 256, 3)))
+    if args.backbone:
+        from neural_image_compression_tpu.models import load_backbone
+
+        backbone, bvars = load_backbone(args.backbone)
+    else:
+        if args.base_channels % 2:
+            ap.error("--base_channels must be even (backbone width = M1/2)")
+        backbone = build_yolo_backbone(width=args.base_channels // 2)
+        bvars = backbone.init(jax.random.PRNGKey(42),
+                              jnp.zeros((1, 256, 256, 3)))
     first_half = FirstHalf(backbone=backbone, cut=args.cut)
     nested = {"params": {"backbone": bvars["params"]},
               "batch_stats": {"backbone": bvars["batch_stats"]}}
