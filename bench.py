@@ -44,7 +44,10 @@ def _wait_for_backend():
               "retrying in 60s", file=sys.stderr)
         time.sleep(60)
         os.environ["_NIC_BENCH_ATTEMPT"] = str(attempt + 1)
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        # re-exec THIS file by absolute path: sys.argv[0] can be a
+        # CWD-relative "bench.py" (e.g. set by cli.py's bench subcommand)
+        os.execv(sys.executable,
+                 [sys.executable, os.path.abspath(__file__)] + sys.argv[1:])
 
 
 def main():

@@ -60,7 +60,7 @@ def main():
 
     import neural_image_compression_tpu as nic
     from neural_image_compression_tpu.models import (
-        FirstHalf, build_yolo_backbone, frozen_activation_from_conv)
+        build_yolo_backbone, distillation_targets)
 
     # 1. preprocess (skipped if already done)
     patches_dir = os.path.join(args.work_dir, "patches")
@@ -80,21 +80,20 @@ def main():
     # 2*base_channels features (lst_upsampling=(2,1,1,1)); a backbone of
     # width=base_channels//2 puts its P3 stage (layer `cut`=3) at the same
     # (grid, channels), so the distillation residual is well-posed.
-    if args.backbone:
-        from neural_image_compression_tpu.models import load_backbone
+    activation = V = None
+    if args.gamma > 0:  # gamma=0: skip the teacher entirely (it would cost
+        # a full backbone forward per step, weighted by zero)
+        if args.backbone:
+            from neural_image_compression_tpu.models import load_backbone
 
-        backbone, bvars = load_backbone(args.backbone)
-    else:
-        if args.base_channels % 2:
-            ap.error("--base_channels must be even (backbone width = M1/2)")
-        backbone = build_yolo_backbone(width=args.base_channels // 2)
-        bvars = backbone.init(jax.random.PRNGKey(42),
-                              jnp.zeros((1, 256, 256, 3)))
-    first_half = FirstHalf(backbone=backbone, cut=args.cut)
-    nested = {"params": {"backbone": bvars["params"]},
-              "batch_stats": {"backbone": bvars["batch_stats"]}}
-    V = functools.partial(first_half.apply, nested)
-    activation = frozen_activation_from_conv(bvars, args.cut)
+            backbone, bvars = load_backbone(args.backbone)
+        else:
+            if args.base_channels % 2:
+                ap.error("--base_channels must be even (backbone width = M1/2)")
+            backbone = build_yolo_backbone(width=args.base_channels // 2)
+            bvars = jax.jit(backbone.init)(jax.random.PRNGKey(42),
+                                           jnp.zeros((1, 256, 256, 3)))
+        activation, V = distillation_targets(backbone, bvars, args.cut)
     loss_fn = functools.partial(nic.train.vision_rd_loss, gamma=args.gamma,
                                 frozen_activation=activation, V=V)
 

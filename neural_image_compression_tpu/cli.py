@@ -115,27 +115,23 @@ def cmd_train(args):
     trainer.train()
 
 
-def _distillation_callables(cfg):
+def _distillation_callables(cfg, require_gamma: bool = True):
     """(frozen_activation, V) for the scalable vision term, or (None, None).
 
     Distillation teacher: FirstHalf of the saved frozen backbone; activation
     = the cut layer's frozen BN + SiLU (Extra.py semantics; see
-    examples/train_eval_scalable.py for the full flow)."""
-    if not cfg.train.backbone or cfg.train.gamma <= 0:
+    examples/train_eval_scalable.py for the full flow). Training skips the
+    construction when gamma == 0 (the term would cost a full backbone
+    forward per step, weighted by zero); eval reports vision_mse whenever a
+    backbone is given, gamma or not (pass require_gamma=False)."""
+    if not cfg.train.backbone or (require_gamma and cfg.train.gamma <= 0):
         return None, None
-    import functools
-
     from neural_image_compression_tpu.models.backbones import (
-        frozen_activation_from_conv, load_backbone,
+        distillation_targets, load_backbone,
     )
-    from neural_image_compression_tpu.models.vision import FirstHalf
 
     backbone, bvars = load_backbone(cfg.train.backbone)
-    fh = FirstHalf(backbone=backbone, cut=cfg.train.backbone_cut)
-    nested = {"params": {"backbone": bvars["params"]},
-              "batch_stats": {"backbone": bvars["batch_stats"]}}
-    V = functools.partial(fh.apply, nested)
-    return frozen_activation_from_conv(bvars, cfg.train.backbone_cut), V
+    return distillation_targets(backbone, bvars, cfg.train.backbone_cut)
 
 
 def cmd_eval(args):
@@ -164,7 +160,7 @@ def cmd_eval(args):
             cfg.train.backbone = args.backbone
         ev = VisionCompressionEvaluator(model, params, loader, cfg.eval.lambda_rd,
                                         cfg.train.gamma, cfg.eval.save_dir)
-        frozen_activation, V = _distillation_callables(cfg)
+        frozen_activation, V = _distillation_callables(cfg, require_gamma=False)
         metrics, imgs, recons = ev.evaluate(functools.partial(
             vision_rd_loss, frozen_activation=frozen_activation, V=V))
     else:

@@ -14,8 +14,8 @@ from neural_image_compression_tpu.models.vision import (
     FirstHalf, FrozenActivationBlock, GraphBackbone, SecondHalf,
 )
 from neural_image_compression_tpu.models.backbones import (
-    C3, SPPF, ConvBNSiLU, build_yolo_backbone, frozen_activation_from_conv,
-    load_backbone, save_backbone,
+    C3, SPPF, Concat, ConvBNSiLU, build_yolo_backbone, distillation_targets,
+    frozen_activation_from_conv, load_backbone, save_backbone,
 )
 
 __all__ = [
@@ -25,7 +25,8 @@ __all__ = [
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "ScalableImageCoding",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
-    "ConvBNSiLU", "C3", "SPPF", "build_yolo_backbone",
+    "ConvBNSiLU", "C3", "SPPF", "Concat", "build_yolo_backbone",
     "frozen_activation_from_conv", "save_backbone", "load_backbone",
+    "distillation_targets",
     "noise_quantize", "round_quantize", "quantize",
 ]

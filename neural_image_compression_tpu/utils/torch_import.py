@@ -278,14 +278,21 @@ def yolo_backbone_variables_from_torch(sd: StateDict, depth: int = 1,
     """Torch YOLOv5-family state_dict -> flax variables ({'params',
     'batch_stats'}) for `models.build_yolo_backbone(width, depth)`.
 
-    Expects the standard ultralytics naming: `model.{i}.conv/bn` for Conv
-    layers, `model.{i}.cv1/cv2/cv3` + `model.{i}.m.{j}.cv1/cv2` for C3,
-    `model.{i}.cv1/cv2` for SPPF (layer 9, nn.Upsample, is parameter-free).
-    Works on a `model.state_dict()` of a DetectMultiBackend-style model when
-    keys are pre-stripped to this prefix. BatchNorm running stats land in
-    batch_stats (the backbone always runs them frozen)."""
+    Layer indices follow the real ultralytics yolov5 yaml (backbone 0-9:
+    Conv x4 / C3 x4 / SPPF, neck 10-17 through the P3 C3) with the standard
+    naming: `model.{i}.conv/bn` for Conv layers, `model.{i}.cv1/cv2/cv3` +
+    `model.{i}.m.{j}.cv1/cv2` for C3, `model.{i}.cv1/cv2` for SPPF. Layers
+    11/15 (nn.Upsample) and 12/16 (Concat) are parameter-free. Works on an
+    ultralytics `model.model.state_dict()` (keys already `model.{i}....`);
+    detection-head layers past 17 are ignored. C3 depths follow the yaml
+    ladder ((1,2,3,1) backbone / (1,1) neck, x `depth`) — depth=1 matches
+    yolov5n/s, depth=2 yolov5m. BatchNorm running stats land in batch_stats
+    (the backbone always runs them frozen)."""
+    from neural_image_compression_tpu.models.backbones import _C3_DEPTH
+
     layer_kind = {0: "conv", 1: "conv", 2: "c3", 3: "conv", 4: "c3",
-                  5: "conv", 6: "c3", 7: "sppf", 8: "conv", 10: "c3"}
+                  5: "conv", 6: "c3", 7: "conv", 8: "c3", 9: "sppf",
+                  10: "conv", 13: "c3", 14: "conv", 17: "c3"}
     params, stats = {}, {}
     for i, kind in layer_kind.items():
         name = f"layers_{i}_0"
@@ -293,7 +300,7 @@ def yolo_backbone_variables_from_torch(sd: StateDict, depth: int = 1,
         if kind == "conv":
             params[name], stats[name] = _conv_bn_silu(sd, p)
         elif kind == "c3":
-            params[name], stats[name] = _c3(sd, p, depth)
+            params[name], stats[name] = _c3(sd, p, _C3_DEPTH[i] * depth)
         else:
             params[name], stats[name] = _sppf(sd, p)
     return {"params": params, "batch_stats": stats}

@@ -317,7 +317,10 @@ def test_cli_train_scalable_with_backbone(tmp_path):
     assert any(r["tag"] == "losses/vision_mse" and r["value"] > 0
                for r in rows)
 
-    # eval with the backbone reports the distillation MSE in the artifact
+    # eval with the backbone reports the distillation MSE in the artifact —
+    # even at gamma=0 (the gamma gate is train-only; eval reports vision_mse
+    # whenever a backbone is given)
+    cfg.train.gamma = 0.0
     cfg.eval.data_dir = train_dir
     cfg.eval.save_dir = str(tmp_path / "eval")
     with open(cfg_path, "w") as f:

@@ -91,14 +91,14 @@ class TestYoloBackbone:
         assert out.shape == (1, 8, 8, 16)
 
     def test_split_across_neck_concat(self):
-        """Cuts before layer 10 force SecondHalf to read layer 4's output
+        """Cuts in [4, 15] force SecondHalf to read layer 4/6 outputs
         through prev_outputs — the YOLO-neck hand-off the machinery exists
         for (Extra.py:21-42)."""
         bb, vs, x = self._init()
         full = bb.apply(vs, x)
         nested = {"params": {"backbone": vs["params"]},
                   "batch_stats": {"backbone": vs["batch_stats"]}}
-        for cut in (3, 5, 7, 9):
+        for cut in (3, 5, 7, 9, 13):
             fh = FirstHalf(backbone=bb, cut=cut)
             sh = SecondHalf(backbone=bb, cut=cut)
             mid, outs = fh.apply(nested, x, collect=True)
@@ -125,8 +125,9 @@ class TestYoloBackbone:
     def test_frozen_activation_rejects_non_conv_layer(self):
         bb, vs, _ = self._init()
         import pytest
-        with pytest.raises(ValueError):
-            frozen_activation_from_conv(vs, 9)  # Upsample2x has no BN
+        for bad in (9, 11):  # SPPF (BNs only in sub-scopes), Upsample2x
+            with pytest.raises(ValueError):
+                frozen_activation_from_conv(vs, bad)
 
     def test_distillation_end_to_end(self):
         """ScalableImageCoding + vision_rd_loss distilling against the
@@ -137,13 +138,10 @@ class TestYoloBackbone:
         from neural_image_compression_tpu.models import ScalableImageCoding
         from neural_image_compression_tpu.train.loss import vision_rd_loss
 
+        from neural_image_compression_tpu.models import distillation_targets
+
         bb, bvs, _ = self._init()  # w=4: P3 channels 16 == 2*m1 with m1=8
-        cut = 3
-        fh = FirstHalf(backbone=bb, cut=cut)
-        nested = {"params": {"backbone": bvs["params"]},
-                  "batch_stats": {"backbone": bvs["batch_stats"]}}
-        V = lambda img: fh.apply(nested, img)
-        act = frozen_activation_from_conv(bvs, cut)
+        act, V = distillation_targets(bb, bvs, cut=3)
 
         model = ScalableImageCoding(latent_channels=16, base_channels=8, K=1)
         key = jax.random.PRNGKey(3)
@@ -179,14 +177,18 @@ def test_backbone_save_load_roundtrip(tmp_path):
     from neural_image_compression_tpu.models.backbones import (
         load_backbone, save_backbone)
 
-    bb = build_yolo_backbone(width=4)
     x = jax.random.normal(KEY, (1, 64, 64, 3))
-    vs = bb.init(KEY, x)
-    path = str(tmp_path / "bb.npz")
-    save_backbone(path, 4, vs)
-    bb2, vs2 = load_backbone(path)
-    np.testing.assert_allclose(np.asarray(bb2.apply(vs2, x)),
-                               np.asarray(bb.apply(vs, x)), rtol=1e-6)
+    for depth in (1, 2):  # depth=2 has Bottleneck_1+ scopes that must
+        # survive the round-trip (the architecture travels with the file)
+        bb = build_yolo_backbone(width=4, depth=depth)
+        vs = bb.init(KEY, x)
+        path = str(tmp_path / f"bb{depth}.npz")
+        save_backbone(path, 4, vs, depth=depth)
+        bb2, vs2 = load_backbone(path)
+        assert jax.tree.structure(vs2) == jax.tree.structure(
+            jax.tree.map(jnp.asarray, vs))
+        np.testing.assert_allclose(np.asarray(bb2.apply(vs2, x)),
+                                   np.asarray(bb.apply(vs, x)), rtol=1e-6)
 
 
 def test_yolo_backbone_torch_import_parity():
@@ -247,19 +249,29 @@ def test_yolo_backbone_torch_import_parity():
             return self.cv2(torch.cat([x, p1, p2, p3], 1))
 
     class TBackbone(tnn.Module):
+        """The real yolov5n layout (yaml indices 0-17 through the P3 C3);
+        Concat layers are nn.Identity so state_dict indices match."""
+
         def __init__(self, w):
             super().__init__()
             self.model = tnn.ModuleList([
-                TConv(3, w, 6, 2), TConv(w, 2 * w, 3, 2), TC3(2 * w, 2 * w),
-                TConv(2 * w, 4 * w, 3, 2), TC3(4 * w, 4 * w),
-                TConv(4 * w, 8 * w, 3, 2), TC3(8 * w, 8 * w), TSPPF(8 * w),
+                TConv(3, w, 6, 2), TConv(w, 2 * w, 3, 2),
+                TC3(2 * w, 2 * w, 1),
+                TConv(2 * w, 4 * w, 3, 2), TC3(4 * w, 4 * w, 2),
+                TConv(4 * w, 8 * w, 3, 2), TC3(8 * w, 8 * w, 3),
+                TConv(8 * w, 16 * w, 3, 2), TC3(16 * w, 16 * w, 1),
+                TSPPF(16 * w),
+                TConv(16 * w, 8 * w, 1), tnn.Upsample(scale_factor=2),
+                tnn.Identity(), TC3(16 * w, 8 * w, 1, shortcut=False),
                 TConv(8 * w, 4 * w, 1), tnn.Upsample(scale_factor=2),
-                TC3(8 * w, 4 * w, shortcut=False)])
+                tnn.Identity(), TC3(8 * w, 4 * w, 1, shortcut=False)])
 
         def forward(self, x):
-            outs = []
+            outs, cat_from = [], {12: 6, 16: 4}
             for i, m in enumerate(self.model):
-                x = m(torch.cat([x, outs[4]], 1) if i == 10 else x)
+                if i in cat_from:
+                    x = torch.cat([x, outs[cat_from[i]]], 1)
+                x = m(x)
                 outs.append(x)
             return x
 
