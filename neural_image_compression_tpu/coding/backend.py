@@ -412,6 +412,9 @@ class ArPortableCoder:
             _ptr(arrs["table_off"], ctypes.c_int64),
             _ptr(arrs["table_len"], ctypes.c_int64),
             _ptr(arrs["exp_lut"], ctypes.c_int64), len(arrs["exp_lut"]))
+        if not self._handle:
+            raise ValueError("native portable coder rejected the card "
+                             "(K or sigma_R out of spec)")
         ha = self._hyper_arrs
         self._hyper_handle = self._lib.arport_hyper_create(
             len(card.hyper), _ptr(ha["meta"], ctypes.c_int64),
@@ -426,10 +429,9 @@ class ArPortableCoder:
                 h = (h + 2 * pad - kh) // stride + 1
                 w = (w + 2 * pad - kw) // stride + 1
             else:
-                lo = kh - 1 - pad
-                hi = kh - 1 - pad + opad
-                h = (h - 1) * stride + 1 + lo + hi - kh + 1
-                w = (w - 1) * stride + 1 + lo + hi - kw + 1
+                # per-axis pads (kh vs kw), matching _int_deconv2d geometry
+                h = (h - 1) * stride + 1 + 2 * (kh - 1 - pad) + opad - kh + 1
+                w = (w - 1) * stride + 1 + 2 * (kw - 1 - pad) + opad - kw + 1
         return h, w, cout
 
     def hyper(self, z_q: np.ndarray) -> np.ndarray:

@@ -193,8 +193,7 @@ class _HostParamNets:
         ctx = ctx_params["MaskedConv2d_0"]
         kernel = np.asarray(ctx["kernel"], self.DTYPE)  # (5, 5, M, 2M)
         self.ctx_bias = np.asarray(ctx["bias"], self.DTYPE)
-        # mask-A positions: rows 0-1 all cols, row 2 cols 0-1
-        pos = [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)]
+        pos = CTX_POSITIONS
         self.positions = pos
         self.ctx_w = np.concatenate([kernel[r, c] for (r, c) in pos], axis=0)
         # (12*M, 2M)
@@ -346,6 +345,14 @@ def _ar_decode_latents(nets: _HostParamNets, data: bytes,
         y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
         y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
     return y_hat
+
+
+# Causal context of the 5x5 mask-A conv: rows 0-1 all cols, row 2 cols 0-1.
+# THE canonical position list — the host float nets, the portable integer
+# coder (_gather_context), and the hard-coded gather offsets in
+# rans/ar_wavefront.cc + rans/ar_portable.cc all follow this order.
+CTX_POSITIONS = tuple(
+    [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)])
 
 
 def wavefront_order(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -61,6 +61,12 @@ SIGMA_LOG2_MAX = 6.0
 EXP_LUT_SIZE = 2048         # exp(-i/128), i in [0, 2048)
 EXP_LUT_SHIFT = 5           # F=12 -> 1/128 steps
 RANS_L = 1 << 23
+Y_ABS_MAX = 1 << 24         # spec bound on coded latent magnitude. Keeps
+# the int64 context-GEMM accumulators exact in the worst case
+# (2^24 * 2^F * 2^15 * 12M < 2^63 for M <= 330) while leaving the giant-
+# latent scalar-fallback path usable; an adversarial escape near +-2^31
+# would otherwise overflow (UB in C++). Encode validates inputs, decode
+# rejects the stream — identically in numpy and C++ (kYAbsMax).
 
 _CARD_VERSION = 1
 
@@ -156,13 +162,13 @@ def _int_deconv2d(x: np.ndarray, layer: QuantLayer, stride: int, padding: int,
     kh, kw = layer.wq.shape[:2]
     h, w, _ = x.shape
     hd, wd = (h - 1) * stride + 1, (w - 1) * stride + 1
-    lo = kh - 1 - padding
-    hi = kh - 1 - padding + output_padding
-    oh = hd + lo + hi - kh + 1
-    ow = wd + lo + hi - kw + 1
+    lo_r = kh - 1 - padding
+    lo_c = kw - 1 - padding  # per-axis pads so non-square kernels stay exact
+    oh = hd + 2 * lo_r + output_padding - kh + 1
+    ow = wd + 2 * lo_c + output_padding - kw + 1
     acc = np.broadcast_to(layer.bq, (oh, ow, layer.bq.shape[0])).copy()
 
-    def _span(tap: int, out_len: int, in_len: int):
+    def _span(tap: int, lo: int, out_len: int, in_len: int):
         # output indices oi >= 0 with dilated index d = oi + tap - lo in
         # [0, (in_len-1)*stride] and d % stride == 0 -> input index d//stride
         o0, i0 = lo - tap, 0
@@ -175,12 +181,12 @@ def _int_deconv2d(x: np.ndarray, layer: QuantLayer, stride: int, padding: int,
         return o0, i0, n
 
     for r in range(kh):
-        rs = _span(r, oh, h)
+        rs = _span(r, lo_r, oh, h)
         if rs is None:
             continue
         oi0, ii0, nr = rs
         for c in range(kw):
-            cs = _span(c, ow, w)
+            cs = _span(c, lo_c, ow, w)
             if cs is None:
                 continue
             oj0, jj0, nc = cs
@@ -217,6 +223,15 @@ class PortableCard:
                  tables: List[np.ndarray], exp_lut: np.ndarray,
                  z_cdfs: np.ndarray, z_offsets: np.ndarray,
                  z_sizes: np.ndarray, zmin: int, zmax: int):
+        # Validate here so build(), load(), and _from_mapping() all reject
+        # out-of-spec cards identically for the numpy AND native paths (the
+        # native coder sizes fixed buffers from these: K<=16 mixture scratch,
+        # 2*254+2 symbol-model edges).
+        if not (1 <= K <= 16):
+            raise ValueError(f"portable cards support 1 <= K <= 16, got {K}")
+        if sigma_R.size and not (0 <= int(sigma_R.min())
+                                 and int(sigma_R.max()) <= 254):
+            raise ValueError("corrupt card: sigma_R outside [0, 254]")
         self.M = M
         self.K = K
         self.hyper = hyper          # [(kind, layer, geometry), ...]
@@ -508,7 +523,7 @@ def build_symbol_model(card: PortableCard, mu_fix: np.ndarray,
         R = min(254, max(2, R + 2))
     nsym = 2 * R + 2
 
-    n_edges = 2 * R + 2
+    n_edges = nsym
     e_idx = np.arange(n_edges, dtype=np.int64)
     edge_acc = np.zeros(n_edges, np.int64)
     base = -((R << SUB_BITS) + 32)
@@ -600,7 +615,9 @@ def _cdf_find(cum: np.ndarray, cf: int) -> int:
 
 def _gather_context(y_pad: np.ndarray, pix: np.ndarray) -> np.ndarray:
     """y_pad: (h+4, w+4, M) int64 F_BITS; pix (n, 2) -> (n, 12M)."""
-    pos = [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)]
+    from neural_image_compression_tpu.coding.codec import CTX_POSITIONS
+
+    pos = CTX_POSITIONS  # canonical mask-A gather order
     n = pix.shape[0]
     m = y_pad.shape[-1]
     out = np.empty((n, 12 * m), np.int64)
@@ -625,6 +642,9 @@ def portable_ar_encode(card: PortableCard, y_q: np.ndarray,
     produce bit-identical streams; default follows NIC_DISABLE_NATIVE_AR."""
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+    if np.abs(np.asarray(y_q)).max(initial=0) > Y_ABS_MAX:
+        raise ValueError(f"latent magnitude exceeds the portable-spec bound "
+                         f"(|y| <= {Y_ABS_MAX})")
     if native:
         p_acc = card.psi_precompute(psi_fix, native=True)
         return _native_coder(card).encode(
@@ -713,6 +733,9 @@ def _py_ar_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
                     hi = dec.get_raw16()
                     lo = dec.get_raw16()
                     v = ((hi << 16) | lo) - 0x80000000
+                    if abs(v) > Y_ABS_MAX:  # mirror of kYAbsMax in C++
+                        raise ValueError(
+                            "corrupt portable AR stream (escape out of spec)")
                 else:
                     v = c + (jj - R)
                 y_out[i, j, m] = v

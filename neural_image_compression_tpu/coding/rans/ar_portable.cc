@@ -44,8 +44,13 @@ constexpr int kSub = 6;       // mu sub-grid bits (1/64)
 constexpr int64_t kLeakyNum = 41;  // slope = 41 / 4096
 constexpr int kExpShift = 5;  // F=12 -> 1/128 LUT steps
 constexpr uint32_t kWScale = 1u << 16;
+constexpr int32_t kYAbsMax = 1 << 24;  // = portable.py Y_ABS_MAX
 
 inline int64_t rsr(int64_t v, int s) {  // rshift_round
+  // Mirror the numpy spec (portable.py rshift_round) for s <= 0: a plain
+  // left shift. QuantLayer.quantize can legally emit sw == 0 (weights with
+  // max-abs in (16383.5, 32767]); the old unguarded form shifted by -1 (UB).
+  if (s <= 0) return v << (-s);
   return (v + (int64_t{1} << (s - 1))) >> s;
 }
 
@@ -631,18 +636,20 @@ void hyper_deconv(const HLayer& L, const int64_t* x, int h, int w,
                   HScratch& s) {
   const int st = L.stride;
   const int hd = (h - 1) * st + 1, wd = (w - 1) * st + 1;
-  const int lo = L.kh - 1 - L.pad, hi = L.kh - 1 - L.pad + L.opad;
-  const int oh = hd + lo + hi - L.kh + 1, ow = wd + lo + hi - L.kw + 1;
+  // per-axis pads (kh vs kw) so non-square kernels stay exact
+  const int lo_r = L.kh - 1 - L.pad, lo_c = L.kw - 1 - L.pad;
+  const int oh = hd + 2 * lo_r + L.opad - L.kh + 1;
+  const int ow = wd + 2 * lo_c + L.opad - L.kw + 1;
   out.assign(static_cast<size_t>(oh) * ow * L.cout, 0);
   for (int i = 0; i < oh * ow; ++i)
     std::memcpy(&out[static_cast<size_t>(i) * L.cout], L.bias.data(),
                 L.cout * sizeof(int64_t));
   for (int r = 0; r < L.kh; ++r) {
     int oi0, ii0, nr;
-    if (!dspan(r, lo, st, oh, h, &oi0, &ii0, &nr)) continue;
+    if (!dspan(r, lo_r, st, oh, h, &oi0, &ii0, &nr)) continue;
     for (int c = 0; c < L.kw; ++c) {
       int oj0, jj0, nc;
-      if (!dspan(c, lo, st, ow, w, &oj0, &jj0, &nc)) continue;
+      if (!dspan(c, lo_c, st, ow, w, &oj0, &jj0, &nc)) continue;
       const int n = nr * nc;
       s.reserve_rows((n + 3) & ~3, L.cin, L.cout);
       for (int a = 0; a < nr; ++a)
@@ -686,6 +693,12 @@ void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
                     const int32_t* tables_cat, int64_t tables_total,
                     const int64_t* table_off, const int64_t* table_len,
                     const int64_t* exp_lut, int exp_lut_size) {
+  // PortableCard.__init__ enforces these; reject here too so a card that
+  // bypassed Python validation can't overflow the fixed K-scratch (16) or
+  // symbol-edge (2*254+2) buffers.
+  if (K < 1 || K > 16) return nullptr;
+  for (int b = 0; b < n_bins; ++b)
+    if (sigma_R[b] < 0 || sigma_R[b] > 254) return nullptr;
   PortNets* n = new PortNets();
   n->M = M;
   n->K = K;
@@ -910,6 +923,11 @@ int arport_decode(void* handle, const uint8_t* buf, int len,
           const uint32_t hi = dec.get_raw16();
           const uint32_t lo = dec.get_raw16();
           v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+          // Spec bound (portable.py Y_ABS_MAX): legit latents are int16-
+          // sized; an adversarial escape near +-2^31 would overflow the
+          // int64 context-GEMM accumulators (UB). Both implementations
+          // reject identically.
+          if (v > kYAbsMax || v < -kYAbsMax) return -1;
         } else {
           v = sm.c + (jj - sm.R);
         }

@@ -299,3 +299,43 @@ def test_int_deconv_exact_vs_dilated_form():
             np.testing.assert_array_equal(
                 got, want, err_msg=f"k={kh} s={stride} p={pad} op={opad} "
                                    f"h={h} w={w}")
+
+
+def test_out_of_spec_cards_and_latents_rejected(rig):
+    """Spec guards shared by both implementations: cards with K > 16 or
+    sigma_R beyond the 254 alphabet cap are rejected at construction (the
+    native coder sizes fixed buffers from them), and encode refuses latents
+    beyond Y_ABS_MAX (the bound that keeps the int64 context GEMMs exact)."""
+    import copy
+
+    from neural_image_compression_tpu.coding.portable import Y_ABS_MAX
+
+    _, _, card, _ = rig
+
+    def clone_with(**overrides):
+        kw = dict(M=card.M, K=card.K, hyper=card.hyper, ctx=card.ctx,
+                  ep1_phi=card.ep1_phi, ep1_psi=card.ep1_psi, ep2=card.ep2,
+                  ep3=card.ep3, sigma_thr=card.sigma_thr,
+                  sigma_fix=card.sigma_fix, sigma2_fix=card.sigma2_fix,
+                  sigma_R=card.sigma_R, tables=card.tables,
+                  exp_lut=card.exp_lut, z_cdfs=card.z_cdfs,
+                  z_offsets=card.z_offsets, z_sizes=card.z_sizes,
+                  zmin=card.zmin, zmax=card.zmax)
+        kw.update(overrides)
+        return PortableCard(**kw)
+
+    with pytest.raises(ValueError):
+        clone_with(K=17)
+    bad_r = copy.deepcopy(card.sigma_R)
+    bad_r[0] = 300
+    with pytest.raises(ValueError):
+        clone_with(sigma_R=bad_r)
+
+    h, w = 4, 6
+    y_q = np.zeros((h, w, card.M), np.float32)
+    y_q[0, 0, 0] = float(2 * Y_ABS_MAX)
+    z_q = np.zeros((1, 2, card.M), np.float32)
+    psi_fix = card.hyper_forward(z_q)[:h, :w]
+    for native in (False, True):
+        with pytest.raises(ValueError):
+            portable_ar_encode(card, y_q, psi_fix, native=native)
