@@ -126,19 +126,23 @@ class BatchLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list = []
 
         def producer():
             try:
                 for b in self._batch_indices():
                     q.put(self._make_batch(b))
-            finally:
-                q.put(sentinel)
-
+            except BaseException as e:  # surface in the consumer, not the
+                error.append(e)         # thread's excepthook — a swallowed
+            finally:                    # decode error would silently truncate
+                q.put(sentinel)         # every epoch at the failing batch
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item
 

@@ -32,15 +32,25 @@ def init_distributed(coordinator_address: Optional[str] = None,
     distributed is already initialized or single-process."""
     import jax
 
-    try:
-        if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None:
+        try:
             jax.distributed.initialize()  # env-driven (TPU pods autoconfigure)
-        else:
-            jax.distributed.initialize(coordinator_address=coordinator_address,
-                                       num_processes=num_processes,
-                                       process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process environment
+        except (RuntimeError, ValueError):
+            pass  # best-effort: already initialized / not a pod environment
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        # With an EXPLICIT coordinator, only "already initialized" is benign.
+        # A genuine bring-up failure (bad address, timeout) must raise:
+        # otherwise every process stays process_count==1 and silently trains
+        # an independent replica — the exact failure the Trainer's
+        # multi-process guard exists to stop.
+        if "already" in str(e).lower():
+            return
+        raise
 
 
 def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,

@@ -11,11 +11,20 @@ additionally shard H over a 'spatial' axis (conv halo exchange is XLA's job).
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from neural_image_compression_tpu.parallel.mesh import (
     batch_sharding, replicated, spatial_sharding,
 )
+
+
+def _norm(batch):
+    # uint8 batches normalize on device (4x less host->device traffic; the
+    # data.load_image uint8 fast path documents this contract)
+    if batch.dtype == jnp.uint8:
+        return batch.astype(jnp.float32) / 255.0
+    return batch
 
 
 def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
@@ -24,9 +33,12 @@ def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
 
     Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics).
     With a mesh: params/opt_state replicated, batch sharded on 'data'.
+    This is also the Trainer's step (single source of truth).
     """
 
     def step(params, opt_state, batch, rng):
+        batch = _norm(batch)
+
         def loss_fn(p):
             out = model.apply({"params": p}, batch, training=True, rngs={"noise": rng})
             metrics = rd_loss(out, batch, lambda_val)
@@ -56,7 +68,7 @@ def make_eval_step(model, mesh=None, spatial: bool = False):
     (embarrassingly-parallel Kodak eval), optionally also spatially."""
 
     def forward(params, batch):
-        return model.apply({"params": params}, batch, training=False)
+        return model.apply({"params": params}, _norm(batch), training=False)
 
     if mesh is None:
         return jax.jit(forward)

@@ -72,6 +72,7 @@ class Trainer:
         # current step, checkpoint, and return cleanly so the next invocation
         # resumes.
         self._stop_requested = False
+        self._preemption_safe = preemption_safe
         if preemption_safe:
             import signal
 
@@ -160,18 +161,33 @@ class Trainer:
         self._eval_forward = jax.jit(
             lambda params, x: self.model.apply({"params": params}, _norm(x),
                                                training=False))
+        # Validation fused into ONE program returning three scalars: an
+        # eager rd_loss over the eval output dispatches ~25 primitives
+        # individually (CLAUDE.md: never run un-jitted multi-op code on the
+        # tunneled TPU) and forces 3 separate host syncs per val batch.
+        self._val_step = jax.jit(
+            lambda params, x: (lambda m: (m["loss"], m["bpp_total"], m["psnr"]))(
+                self.rd_loss(self.model.apply({"params": params}, _norm(x),
+                                              training=False),
+                             _norm(x), self.lambda_val)))
         self._diag_forward = jax.jit(
             lambda params, x, rng: self.model.apply(
                 {"params": params}, _norm(x), training=True, rngs={"noise": rng}))
 
     # ------------------------------------------------------------------
     def _peek_batch(self):
+        # Peek for model.init WITHOUT consuming data: the batch is kept and
+        # becomes the first training batch (otherwise the first loader batch
+        # of every run would be systematically dropped from training).
         batch = self._next_batch()
-        # re-prime the iterator so the first real step re-uses a fresh epoch;
-        # (cheap: loaders are infinite/cyclic anyway)
+        self._pending_batch = batch
         return batch
 
     def _next_batch(self):
+        pending = getattr(self, "_pending_batch", None)
+        if pending is not None:
+            self._pending_batch = None
+            return pending
         try:
             return next(self._train_iter)
         except StopIteration:
@@ -184,26 +200,12 @@ class Trainer:
                     "batch_size > dataset size with drop_remainder)") from None
 
     def _build_train_step(self):
-        model, rd_loss, lambda_val, tx = self.model, self.rd_loss, self.lambda_val, self.tx
+        # Single source of truth for the step (donated, uint8-normalizing,
+        # mesh-sharded when a mesh is given): parallel.make_train_step.
+        from neural_image_compression_tpu.parallel.train_step import make_train_step
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            # uint8 batches normalize on device (4x less host->device traffic)
-            if batch.dtype == jnp.uint8:
-                batch = batch.astype(jnp.float32) / 255.0
-
-            def loss_fn(p):
-                out = model.apply({"params": p}, batch, training=True,
-                                  rngs={"noise": rng})
-                metrics = rd_loss(out, batch, lambda_val)
-                return metrics["loss"], metrics
-
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
-
-        return train_step
+        return make_train_step(self.model, self.tx, self.rd_loss,
+                               self.lambda_val, mesh=self.mesh)
 
     def _set_lr(self, lr: float):
         """Adjust learning rate inside an inject_hyperparams opt state."""
@@ -311,12 +313,13 @@ class Trainer:
                             self._log_latent_heatmap(model_out, name)
                     self._log_entropy_cdf(model_out, "z")
 
-            if (self.checkpoint_interval and self.step > 0
+            if (self.checkpoint_interval and self.checkpoint_path is not None
+                    and self.step > 0
                     and self.step % self.checkpoint_interval == 0):
                 self.save_checkpoint()
 
             self.step += 1
-            if self._stop_requested:
+            if self._should_stop():
                 print(f"stop requested — checkpointing at step {self.step}")
                 break
 
@@ -326,26 +329,40 @@ class Trainer:
         return self.params
 
     # ------------------------------------------------------------------
+    def _should_stop(self) -> bool:
+        """Cross-process-consistent stop decision. SIGTERM can reach a subset
+        of hosts; acting on a local flag would send that subset into
+        save_checkpoint's GLOBAL Orbax barrier while the rest keep training
+        (deadlock / mismatched-step checkpoint). Reduce with logical-OR so
+        every process breaks at the same step."""
+        if self._process_count == 1 or not self._preemption_safe:
+            return self._stop_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.array([self._stop_requested], np.int32))
+        return bool(np.asarray(flags).any())
+
     def _log_scalars(self, metrics):
         # filter on .ndim WITHOUT materializing: per-example metric arrays
         # are batch-sharded, and fetching them in a multi-process run would
-        # touch non-addressable shards (scalars are replicated — safe)
-        for k, v in metrics.items():
-            if getattr(v, "ndim", None) == 0 or np.ndim(v) == 0:
-                self.logger.scalar(f"losses/{k}", np.asarray(v), self.step)
+        # touch non-addressable shards (scalars are replicated — safe).
+        # One device_get for the whole scalar sub-dict: a per-key np.asarray
+        # would cost ~11 separate device->host round-trips per logged step.
+        scalars = {k: v for k, v in metrics.items()
+                   if getattr(v, "ndim", None) == 0 or np.ndim(v) == 0}
+        for k, v in jax.device_get(scalars).items():
+            self.logger.scalar(f"losses/{k}", v, self.step)
 
     def _validate(self) -> float:
         total_loss = bpp = psnr = 0.0
         n = 0
         for imgs in self.val_loader:
-            imgs = jnp.asarray(imgs)
-            out = self._eval_forward(self.params, imgs)
-            if imgs.dtype == jnp.uint8:
-                imgs = imgs.astype(jnp.float32) / 255.0
-            results = self.rd_loss(out, imgs, self.lambda_val)
-            total_loss += float(results["loss"])
-            bpp += float(results["bpp_total"])
-            psnr += float(results["psnr"])
+            l, b, p = jax.device_get(self._val_step(self.params,
+                                                    jnp.asarray(imgs)))
+            total_loss += float(l)
+            bpp += float(b)
+            psnr += float(p)
             n += 1
         if self._process_count > 1:
             # per-process val shards: reduce so every process sees the same
@@ -468,11 +485,24 @@ class Trainer:
         hi = zvals.max() + 3 * zvals.std()
         xs = np.linspace(lo, hi, num_points).astype(np.float32)
 
+        # jit the two fixed-shape grid programs (built once, cached on self):
+        # an eager model.apply dispatches the whole CDF-MLP chain primitive by
+        # primitive over the tunneled device (CLAUDE.md gotcha).
+        if not hasattr(self, "_grid_fns"):
+            def _make(method):
+                def f(params, pts):
+                    return self.model.apply(
+                        {"params": params}, pts,
+                        method=lambda mdl, p:
+                        mdl.factorized_entropy_model.grid_cdf(p)
+                        if method == "cdf"
+                        else mdl.factorized_entropy_model.grid_pmf(p))
+                return jax.jit(f)
+            self._grid_fns = {m: _make(m) for m in ("cdf", "pmf")}
+
         def _grid(method, pts):
-            return np.asarray(self.model.apply(
-                {"params": self.params}, jnp.asarray(pts),
-                method=lambda mdl, p: mdl.factorized_entropy_model.grid_cdf(p)
-                if method == "cdf" else mdl.factorized_entropy_model.grid_pmf(p)))
+            return np.asarray(self._grid_fns[method](self.params,
+                                                     jnp.asarray(pts)))
 
         try:
             cdf_all = _grid("cdf", xs)
