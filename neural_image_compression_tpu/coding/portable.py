@@ -63,10 +63,14 @@ EXP_LUT_SHIFT = 5           # F=12 -> 1/128 steps
 RANS_L = 1 << 23
 Y_ABS_MAX = 1 << 24         # spec bound on coded latent magnitude. Keeps
 # the int64 context-GEMM accumulators exact in the worst case
-# (2^24 * 2^F * 2^15 * 12M < 2^63 for M <= 330) while leaving the giant-
+# (2^24 * 2^F * 2^15 * 12M < 2^63 for M <= M_MAX) while leaving the giant-
 # latent scalar-fallback path usable; an adversarial escape near +-2^31
 # would otherwise overflow (UB in C++). Encode validates inputs, decode
-# rejects the stream — identically in numpy and C++ (kYAbsMax).
+# rejects the stream — identically in numpy and C++ (kYAbsMax). Streams
+# with escapes beyond this bound were never correctly decodable (their
+# context GEMMs already overflowed), so rejecting them needs no
+# _CARD_VERSION bump — it formalizes the previously-UB region.
+M_MAX = 330                 # with Y_ABS_MAX: 12*M*2^51 < 2^63 requires M<=341
 
 _CARD_VERSION = 1
 
@@ -229,6 +233,10 @@ class PortableCard:
         # 2*254+2 symbol-model edges).
         if not (1 <= K <= 16):
             raise ValueError(f"portable cards support 1 <= K <= 16, got {K}")
+        if not (1 <= M <= M_MAX):
+            raise ValueError(
+                f"portable cards support 1 <= M <= {M_MAX} (the Y_ABS_MAX "
+                f"context-GEMM exactness bound), got {M}")
         if sigma_R.size and not (0 <= int(sigma_R.min())
                                  and int(sigma_R.max()) <= 254):
             raise ValueError("corrupt card: sigma_R outside [0, 254]")
@@ -642,9 +650,11 @@ def portable_ar_encode(card: PortableCard, y_q: np.ndarray,
     produce bit-identical streams; default follows NIC_DISABLE_NATIVE_AR."""
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
-    if np.abs(np.asarray(y_q)).max(initial=0) > Y_ABS_MAX:
+    if not (np.abs(np.asarray(y_q)).max(initial=0) <= Y_ABS_MAX):
+        # `not (.. <= ..)` so NaN fails too: astype(int32) on NaN yields
+        # INT_MIN — exactly the adversarial magnitude the bound excludes
         raise ValueError(f"latent magnitude exceeds the portable-spec bound "
-                         f"(|y| <= {Y_ABS_MAX})")
+                         f"(|y| <= {Y_ABS_MAX}) or is non-finite")
     if native:
         p_acc = card.psi_precompute(psi_fix, native=True)
         return _native_coder(card).encode(

@@ -50,7 +50,8 @@ inline int64_t rsr(int64_t v, int s) {  // rshift_round
   // Mirror the numpy spec (portable.py rshift_round) for s <= 0: a plain
   // left shift. QuantLayer.quantize can legally emit sw == 0 (weights with
   // max-abs in (16383.5, 32767]); the old unguarded form shifted by -1 (UB).
-  if (s <= 0) return v << (-s);
+  // multiply, not `v << -s`: left-shifting a negative value is UB in C++17
+  if (s <= 0) return v * (int64_t{1} << (-s));
   return (v + (int64_t{1} << (s - 1))) >> s;
 }
 
@@ -697,6 +698,7 @@ void* arport_create(int M, int K, int phi_dim, int hidden, int out_dim,
   // bypassed Python validation can't overflow the fixed K-scratch (16) or
   // symbol-edge (2*254+2) buffers.
   if (K < 1 || K > 16) return nullptr;
+  if (M < 1 || M > 330) return nullptr;  // = portable.py M_MAX (GEMM bound)
   for (int b = 0; b < n_bins; ++b)
     if (sigma_R[b] < 0 || sigma_R[b] > 254) return nullptr;
   PortNets* n = new PortNets();
