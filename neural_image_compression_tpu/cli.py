@@ -20,7 +20,12 @@ from neural_image_compression_tpu.config import Config, build_model
 
 
 def _load_config(path) -> Config:
-    if path and os.path.exists(path):
+    if path:
+        # an explicitly named config that does not exist must be a hard
+        # error: silently falling back to defaults would train/eval a wrong
+        # model and could clobber the default checkpoint path
+        if not os.path.exists(path):
+            sys.exit(f"config file not found: {path}")
         with open(path) as f:
             return Config.from_json(f.read())
     return Config()
@@ -33,19 +38,20 @@ def _restore_params(model, cfg: Config, example):
         checkpoint_exists, restore_raw,
     )
 
-    key = jax.random.PRNGKey(cfg.train.seed)
-    import jax.numpy as jnp
-
-    params = jax.jit(lambda k, x: model.init(
-        {"params": k, "noise": k}, x, training=False))(
-        key, jnp.asarray(example))["params"]
     path = cfg.train.checkpoint_path
     if path and checkpoint_exists(path):
+        # restore_raw needs no init target — skip the init compile + device
+        # execution entirely (wasted startup latency per CLI invocation)
         params = restore_raw(path)["params"]
         print(f"restored params from {path}")
-    else:
-        print("WARNING: no checkpoint found, using random init")
-    return params
+        return params
+    print("WARNING: no checkpoint found, using random init")
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(cfg.train.seed)
+    return jax.jit(lambda k, x: model.init(
+        {"params": k, "noise": k}, x, training=False))(
+        key, jnp.asarray(example))["params"]
 
 
 def cmd_preprocess(args):
@@ -204,6 +210,10 @@ def _auto_streams(args, cfg) -> int:
         return n
     if cfg.model.name in ("factorized", "scalable"):
         return 1
+    from neural_image_compression_tpu.coding.codec import NATIVE_AR
+
+    if not NATIVE_AR:  # numpy fallback supports single-stream only
+        return 1
     return min(16, os.cpu_count() or 1)
 
 
@@ -238,9 +248,15 @@ def cmd_compress(args):
     outs = ([os.path.join(args.out, os.path.splitext(
                 os.path.basename(p))[0] + ".nic") for p in args.image]
             if multi else [args.out])
+    if len(set(outs)) != len(outs):
+        sys.exit("input basenames collide — outputs would overwrite each "
+                 "other; rename the inputs or compress them separately")
     if multi:
         os.makedirs(args.out, exist_ok=True)
     if portable:
+        if getattr(args, "streams", None) not in (None, 1):
+            sys.exit("--streams does not apply to portable streams (they "
+                     "decode serially by spec); drop one of the flags")
         streams = [codec.compress_portable(p) for p in imgs]
         if card_path and not os.path.exists(card_path):
             if cfg.model.name == "scalable":
@@ -258,11 +274,15 @@ def cmd_compress(args):
             sys.exit("--streams applies to the joint-AR models only (the "
                      "factorized codec is already fully parallel; the "
                      "scalable codec's layers decode concurrently)")
-        kw = {"n_streams": n_streams} if n_streams > 1 else {}
         same_shape = len({p.shape for p in imgs}) == 1
-        if multi and same_shape and not kw and hasattr(codec, "compress_batch"):
+        # Multi-image jobs prefer the batched path (one TPU pass + threaded
+        # host AR) unless the user EXPLICITLY asked for interleaved streams;
+        # the auto-streams default must not silently disable it.
+        if (multi and same_shape and getattr(args, "streams", None) is None
+                and hasattr(codec, "compress_batch")):
             streams = codec.compress_batch(np.concatenate(imgs))
         else:
+            kw = {"n_streams": n_streams} if n_streams > 1 else {}
             streams = [codec.compress(p, **kw) for p in imgs]
     for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
         _write_stream(out, {"orig_h": h, "orig_w": w}, data)
@@ -285,12 +305,20 @@ def cmd_decompress(args):
     model = build_model(cfg.model)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    codec = _make_codec(cfg, model, params, getattr(args, "card", None))
+    card_path = getattr(args, "card", None)
+    if card_path and not os.path.exists(card_path):
+        # compress builds a missing card; decode against a card other than
+        # the one the user named must never happen silently
+        sys.exit(f"portable card not found: {card_path}")
+    codec = _make_codec(cfg, model, params, card_path)
 
     multi = len(datas) > 1
     outs = ([os.path.join(args.out, os.path.splitext(
                 os.path.basename(p))[0] + ".png") for p in args.bitstream]
             if multi else [args.out])
+    if len(set(outs)) != len(outs):
+        sys.exit("bitstream basenames collide — outputs would overwrite "
+                 "each other; rename the inputs or decode them separately")
     if multi:
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1

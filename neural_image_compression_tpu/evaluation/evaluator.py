@@ -84,19 +84,34 @@ class CompressionEvaluator:
         bpp_y_values, bpp_z_values, bpp_total_values = [], [], []
         imgs_list, recon_list = [], []
 
-        for imgs in self.dataloader:
-            imgs = jnp.asarray(imgs)
-            out = self._forward(self.params, imgs)
-            results = rd_loss_fn(out, imgs, self.lambda_val)
-            bpp_y_values.append(float(results["bpp_y"]))
-            bpp_z_values.append(float(results["bpp_z"]))
-            bpp_total_values.append(float(results["bpp_total"]))
-            recon = jnp.clip(out["x_hat"], 0.0, 1.0)
-            metrics = compute_metrics(imgs, recon)
-            total_metrics.append({k: float(v) for k, v in metrics.items()})
-            imgs_list.append(np.asarray(imgs[0]))
-            recon_list.append(np.asarray(recon[0]))
+        # ONE jitted program per image: forward + loss + distortion metrics,
+        # fetched together. Eager rd_loss/compute_metrics over device arrays
+        # dispatches every primitive separately (CLAUDE.md tunnel gotcha).
+        model, lam = self.model, self.lambda_val
 
+        @jax.jit
+        def _step(params, imgs):
+            out = model.apply({"params": params}, imgs, training=False)
+            results = rd_loss_fn(out, imgs, lam)
+            recon = jnp.clip(out["x_hat"], 0.0, 1.0)
+            scalars = dict(compute_metrics(imgs, recon))
+            scalars.update(bpp_y=results["bpp_y"], bpp_z=results["bpp_z"],
+                           bpp_total=results["bpp_total"])
+            return recon, scalars
+
+        for imgs in self.dataloader:
+            recon, scalars = jax.device_get(_step(self.params,
+                                                  jnp.asarray(imgs)))
+            bpp_y_values.append(float(scalars.pop("bpp_y")))
+            bpp_z_values.append(float(scalars.pop("bpp_z")))
+            bpp_total_values.append(float(scalars.pop("bpp_total")))
+            total_metrics.append({k: float(v) for k, v in scalars.items()})
+            imgs_list.append(np.asarray(imgs[0] if imgs.ndim == 4 else imgs))
+            recon_list.append(recon[0])
+
+        if not total_metrics:
+            raise ValueError("evaluation dataloader yielded no images "
+                             "(empty/misnamed data_dir?)")
         avg = {k: float(np.mean([m[k] for m in total_metrics]))
                for k in total_metrics[0]}
         avg["BPP"] = float(np.mean(bpp_total_values))          # fixed: true total
@@ -117,6 +132,17 @@ class CompressionEvaluator:
         compress_kwargs forward to codec.compress (e.g. n_streams=8)."""
         total_metrics = []
         real_bpps, analytic_bpps = [], []
+        model = self.model
+
+        @jax.jit
+        def _analysis(params, img, x_hat):
+            out = model.apply({"params": params}, img, training=False)
+            # analytic rate from whatever logp_* streams the model family
+            # has (joint: logp_y + logp_z; scalable: y1 + y2 + z)
+            bits = sum(-jnp.sum(v) for k, v in out.items()
+                       if k.startswith("logp_"))
+            return bits / math.log(2.0), compute_metrics(img, x_hat)
+
         for imgs in self.dataloader:
             imgs = np.asarray(imgs)
             h, w = imgs.shape[1:3]
@@ -127,15 +153,14 @@ class CompressionEvaluator:
                 data = codec.compress(img, **compress_kwargs)
                 x_hat = codec.decompress(data)
                 real_bpps.append(len(data) * 8.0 / (h * w))
-                out = self._forward(self.params, jnp.asarray(img))
-                # analytic rate from whatever logp_* streams the model family
-                # has (joint: logp_y + logp_z; scalable: y1 + y2 + z)
-                bits = sum(float(-jnp.sum(v)) for k, v in out.items()
-                           if k.startswith("logp_"))
-                analytic_bpps.append(bits / math.log(2.0) / (h * w))
-                metrics = compute_metrics(jnp.asarray(img), jnp.asarray(x_hat))
+                bits, metrics = jax.device_get(_analysis(
+                    self.params, jnp.asarray(img), jnp.asarray(x_hat)))
+                analytic_bpps.append(float(bits) / (h * w))
                 total_metrics.append({k: float(v) for k, v in metrics.items()})
 
+        if not total_metrics:
+            raise ValueError("evaluation dataloader yielded no images "
+                             "(empty/misnamed data_dir?)")
         avg = {k: float(np.mean([m[k] for m in total_metrics]))
                for k in total_metrics[0]}
         avg["BPP(bitstream)"] = float(np.mean(real_bpps))
@@ -159,13 +184,20 @@ class CompressionEvaluator:
         rd_loss_fn = rd_loss_fn or default_rd_loss
         rng = random.Random(seed)
         indices = rng.sample(range(len(imgs_list)), min(n, len(imgs_list)))
+        model, lam = self.model, self.lambda_val
+
+        @jax.jit
+        def _rate(params, img):  # fused fwd+loss (CLAUDE.md tunnel gotcha)
+            out = model.apply({"params": params}, img, training=False)
+            r = rd_loss_fn(out, img, lam)
+            return r["bpp_total"], r["bits_total"]
+
         paths = []
         for idx in indices:
             img = jnp.asarray(imgs_list[idx])[None]
-            out = self._forward(self.params, img)
-            results = rd_loss_fn(out, img, self.lambda_val)
-            bpp = float(results["bpp_total"])
-            nbytes = math.ceil(float(results["bits_total"]) / 8)
+            bpp, bits = jax.device_get(_rate(self.params, img))
+            bpp = float(bpp)
+            nbytes = math.ceil(float(bits) / 8)
             row = [("original", np.asarray(imgs_list[idx])),
                    (f"reconstruction — {nbytes} B, {bpp:.4f} bpp",
                     np.asarray(recon_list[idx]))]
@@ -192,10 +224,14 @@ class CompressionEvaluator:
         logp_z = np.asarray(out["logp_z"])[0]
         c = self._busiest_channel(logp_y)
         cz = self._busiest_channel(logp_z)
-        y_c = np.asarray(out["y"])[0, :, :, c]
+        # visualize the QUANTIZED latents (y_in/z_in): logp/mu/sigma describe
+        # round(y), so the residual panels must not carry +-0.5 of
+        # quantization error from the pre-round y
+        y_c = np.asarray(out.get("y_in", out["y"]))[0, :, :, c]
         bits_y = -logp_y[:, :, c] / math.log(2.0)
         bits_z = -logp_z[:, :, cz] / math.log(2.0)
-        hyper_row = [(f"hyper z[{cz}]", np.asarray(out["z"])[0, :, :, cz]),
+        hyper_row = [(f"hyper z[{cz}]",
+                      np.asarray(out.get("z_in", out["z"]))[0, :, :, cz]),
                      (f"hyper bits[{cz}]", bits_z)]
 
         if "mu" in out and "sigma" in out:
@@ -261,18 +297,29 @@ class VisionCompressionEvaluator(CompressionEvaluator):
                                  "bpp_total", "vision_mse")}
         imgs_list, recon_list = [], []
 
-        for imgs in self.dataloader:
-            imgs = jnp.asarray(imgs)
-            out = self._forward(self.params, imgs)
-            results = loss_fn(out, imgs, self.lambda_val, self.gamma)
-            for k in stats:
-                stats[k].append(float(results[k]))
-            recon = jnp.clip(out["x_hat"], 0.0, 1.0)
-            metrics = compute_metrics(imgs, recon)
-            total_metrics.append({k: float(v) for k, v in metrics.items()})
-            imgs_list.append(np.asarray(imgs[0]))
-            recon_list.append(np.asarray(recon[0]))
+        model, lam, gamma = self.model, self.lambda_val, self.gamma
 
+        @jax.jit
+        def _step(params, imgs):  # one program per image (CLAUDE.md gotcha)
+            out = model.apply({"params": params}, imgs, training=False)
+            results = loss_fn(out, imgs, lam, gamma)
+            recon = jnp.clip(out["x_hat"], 0.0, 1.0)
+            scalars = dict(compute_metrics(imgs, recon))
+            scalars.update({k: results[k] for k in stats})
+            return recon, scalars
+
+        for imgs in self.dataloader:
+            recon, scalars = jax.device_get(_step(self.params,
+                                                  jnp.asarray(imgs)))
+            for k in stats:
+                stats[k].append(float(scalars.pop(k)))
+            total_metrics.append({k: float(v) for k, v in scalars.items()})
+            imgs_list.append(np.asarray(imgs[0] if np.ndim(imgs) == 4 else imgs))
+            recon_list.append(recon[0])
+
+        if not total_metrics:
+            raise ValueError("evaluation dataloader yielded no images "
+                             "(empty/misnamed data_dir?)")
         avg = {k: float(np.mean([m[k] for m in total_metrics]))
                for k in total_metrics[0]}
         avg["BPP"] = float(np.mean(stats["bpp_total"]))        # fixed: true total
