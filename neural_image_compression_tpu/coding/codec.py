@@ -347,12 +347,16 @@ def _ar_decode_latents(nets: _HostParamNets, data: bytes,
     return y_hat
 
 
-# Causal context of the 5x5 mask-A conv: rows 0-1 all cols, row 2 cols 0-1.
-# THE canonical position list — the host float nets, the portable integer
-# coder (_gather_context), and the hard-coded gather offsets in
+# Causal context of the 5x5 mask-A conv, DERIVED from the model's own mask
+# (raster order): the host float nets, the portable integer coder
+# (_gather_context), and the hard-coded gather offsets in
 # rans/ar_wavefront.cc + rans/ar_portable.cc all follow this order.
-CTX_POSITIONS = tuple(
-    [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)])
+from neural_image_compression_tpu.ops.masked_conv import causal_positions
+
+CTX_POSITIONS = tuple(causal_positions(5, "A"))
+assert CTX_POSITIONS == tuple(
+    [(r, c) for r in range(2) for c in range(5)] + [(2, 0), (2, 1)]), \
+    "mask changed: the native coders' hard-coded gather offsets must follow"
 
 
 def wavefront_order(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:

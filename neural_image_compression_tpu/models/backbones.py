@@ -20,6 +20,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from neural_image_compression_tpu.models.vision import (
@@ -213,7 +214,9 @@ def load_backbone(path: str, dtype=None):
         node = variables[parts[0]]
         for k in parts[1:-1]:
             node = node.setdefault(k, {})
-        node[parts[-1]] = jnp.asarray(fx[key])
+        # numpy leaves: jnp.asarray here would device-put hundreds of small
+        # arrays one-by-one over the tunnel; jit ships them efficiently later
+        node[parts[-1]] = np.asarray(fx[key])
     return build_yolo_backbone(width=width, depth=depth, dtype=dtype), variables
 
 

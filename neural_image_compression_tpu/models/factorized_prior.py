@@ -55,16 +55,16 @@ class FactorizedPrior(nn.Module):
         x_hat = self.decoder(y_in).astype(jnp.float32)
 
         # Zero-rate z placeholders keep the rd_loss bpp_y/bpp_z split valid.
-        zeros = jnp.ones((x.shape[0], 1, 1, 1), jnp.float32)
+        ones = jnp.ones((x.shape[0], 1, 1, 1), jnp.float32)
         return {
             "x_hat": x_hat,
             "y": y,
             "y_in": y_in,
-            "z": jnp.zeros_like(zeros),
-            "z_in": jnp.zeros_like(zeros),
+            "z": jnp.zeros_like(ones),
+            "z_in": jnp.zeros_like(ones),
             "p_y": p_y,
             "logp_y": logp_y,
-            "p_z": zeros,          # likelihood 1 -> logp 0 -> zero rate
-            "logp_z": jnp.log(zeros),
+            "p_z": ones,           # likelihood 1 -> logp 0 -> zero rate
+            "logp_z": jnp.log(ones),
             "training": training,
         }

@@ -40,6 +40,16 @@ class EntropyParameters(nn.Module):
     @nn.compact
     def __call__(self, combined: jax.Array) -> Tuple[jax.Array, ...]:
         m, k = self.latent_channels, self.K
+        # hyper_latent_channels mirrors the reference constructor
+        # (ParametersModels.py:22); make it load-bearing by validating the
+        # declared input width (phi 2M + psi 2H) instead of silently
+        # accepting whatever arrives
+        expected = 2 * m + 2 * self.hyper_latent_channels
+        if combined.shape[-1] != expected:
+            raise ValueError(
+                f"EntropyParameters expected {expected} input channels "
+                f"(2*{m} context + 2*{self.hyper_latent_channels} hyper), "
+                f"got {combined.shape[-1]}")
         out_ch = 2 * m if k == 1 else 3 * k * m
         h = Conv2d(self.hidden, 1, dtype=self.dtype)(combined)
         h = leaky_relu(h)

@@ -43,7 +43,10 @@ class GraphBackbone(nn.Module):
                 if isinstance(f, int):
                     x = outputs[f]
                 else:
-                    x = jnp.concatenate([outputs[j] for j in f], axis=-1)
+                    # -1 inside a list means "the running x" (the ultralytics
+                    # yaml convention, e.g. Concat f=[-1, 6]; Extra.py:14-16)
+                    x = jnp.concatenate([x if j == -1 else outputs[j]
+                                         for j in f], axis=-1)
             x = module(x)
             outputs[i] = x
         return (x, outputs) if collect else x

@@ -50,6 +50,15 @@ def torch_bias_init(fan_in: int) -> Callable:
     return init
 
 
+def torch_deconv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch ConvTranspose2d kernel init: same kaiming-uniform(a=sqrt(5)),
+    but fan_in comes from weight.size(1) = OUT channels of its (in, out, kh,
+    kw) layout — fan_in = kh*kw*out_ch, not in_ch."""
+    kh, kw, _, out_ch = shape
+    bound = 1.0 / np.sqrt(kh * kw * out_ch)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
 def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
            stride: int = 1, padding: int = 0) -> jax.Array:
     """Plain strided conv, torch-style symmetric integer padding."""
@@ -145,6 +154,10 @@ def deconv2d_subpel(x: jax.Array, kernel: jax.Array,
     """
     assert output_padding == 1, "subpel deconv implemented for op=1 only"
     k = kernel.shape[0]
+    assert k == 2 * padding + 1, (
+        "subpel lowering emits exactly 2h x 2w, which equals the torch "
+        f"transposed-conv geometry only when k == 2p+1 (got k={k}, "
+        f"p={padding}); use the dilated lowering")
     cin, cout = kernel.shape[2], kernel.shape[3]
     lo = k - 1 - padding
 
@@ -238,20 +251,33 @@ class Deconv2d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         in_ch = x.shape[-1]
         k = self.kernel_size
-        kernel = self.param("kernel", torch_kernel_init, (k, k, in_ch, self.features))
-        # torch ConvTranspose2d bias bound uses fan_in = out_ch*k*k of its
-        # (in,out,kh,kw) weight; replicate that.
+        # torch ConvTranspose2d init: BOTH kernel and bias bounds use
+        # fan_in = k*k*out_ch (weight.size(1) of its (in,out,kh,kw) layout)
+        kernel = self.param("kernel", torch_deconv_kernel_init,
+                            (k, k, in_ch, self.features))
         bias = (self.param("bias", torch_bias_init(k * k * self.features), (self.features,))
                 if self.use_bias else None)
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype) if bias is not None else None
+        if self.lowering not in (None, "subpel", "dilated"):
+            raise ValueError(f"unknown deconv lowering {self.lowering!r} "
+                             "(expected 'subpel' or 'dilated')")
+        subpel_ok = (self.stride == 2 and self.output_padding == 1
+                     and k == 2 * self.padding + 1)
         lowering = self.lowering
-        if lowering is None and self.stride == 2 and self.output_padding == 1:
+        if lowering == "subpel" and not subpel_ok:
+            # an explicit request the geometry can't honor must not silently
+            # benchmark/run the other lowering
+            raise ValueError(
+                "lowering='subpel' requires stride=2, output_padding=1 and "
+                f"kernel_size == 2*padding+1 (got k={k}, s={self.stride}, "
+                f"p={self.padding}, op={self.output_padding})")
+        if lowering is None and subpel_ok:
             lowering = _deconv_lowering_auto(x.shape[0], x.shape[1],
                                             x.shape[2], self.features)
-        if lowering == "subpel" and self.stride == 2 and self.output_padding == 1:
+        if lowering == "subpel":
             return deconv2d_subpel(x, kernel, bias, self.padding, 1)
         return deconv2d(x, kernel, bias, self.stride, self.padding, self.output_padding)
 
