@@ -82,6 +82,8 @@ def get_lib() -> ctypes.CDLL:
     lib.rans_dec_create.restype = ctypes.c_void_p
     lib.rans_dec_create.argtypes = [i8p, ctypes.c_int]
     lib.rans_dec_destroy.argtypes = [ctypes.c_void_p]
+    lib.rans_dec_ok.restype = ctypes.c_int
+    lib.rans_dec_ok.argtypes = [ctypes.c_void_p]
     lib.rans_dec_gaussian.argtypes = [ctypes.c_void_p, f32p, f32p, f32p,
                                       ctypes.c_int, ctypes.c_int, i32p]
     lib.rans_encode_indexed.restype = ctypes.c_int
@@ -216,6 +218,16 @@ class RansDecoder:
                                    _ptr(out, ctypes.c_int32))
         return out
 
+    def ok(self) -> bool:
+        """True iff the stream decoded completely (state back at kRansL,
+        every byte consumed). Check after the LAST decode call: a truncated
+        or corrupt stream otherwise yields garbage symbols silently."""
+        return bool(self._lib.rans_dec_ok(self._handle))
+
+    def finish(self) -> None:
+        if not self.ok():
+            raise ValueError("corrupt or truncated rANS stream")
+
     def __del__(self):
         if getattr(self, "_handle", None):
             self._lib.rans_dec_destroy(self._handle)
@@ -243,6 +255,18 @@ def encode_indexed(symbols: np.ndarray, index: np.ndarray, cdfs: np.ndarray,
     if ln < 0:
         raise RuntimeError("rANS encode overflow")
     return out[:ln].tobytes()
+
+
+
+
+def _require_integral_latents(y_q: np.ndarray) -> None:
+    """The AR coders' contract is 'float32 holding integers': encode pads
+    context with the raw floats while decode reconstructs the rounded
+    symbols, so a non-integral (or NaN) input silently desynchronizes the
+    two sides. Validate once at the entry instead."""
+    if not np.array_equal(y_q, np.rint(y_q)):  # NaN fails array_equal too
+        raise ValueError("AR encode requires integer-valued finite latents "
+                         "(quantize with round() first)")
 
 
 class ArWaveCoder:
@@ -279,6 +303,7 @@ class ArWaveCoder:
     def encode(self, y_q: np.ndarray, psi: np.ndarray) -> bytes:
         """y_q: (H, W, M) integer-valued floats; psi: (H, W, psi_dim)."""
         y_q = np.ascontiguousarray(y_q, np.float32)
+        _require_integral_latents(y_q)
         psi = np.ascontiguousarray(psi, np.float32)
         h, w = y_q.shape[:2]
         cap = max(1024, h * w * self.M * 8 + 64)
@@ -295,6 +320,7 @@ class ArWaveCoder:
         params and CDFs as encode(), rate cost ~4*(N-1) bytes, and decode_n
         pulls the N streams concurrently with EXACT context (no tile reset)."""
         y_q = np.ascontiguousarray(y_q, np.float32)
+        _require_integral_latents(y_q)
         psi = np.ascontiguousarray(psi, np.float32)
         h, w = y_q.shape[:2]
         cap = max(1024, h * w * self.M * 8 + 64 + 8 * n_streams)

@@ -270,6 +270,15 @@ def _pack_gmm(params, K):
     return (weights.reshape(-1, K), mus.reshape(-1, K), sigmas.reshape(-1, K))
 
 
+def _decode_indexed_checked(data: bytes, index, cdfs, offsets, sizes):
+    """One-shot indexed rANS decode with the complete-decode check: a
+    truncated/corrupt stream raises instead of yielding garbage symbols."""
+    dec = backend.RansDecoder(data)
+    sym = dec.decode_indexed(index, cdfs, offsets, sizes)
+    dec.finish()
+    return sym
+
+
 def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
                        psi: np.ndarray) -> bytes:
     """Encode one latent layer under its masked-context AR model.
@@ -284,6 +293,7 @@ def _ar_encode_latents(nets: _HostParamNets, y_q: np.ndarray,
     positions."""
     if NATIVE_AR:
         return nets.native_coder().encode(y_q, psi)
+    backend._require_integral_latents(np.asarray(y_q, np.float32))
     h, w = y_q.shape[:2]
     M, K = nets.M, nets.K
     pix, wave_sizes = wavefront_order(h, w)
@@ -344,6 +354,7 @@ def _ar_decode_latents(nets: _HostParamNets, data: bytes,
         vals = vals.reshape(ws, M)
         y_hat[wave_pix[:, 0], wave_pix[:, 1]] = vals
         y_pad[wave_pix[:, 0] + 2, wave_pix[:, 1] + 2] = vals
+    dec.finish()  # truncated/corrupt stream -> error, not garbage latents
     return y_hat
 
 
@@ -495,8 +506,8 @@ class JointARCodec:
         z_bytes = data[hs + 8:hs + 8 + len_z]
         y_payload = data[hs + 8 + len_z:hs + 8 + len_z + len_y]
         z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
-            z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
+        z_sym = _decode_indexed_checked(
+            z_bytes, z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
         psi_fix = card.hyper_forward(z_q)
         y_hat = P.portable_ar_decode(card, y_payload, psi_fix, h, w)
@@ -612,8 +623,8 @@ class JointARCodec:
         # --- z ---------------------------------------------------------
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
-            z_index, cdfs, offsets, sizes)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
 
         # --- y: wavefront AR decode (per independent tile) ---------------
@@ -751,8 +762,8 @@ class JointARCodec:
             zmin, zmax, len_z = head[7], head[8], head[9]
             cdfs, offsets, sizes = self._z_tables(zmin, zmax)
             z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-            z_sym = backend.RansDecoder(d[hs:hs + len_z]).decode_indexed(
-                z_index, cdfs, offsets, sizes)
+            z_sym = _decode_indexed_checked(d[hs:hs + len_z], z_index, cdfs,
+                                            offsets, sizes)
             z_all[b] = z_sym.reshape(hz, wz, self.M).astype(np.float32)
 
         # batch-1 hyper-synthesis per image: see compress_batch determinism note
@@ -880,7 +891,7 @@ class FactorizedPriorCodec:
             y_bytes = data[hs:]
         h, w = _round_up(img_h, 16) // 16, _round_up(img_w, 16) // 16
         index = np.tile(np.arange(self.M, dtype=np.int32), h * w)
-        sym = backend.RansDecoder(y_bytes).decode_indexed(index, cdfs, offsets, sizes)
+        sym = _decode_indexed_checked(y_bytes, index, cdfs, offsets, sizes)
         y_q = sym.reshape(1, h, w, self.M).astype(np.float32)
         y_dev = _latents_to_device(y_q)
         if as_uint8:
@@ -1058,8 +1069,8 @@ class ScalableCodec:
         else:
             cdfs, offsets, sizes = self._z_tables(zmin, zmax)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-        z_sym = backend.RansDecoder(z_bytes).decode_indexed(
-            z_index, cdfs, offsets, sizes)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
         z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
         if portable:
             psi = card1.hyper_forward(z_q)  # int64 fixed point

@@ -880,9 +880,7 @@ int arport_encode(void* handle, const int32_t* y_q, const int64_t* p_acc,
       const int j = d + sm.R;
       enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
     } else {
-      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
-      enc.put_raw16(v & 0xffffu);
-      enc.put_raw16((v >> 16) & 0xffffu);
+      nic::put_escape_value(enc, sym[i]);
       const int j = sm.nsym - 1;
       enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
     }
@@ -922,9 +920,7 @@ int arport_decode(void* handle, const uint8_t* buf, int len,
         dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
         int32_t v;
         if (jj == sm.nsym - 1) {
-          const uint32_t hi = dec.get_raw16();
-          const uint32_t lo = dec.get_raw16();
-          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+          v = nic::get_escape_value(dec);
           // Spec bound (portable.py Y_ABS_MAX): legit latents are int16-
           // sized; an adversarial escape near +-2^31 would overflow the
           // int64 context-GEMM accumulators (UB). Both implementations

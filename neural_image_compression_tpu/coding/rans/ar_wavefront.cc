@@ -336,9 +336,7 @@ void encode_class(const int32_t* sym, const float* mus, const float* sigmas,
       const int j = d + sm.R;
       enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
     } else {
-      const uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
-      enc.put_raw16(v & 0xffffu);
-      enc.put_raw16((v >> 16) & 0xffffu);
+      nic::put_escape_value(enc, sym[i]);
       const int j = sm.nsym - 1;
       enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
     }
@@ -446,6 +444,7 @@ int arwave_encode_n(void* handle, const float* y_q, const float* psi, int H,
                     int W, int nstreams, uint8_t* out, int cap) {
   const ArNets& net = *static_cast<ArNets*>(handle);
   const int M = net.M, K = net.K;
+  if (nstreams < 1 || nstreams > 255) return -1;  // mirror of decode_n
   Scratch sc(net, psi, H, W);
   for (int i = 0; i < H; ++i)
     std::memcpy(sc.pad_at(i + 2, 2), y_q + static_cast<size_t>(i) * W * M,
@@ -518,14 +517,8 @@ int arwave_decode(void* handle, const uint8_t* buf, int len, const float* psi,
         const uint32_t cf = dec.peek();
         const int jj = cdf_find(sm.cum, sm.nsym, cf);
         dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
-        int32_t v;
-        if (jj == sm.nsym - 1) {
-          const uint32_t hi = dec.get_raw16();
-          const uint32_t lo = dec.get_raw16();
-          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
-        } else {
-          v = sm.c + (jj - sm.R);
-        }
+        const int32_t v = (jj == sm.nsym - 1)
+            ? nic::get_escape_value(dec) : sm.c + (jj - sm.R);
         dst[m] = static_cast<float>(v);
       }
       std::memcpy(sc.pad_at(i + 2, j + 2), dst, M * sizeof(float));
@@ -555,6 +548,7 @@ int arwave_decode_n(void* handle, const uint8_t* buf, int len,
       decs[k].init(buf + off, static_cast<int>(ln));
       off += ln;
     }
+    if (off != len) return -1;  // trailing bytes outside every slice
   }
   Scratch sc(net, psi, H, W);
 
@@ -589,14 +583,8 @@ int arwave_decode_n(void* handle, const uint8_t* buf, int len,
         const uint32_t cf = dec.peek();
         const int jj = cdf_find(sm.cum, sm.nsym, cf);
         dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
-        int32_t v;
-        if (jj == sm.nsym - 1) {
-          const uint32_t hi = dec.get_raw16();
-          const uint32_t lo = dec.get_raw16();
-          v = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
-        } else {
-          v = sm.c + (jj - sm.R);
-        }
+        const int32_t v = (jj == sm.nsym - 1)
+            ? nic::get_escape_value(dec) : sm.c + (jj - sm.R);
         val[idx] = static_cast<float>(v);
       }
     }

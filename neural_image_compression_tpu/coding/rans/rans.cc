@@ -56,9 +56,7 @@ int rans_encode_gaussian(const int32_t* sym, const float* ws, const float* mus,
       int j = d + m.R;
       enc.put(m.cum[j], m.cum[j + 1] - m.cum[j]);
     } else {
-      uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
-      enc.put_raw16(v & 0xffffu);          // decoded last
-      enc.put_raw16((v >> 16) & 0xffffu);  // decoded second
+      nic::put_escape_value(enc, sym[i]);
       int j = m.nsym - 1;                  // ESC decoded first
       enc.put(m.cum[j], m.cum[j + 1] - m.cum[j]);
     }
@@ -78,6 +76,14 @@ void* rans_dec_create(const uint8_t* buf, int len) {
 
 void rans_dec_destroy(void* p) { delete static_cast<RansDec*>(p); }
 
+// 1 iff every byte was consumed and the state walked back to kRansL — the
+// complete-decode invariant (Decoder::ok). Callers that finished decoding a
+// stream should check this: a truncated/corrupt stream otherwise yields
+// garbage symbols silently.
+int rans_dec_ok(void* p) {
+  return static_cast<RansDec*>(p)->d.ok() ? 1 : 0;
+}
+
 // Decode n symbols with per-symbol (mixture-)Gaussian params.
 void rans_dec_gaussian(void* p, const float* ws, const float* mus,
                        const float* sigmas, int K, int n, int32_t* out) {
@@ -91,9 +97,7 @@ void rans_dec_gaussian(void* p, const float* ws, const float* mus,
     int j = cdf_find(m.cum, m.nsym, cf);
     dec.advance(m.cum[j], m.cum[j + 1] - m.cum[j]);
     if (j == m.nsym - 1) {  // escape: two raw halves follow
-      uint32_t hi = dec.get_raw16();
-      uint32_t lo = dec.get_raw16();
-      out[i] = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+      out[i] = nic::get_escape_value(dec);
     } else {
       out[i] = m.c + (j - m.R);
     }
@@ -119,9 +123,7 @@ int rans_encode_indexed(const int32_t* sym, const int32_t* index, int n,
     if (j >= 0 && j < nsym - 1) {
       enc.put(cum[j], cum[j + 1] - cum[j]);
     } else {
-      uint32_t v = static_cast<uint32_t>(sym[i]) + 0x80000000u;
-      enc.put_raw16(v & 0xffffu);
-      enc.put_raw16((v >> 16) & 0xffffu);
+      nic::put_escape_value(enc, sym[i]);
       j = nsym - 1;
       enc.put(cum[j], cum[j + 1] - cum[j]);
     }
@@ -142,9 +144,7 @@ void rans_dec_indexed(void* p, const int32_t* index, int n,
     int j = cdf_find(cum, nsym, cf);
     dec.advance(cum[j], cum[j + 1] - cum[j]);
     if (j == nsym - 1) {
-      uint32_t hi = dec.get_raw16();
-      uint32_t lo = dec.get_raw16();
-      out[i] = static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+      out[i] = nic::get_escape_value(dec);
     } else {
       out[i] = offsets[r] + j;
     }

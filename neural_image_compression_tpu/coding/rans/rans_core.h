@@ -87,6 +87,25 @@ struct Decoder {
   inline bool ok() const { return x == kRansL && pos == len; }
 };
 
+// --- Shared escape layout ----------------------------------------------
+// Out-of-alphabet symbols are coded as ESC (the model's last index) followed
+// by the raw 32-bit value in two 16-bit halves: the LOW half is pushed first
+// (decoded LAST), the HIGH half second. ONE definition for every coder in
+// rans.cc / ar_wavefront.cc / ar_portable.cc — the encode and decode sides
+// must never be edited independently (repo determinism contract).
+
+inline void put_escape_value(Encoder& enc, int32_t v) {
+  const uint32_t u = static_cast<uint32_t>(v) + 0x80000000u;
+  enc.put_raw16(u & 0xffffu);          // decoded last
+  enc.put_raw16((u >> 16) & 0xffffu);  // decoded second
+}
+
+inline int32_t get_escape_value(Decoder& dec) {
+  const uint32_t hi = dec.get_raw16();
+  const uint32_t lo = dec.get_raw16();
+  return static_cast<int32_t>(((hi << 16) | lo) - 0x80000000u);
+}
+
 // ---------------------------------------------------------------------------
 // Deterministic per-symbol CDF construction
 // ---------------------------------------------------------------------------

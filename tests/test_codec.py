@@ -647,3 +647,57 @@ def test_residual_family_roundtrip():
     x_hat = codec.decompress(data)
     np.testing.assert_allclose(
         x_hat, np.clip(np.asarray(out["x_hat"]), 0, 1), atol=1e-5)
+
+
+def test_factorized_truncated_stream_raises():
+    """Generic indexed rANS decodes now verify the complete-decode invariant:
+    a truncated factorized bitstream raises instead of silently yielding
+    garbage symbols."""
+    model = FactorizedPrior(latent_channels=8)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = FactorizedPriorCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    with pytest.raises(ValueError):
+        codec.decompress(data[:-8])
+
+
+def test_non_integral_latents_rejected():
+    """The AR coders' 'float32 holding integers' contract is enforced at the
+    entry on both the native and numpy paths (a non-integral or NaN latent
+    would silently desynchronize encode/decode context)."""
+    import os
+
+    from neural_image_compression_tpu.coding import backend
+
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    out = model.apply(variables, x, training=False)
+    psi = np.asarray(model.apply(variables, out["z_in"],
+                                 method=lambda m, z: m.hyper_decoder(z)))[0]
+    y_bad = np.asarray(out["y_in"])[0].copy()
+    y_bad[0, 0, 0] += 0.25
+    y_nan = np.asarray(out["y_in"])[0].copy()
+    y_nan[0, 0, 0] = np.nan
+    from neural_image_compression_tpu.coding.codec import _ar_encode_latents
+    for bad in (y_bad, y_nan):
+        with pytest.raises(ValueError):
+            _ar_encode_latents(codec._host_nets, bad, psi)
+    old = os.environ.get("NIC_DISABLE_NATIVE_AR")
+    os.environ["NIC_DISABLE_NATIVE_AR"] = "1"
+    try:
+        import neural_image_compression_tpu.coding.codec as C
+        orig = C.NATIVE_AR
+        C.NATIVE_AR = False
+        with pytest.raises(ValueError):
+            _ar_encode_latents(codec._host_nets, y_bad, psi)
+        C.NATIVE_AR = orig
+    finally:
+        if old is None:
+            os.environ.pop("NIC_DISABLE_NATIVE_AR", None)
+        else:
+            os.environ["NIC_DISABLE_NATIVE_AR"] = old
