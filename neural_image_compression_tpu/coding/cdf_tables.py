@@ -10,10 +10,26 @@ carrying out-of-range values as raw bits.
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from neural_image_compression_tpu.coding.backend import PROB_SCALE
+
+# Jitted grid_pmf per model instance: the bare model.apply would dispatch the
+# CDF-MLP chain primitive-by-primitive on the device (CLAUDE.md tunnel
+# gotcha — seconds per new (zmin, zmax) grid instead of one program).
+_GRID_PMF_JIT = {}
+
+
+def _grid_pmf(model, variables, xs):
+    fn = _GRID_PMF_JIT.get(id(model))
+    if fn is None:
+        fn = jax.jit(lambda v, pts: model.apply(
+            v, pts,
+            method=lambda mdl, p: mdl.factorized_entropy_model.grid_pmf(p)))
+        _GRID_PMF_JIT[id(model)] = fn
+    return fn(variables, xs)
 
 
 def quantize_pmf_rows(pmf: np.ndarray) -> np.ndarray:
@@ -43,9 +59,7 @@ def factorized_tables(model, variables, zmin: int, zmax: int
     where L = (zmax - zmin + 1) + 1 (ESC last).
     """
     xs = jnp.arange(zmin, zmax + 1, dtype=jnp.float32)
-    pmf = np.asarray(model.apply(
-        variables, xs,
-        method=lambda mdl, pts: mdl.factorized_entropy_model.grid_pmf(pts)))
+    pmf = np.asarray(_grid_pmf(model, variables, xs))
     c, n = pmf.shape
     esc = np.clip(1.0 - pmf.sum(axis=1, keepdims=True), 0.0, 1.0)
     rows = np.concatenate([pmf, esc], axis=1)  # (C, n+1)

@@ -49,18 +49,32 @@ def download_coco_subset(
     images = images[:n_images]
 
     n_ok = 0
+    failures = []
     for info in images:
         url = info["coco_url"]
         filename = os.path.join(out_dir, info["file_name"])
         if os.path.exists(filename):
             n_ok += 1
             continue
-        r = requests.get(url, stream=True, timeout=60)
+        # tolerate per-image failures (transient network, 4xx/5xx): one bad
+        # image must not abort a multi-thousand-image run, and the caller
+        # should learn which ones were skipped
+        try:
+            r = requests.get(url, stream=True, timeout=60)
+        except requests.RequestException as e:
+            failures.append((info["file_name"], str(e)))
+            continue
         if r.status_code == 200:
             with open(filename, "wb") as f:
                 f.write(r.content)
             n_ok += 1
+        else:
+            failures.append((info["file_name"], f"HTTP {r.status_code}"))
 
+    for name, why in failures[:20]:
+        print(f"[WARN] failed to download {name}: {why}")
+    if len(failures) > 20:
+        print(f"[WARN] ... and {len(failures) - 20} more failures")
     print(f"Download done. {n_ok} images saved in {out_dir}")
     return n_ok
 

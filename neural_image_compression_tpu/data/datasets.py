@@ -127,24 +127,44 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         error: list = []
+        stop = threading.Event()  # consumer gone (GeneratorExit / break)
 
         def producer():
             try:
                 for b in self._batch_indices():
-                    q.put(self._make_batch(b))
+                    batch = self._make_batch(b)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface in the consumer, not the
                 error.append(e)         # thread's excepthook — a swallowed
             finally:                    # decode error would silently truncate
-                q.put(sentinel)         # every epoch at the failing batch
+                while not stop.is_set():  # every epoch at the failing batch
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if error:
-                    raise error[0]
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            # an abandoned iterator (e.g. Trainer stops at max_steps mid-
+            # epoch) must not leave the producer blocked on a full queue
+            # forever, leaking the thread + prefetched batches
+            stop.set()
 
 
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> np.ndarray:
@@ -174,4 +194,21 @@ def shard_for_process(items, process_index=None, process_count=None):
     pc = jax.process_count() if process_count is None else process_count
     if not 0 <= pi < pc:
         raise ValueError(f"process_index {pi} out of range for {pc} processes")
-    return items[pi::pc]
+    if isinstance(items, (list, tuple, np.ndarray)):
+        return items[pi::pc]
+    return _Subset(items, range(pi, len(items), pc))  # lazy dataset view
+
+
+class _Subset:
+    """Lazy index view over a dataset (datasets don't support slicing, and
+    eager indexing would decode every image up front)."""
+
+    def __init__(self, dataset, indices):
+        self._dataset = dataset
+        self._indices = list(indices)
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._dataset[self._indices[i]]

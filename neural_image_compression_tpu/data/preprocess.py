@@ -72,6 +72,10 @@ class PatchExtractor:
         levels = self.config.quantization_levels
         f = arr.astype(np.float32) / 255.0
         f = f + rng.uniform(-0.5 / levels, 0.5 / levels, size=f.shape)
+        # NOTE: truncating (not rounding) re-quantization deliberately
+        # matches the reference byte-for-byte (preprocess.py:16
+        # `(np_img * 255).astype(np.uint8)`): it skews the dither ~-0.5 LSB
+        # dark, but trained-model parity requires the same data distribution.
         return (np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
 
     def random_patch(self, arr: np.ndarray, rng) -> Optional[np.ndarray]:

@@ -29,8 +29,11 @@ class JsonlSink:
         self._f = open(path, "a", buffering=1)
 
     def scalar(self, tag: str, value, step: int):
+        v = float(value)
+        if v != v or v in (float("inf"), float("-inf")):
+            v = repr(v)  # "nan"/"inf" strings keep every line valid JSON
         self._f.write(json.dumps({"step": int(step), "tag": tag,
-                                  "value": float(value)}) + "\n")
+                                  "value": v}) + "\n")
 
     def histogram(self, tag, values, step):  # not persisted in jsonl
         pass
@@ -74,6 +77,10 @@ class TensorBoardSink:
 
     def histogram(self, tag: str, values, step: int, bins: int = 64):
         values = np.asarray(values, np.float64).reshape(-1)
+        # drop non-finite values: np.histogram raises on a NaN/inf range,
+        # which would kill the run at the logging step exactly when it
+        # diverges — the moment the diagnostics matter most
+        values = values[np.isfinite(values)]
         if values.size == 0:
             return
         counts, edges = np.histogram(values, bins=bins)
@@ -172,6 +179,9 @@ class NullLogger:
     multi-host run (only process 0 writes TB/JSONL)."""
 
     def scalar(self, tag, value, step):
+        pass
+
+    def scalars(self, metrics, step):
         pass
 
     def histogram(self, tag, values, step, bins=64):

@@ -32,8 +32,13 @@ def save_checkpoint(path: str, state: Any, aux: Optional[dict] = None) -> None:
     state = jax.device_get(state)
     _ckptr().save(path, state, force=True)
     if aux is not None and jax.process_index() == 0:
-        with open(path + ".aux.json", "w") as f:
+        # atomic write (tmp + rename): a preemption mid-dump would otherwise
+        # leave a truncated sidecar that breaks every subsequent resume —
+        # defeating the preemption-safe checkpoint story
+        tmp = path + ".aux.json.tmp"
+        with open(tmp, "w") as f:
             json.dump(aux, f)
+        os.replace(tmp, path + ".aux.json")
 
 
 def restore_checkpoint(path: str, template: Any):

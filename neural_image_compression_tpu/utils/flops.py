@@ -144,14 +144,20 @@ def scalable_eval_flops(M: int, M1: int, K: int, H: int, W: int,
         out["entropy_parameters"] += (
             _conv(h16, w16, 1, 2 * m + 2 * M, 640)
             + _conv(h16, w16, 1, 640, 640) + _conv(h16, w16, 1, 640, ep_out))
-    # LST tower on y1
+    # LST tower on y1 — mirror components.py:166-175 exactly: the block
+    # width m multiplies by u AFTER each upsample stage, so later stages run
+    # at m = M1 * prod(ups[:i]) channels (2*M1 for the default schedule);
+    # the stage RB bridges the previous stage's channels c into m via its
+    # 1x1 skip, and the final conv maps m -> m * ups[3].
     h, w, c = h16, w16, M1
+    m = M1
     lst = 0
     for u in lst_upsampling[:3]:
-        lst += _res_block(h, w, c, c)
-        lst += _res_block_up(h, w, c, u)
-        h, w, c = h * u, w * u, c  # channel bookkeeping follows our model
-    lst += _res_block(h, w, c, c) + _conv(h, w, 3, c, c * lst_upsampling[3])
+        lst += _res_block(h, w, c, m)
+        lst += _res_block_up(h, w, m, u)
+        h, w, c = h * u, w * u, m
+        m *= u
+    lst += _res_block(h, w, c, m) + _conv(h, w, 3, m, m * lst_upsampling[3])
     out["lst"] = lst
     out["elementwise"] = 100 * (h16 * w16 * M * K + (H // 64) * (W // 64) * M)
     out["total"] = sum(out.values())
