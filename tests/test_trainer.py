@@ -281,6 +281,26 @@ class TestMultiHost:
         with pytest.raises(ValueError):
             shard_for_process(items, 4, 4)
 
+    def test_shard_for_process_dataset_view(self, tmp_path):
+        """Dataset objects shard through a LAZY index view (they don't
+        support slicing, and eager indexing would decode every image)."""
+        import numpy as np
+        from PIL import Image
+
+        from neural_image_compression_tpu.data import (
+            ImageFolderDataset, shard_for_process,
+        )
+
+        for i in range(5):
+            Image.fromarray(np.full((8, 8, 3), i * 10, np.uint8)).save(
+                str(tmp_path / f"im{i}.png"))
+        ds = ImageFolderDataset(str(tmp_path))
+        sh0 = shard_for_process(ds, 0, 2)
+        sh1 = shard_for_process(ds, 1, 2)
+        assert len(sh0) == 3 and len(sh1) == 2
+        np.testing.assert_array_equal(sh0[1], ds[2])
+        np.testing.assert_array_equal(sh1[0], ds[1])
+
     def test_multiprocess_without_mesh_raises(self, tmp_path, tiny_model,
                                               monkeypatch):
         monkeypatch.setattr(jax, "process_count", lambda: 2)
