@@ -701,3 +701,18 @@ def test_non_integral_latents_rejected():
             os.environ.pop("NIC_DISABLE_NATIVE_AR", None)
         else:
             os.environ["NIC_DISABLE_NATIVE_AR"] = old
+
+
+def test_truncation_sweep_raises_everywhere():
+    """Every truncation point of a joint-AR bitstream must raise (the
+    decoder's final-state invariant), never return silently-wrong latents."""
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = jax.random.uniform(KEY, (1, 64, 64, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    codec = JointARCodec(model, variables)
+    data = codec.compress(np.asarray(x))
+    step = max(1, len(data) // 16)
+    for cut in range(len(data) - 1, 26, -step):  # keep the 26-byte header
+        with pytest.raises(ValueError):
+            codec.decompress(data[:cut])
