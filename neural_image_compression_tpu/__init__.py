@@ -25,7 +25,8 @@ __version__ = "0.1.0"
 from neural_image_compression_tpu import config
 from neural_image_compression_tpu.config import Config, build_model
 from neural_image_compression_tpu import (
-    coding, data, entropy, evaluation, models, ops, parallel, train, utils,
+    coding, data, entropy, evaluation, models, ops, parallel, serving, train,
+    utils,
 )
 
 __all__ = [
@@ -37,6 +38,7 @@ __all__ = [
     "data",
     "coding",
     "parallel",
+    "serving",
     "utils",
     "config",
     "Config",

@@ -344,6 +344,55 @@ def cmd_bench(args):
         os.path.abspath(__file__))), "bench.py"), run_name="__main__")
 
 
+def cmd_export(args):
+    import numpy as np
+
+    from neural_image_compression_tpu import serving
+
+    if args.height % 64 or args.width % 64:
+        sys.exit(f"H and W must be multiples of 64 (the model's total "
+                 f"downsampling), got {args.height}x{args.width}")
+    cfg = _load_config(args.config)
+    model = build_model(cfg.model)
+    example = np.zeros((1, args.height, args.width, 3), np.float32)
+    params = _restore_params(model, cfg, example)
+    platforms = args.platforms.split(",") if args.platforms else None
+    try:
+        exported = serving.export_model(model, params, args.height, args.width,
+                                        batch=args.batch, platforms=platforms)
+    except ValueError as e:
+        sys.exit(str(e))
+    serving.save_exported(exported, args.out)
+    size_mb = os.path.getsize(args.out) / 1e6
+    b = args.batch if args.batch is not None else "b (symbolic)"
+    print(f"exported {cfg.model.name} eval forward "
+          f"[{b}, {args.height}, {args.width}, 3] -> {args.out} "
+          f"({size_mb:.1f} MB, platforms={platforms or 'default'})")
+
+
+def cmd_bdrate(args):
+    import json
+
+    from neural_image_compression_tpu.evaluation import bd_psnr, bd_rate
+
+    def load(path):
+        with open(path) as f:
+            pts = json.load(f)
+        if not isinstance(pts, list):
+            sys.exit(f"{path}: expected a JSON list of RD points "
+                     "(the rd_curve.json written by lambda_sweep)")
+        return pts
+
+    anchor, test = load(args.anchor), load(args.test)
+    try:
+        out = {"bd_rate_pct": round(bd_rate(anchor, test, args.metric), 4),
+               "bd_" + args.metric: round(bd_psnr(anchor, test, args.metric), 4),
+               "metric": args.metric}
+    except ValueError as e:
+        sys.exit(f"BD computation failed: {e}")
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="neural_image_compression_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -415,6 +464,29 @@ def main(argv=None):
 
     sp = sub.add_parser("bench")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("export",
+                        help="freeze the eval forward (params baked in) "
+                             "into a StableHLO serving artifact")
+    sp.add_argument("--config", default=None)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--height", type=int, default=512)
+    sp.add_argument("--width", type=int, default=768)
+    sp.add_argument("--batch", type=int, default=None,
+                    help="fixed batch size; default: symbolic (any B)")
+    sp.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms, e.g. tpu,cpu "
+                         "(default: current backend)")
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("bdrate",
+                        help="Bjøntegaard delta between two RD curves "
+                             "(rd_curve.json files from lambda_sweep)")
+    sp.add_argument("anchor")
+    sp.add_argument("test")
+    sp.add_argument("--metric", default="psnr",
+                    help="quality key in the RD points (psnr | msssim)")
+    sp.set_defaults(fn=cmd_bdrate)
 
     args = p.parse_args(argv)
     args.fn(args)

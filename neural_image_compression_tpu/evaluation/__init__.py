@@ -1,4 +1,5 @@
 from neural_image_compression_tpu.evaluation.msssim import ms_ssim, ssim, rgb_to_luma
+from neural_image_compression_tpu.evaluation.bdrate import bd_psnr, bd_rate
 from neural_image_compression_tpu.evaluation.viz import (
     plot_information_evolution, plot_metric_evolution,
 )
@@ -6,6 +7,7 @@ from neural_image_compression_tpu.evaluation.evaluator import (
     CompressionEvaluator, VisionCompressionEvaluator, compute_metrics, normalize_map,
 )
 
-__all__ = ["ms_ssim", "ssim", "rgb_to_luma", "CompressionEvaluator",
+__all__ = ["ms_ssim", "ssim", "rgb_to_luma", "bd_rate", "bd_psnr",
+           "CompressionEvaluator",
            "VisionCompressionEvaluator", "compute_metrics", "normalize_map",
            "plot_information_evolution", "plot_metric_evolution"]

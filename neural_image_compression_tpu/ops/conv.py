@@ -225,6 +225,11 @@ def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int) -> str:
     form's simpler graph wins elsewhere."""
     if cout < 32:
         return "subpel"
+    if not isinstance(batch, int):
+        # symbolic batch (jax.export shape polymorphism): comparing the dim
+        # is inconclusive, so skip the batch-gated tiling rule and take the
+        # lowering that is safe at any batch (the two are math-identical)
+        return "dilated"
     if batch >= 8 and in_h * in_w <= 2048:
         return "subpel"
     return "dilated"

@@ -331,3 +331,64 @@ def test_cli_train_scalable_with_backbone(tmp_path):
     assert txts
     body = open(os.path.join(cfg.eval.save_dir, txts[0])).read()
     assert "VisionMSE" in body
+
+
+def test_cli_bdrate(tmp_path, capsys):
+    anchor = [{"lambda": 0.001, "bpp": 0.1, "psnr": 28.0, "msssim": 0.90},
+              {"lambda": 0.005, "bpp": 0.3, "psnr": 32.0, "msssim": 0.94},
+              {"lambda": 0.02, "bpp": 0.7, "psnr": 36.0, "msssim": 0.97}]
+    test = [dict(p, bpp=p["bpp"] * 0.9) for p in anchor]
+    a_path, t_path = str(tmp_path / "a.json"), str(tmp_path / "t.json")
+    with open(a_path, "w") as f:
+        json.dump(anchor, f)
+    with open(t_path, "w") as f:
+        json.dump(test, f)
+
+    cli_main(["bdrate", a_path, t_path])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["bd_rate_pct"] == pytest.approx(-10.0, rel=1e-6)
+    assert out["bd_psnr"] > 0
+
+    cli_main(["bdrate", a_path, t_path, "--metric", "msssim"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["bd_rate_pct"] == pytest.approx(-10.0, rel=1e-6)
+    assert "bd_msssim" in out
+
+
+def test_cli_bdrate_no_overlap_exits(tmp_path):
+    a = [{"bpp": 0.1, "psnr": 28.0}, {"bpp": 0.3, "psnr": 32.0}]
+    b = [{"bpp": 0.1, "psnr": 48.0}, {"bpp": 0.3, "psnr": 52.0}]
+    a_path, b_path = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    with open(a_path, "w") as f:
+        json.dump(a, f)
+    with open(b_path, "w") as f:
+        json.dump(b, f)
+    with pytest.raises(SystemExit, match="overlap"):
+        cli_main(["bdrate", a_path, b_path])
+
+
+def test_cli_export(tmp_path, capsys):
+    cfg = Config()
+    cfg.model.name = "factorized"
+    cfg.model.latent_channels = 8
+    cfg.train.checkpoint_path = str(tmp_path / "no_ckpt")  # random init path
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+    out_path = str(tmp_path / "model.shlo")
+
+    cli_main(["export", "--config", cfg_path, "--out", out_path,
+              "--height", "64", "--width", "64", "--batch", "1"])
+    assert "exported factorized" in capsys.readouterr().out
+    assert os.path.getsize(out_path) > 0
+
+    from neural_image_compression_tpu import serving
+    loaded = serving.load_exported(out_path)
+    out = loaded.call(np.zeros((1, 64, 64, 3), np.float32))
+    assert out["x_hat"].shape == (1, 64, 64, 3)
+
+
+def test_cli_export_bad_size_exits(tmp_path):
+    with pytest.raises(SystemExit, match="multiples of 64"):
+        cli_main(["export", "--out", str(tmp_path / "x.shlo"),
+                  "--height", "100", "--width", "64"])
