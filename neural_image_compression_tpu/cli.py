@@ -42,8 +42,13 @@ def _restore_params(model, cfg: Config, example):
     if path and checkpoint_exists(path):
         # restore_raw needs no init target — skip the init compile + device
         # execution entirely (wasted startup latency per CLI invocation)
-        params = restore_raw(path)["params"]
-        print(f"restored params from {path}")
+        raw = restore_raw(path)
+        # a checkpoint carries ema_params only when the run trained with
+        # EMA — those are its deploy weights, so eval/compress prefer them
+        key = "ema_params" if "ema_params" in raw else "params"
+        params = raw[key]
+        print(f"restored {'EMA ' if key == 'ema_params' else ''}params "
+              f"from {path}")
         return params
     print("WARNING: no checkpoint found, using random init")
     import jax.numpy as jnp
@@ -52,6 +57,24 @@ def _restore_params(model, cfg: Config, example):
     return jax.jit(lambda k, x: model.init(
         {"params": k, "noise": k}, x, training=False))(
         key, jnp.asarray(example))["params"]
+
+
+def _materialize_level(cfg, model, params, args):
+    """Variable-rate (gained) configs: fold the gain vectors at --level into
+    the boundary convolutions and continue with the fixed-rate joint-AR model
+    — the codec, evaluator, and serving export all run unchanged on it."""
+    if cfg.model.name != "gained":
+        return model, params
+    from neural_image_compression_tpu.models import fold_gains, folded_model
+
+    level = float(getattr(args, "level", 0.0) or 0.0)
+    n = len(model.levels)
+    if not (0 <= level <= n - 1):
+        sys.exit(f"--level must be in [0, {n - 1}] for this model's "
+                 f"{n}-point ladder (fractional = interpolated rate)")
+    print(f"gained model: folded at level {level} "
+          f"(lambda ladder {list(model.levels)})")
+    return folded_model(model), fold_gains(params, level)
 
 
 def cmd_preprocess(args):
@@ -117,7 +140,8 @@ def cmd_train(args):
                       preemption_safe=cfg.train.preemption_safe,
                       log_dir=cfg.train.log_dir,
                       checkpoint_path=cfg.train.checkpoint_path,
-                      seed=cfg.train.seed, mesh=mesh)
+                      seed=cfg.train.seed, mesh=mesh,
+                      ema_decay=cfg.train.ema_decay or None)
     trainer.train()
 
 
@@ -156,6 +180,7 @@ def cmd_eval(args):
     loader = BatchLoader(KodakDataset(cfg.eval.data_dir), batch_size=1)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
+    model, params = _materialize_level(cfg, model, params, args)
 
     if cfg.model.name == "scalable":
         import functools
@@ -240,6 +265,7 @@ def cmd_compress(args):
     # which traces the f32 path
     example = pad_to_multiple(imgs[0].astype(np.float32) / 255.0, 64)
     params = _restore_params(model, cfg, example)
+    model, params = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
     codec = _make_codec(cfg, model, params, card_path if portable else None)
@@ -305,6 +331,7 @@ def cmd_decompress(args):
     model = build_model(cfg.model)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
+    model, params = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     if card_path and not os.path.exists(card_path):
         # compress builds a missing card; decode against a card other than
@@ -356,6 +383,7 @@ def cmd_export(args):
     model = build_model(cfg.model)
     example = np.zeros((1, args.height, args.width, 3), np.float32)
     params = _restore_params(model, cfg, example)
+    model, params = _materialize_level(cfg, model, params, args)
     platforms = args.platforms.split(",") if args.platforms else None
     try:
         exported = serving.export_model(model, params, args.height, args.width,
@@ -431,6 +459,9 @@ def main(argv=None):
     sp.add_argument("--backbone", default=None,
                     help="saved backbone .npz: report the vision-distillation "
                          "MSE for scalable models")
+    sp.add_argument("--level", type=float, default=0.0,
+                    help="gained models: rate level to fold at "
+                         "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("compress")
@@ -451,6 +482,9 @@ def main(argv=None):
                     help="portable-card file: loaded if it exists, else "
                          "built from the model and saved here (implies "
                          "--portable)")
+    sp.add_argument("--level", type=float, default=0.0,
+                    help="gained models: rate level to fold at "
+                         "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")
@@ -460,6 +494,9 @@ def main(argv=None):
                     help="output file (single stream) or directory (several)")
     sp.add_argument("--card", default=None,
                     help="portable-card file for portable bitstreams")
+    sp.add_argument("--level", type=float, default=0.0,
+                    help="gained models: rate level to fold at "
+                         "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_decompress)
 
     sp = sub.add_parser("bench")
@@ -477,6 +514,9 @@ def main(argv=None):
     sp.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. tpu,cpu "
                          "(default: current backend)")
+    sp.add_argument("--level", type=float, default=0.0,
+                    help="gained models: rate level to fold at "
+                         "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_export)
 
     sp = sub.add_parser("bdrate",

@@ -16,11 +16,13 @@ from typing import Optional
 
 @dataclass
 class ModelConfig:
-    name: str = "joint_ar"  # joint_ar | residual | factorized | scalable
+    name: str = "joint_ar"  # joint_ar | residual | factorized | scalable | gained
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
     dtype: Optional[str] = None    # None (f32) | 'bf16' transform compute
+    levels: Optional[list] = None  # gained only: ascending lambda ladder
+                                   # (None -> GainedJointAR defaults)
 
 
 @dataclass
@@ -53,6 +55,8 @@ class TrainConfig:
     data_parallel: bool = False          # shard the batch over all devices
     scalar_interval: int = 1             # per-step scalar logging cadence
     preemption_safe: bool = False        # SIGTERM -> checkpoint + clean exit
+    ema_decay: float = 0.0               # >0 enables EMA params (e.g. 0.999);
+                                         # checkpointed; eval prefers them
 
 
 @dataclass
@@ -87,11 +91,15 @@ def build_model(cfg: ModelConfig):
     import jax.numpy as jnp
 
     from neural_image_compression_tpu.models import (
-        FactorizedPrior, HierarchicalMixtureResidual,
+        FactorizedPrior, GainedJointAR, HierarchicalMixtureResidual,
         JointAutoregressiveHierarchical, ScalableImageCoding,
     )
 
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else None
+    if cfg.name == "gained":
+        kwargs = {"levels": tuple(cfg.levels)} if cfg.levels else {}
+        return GainedJointAR(latent_channels=cfg.latent_channels, K=cfg.K,
+                             dtype=dtype, **kwargs)
     if cfg.name == "joint_ar":
         return JointAutoregressiveHierarchical(
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)

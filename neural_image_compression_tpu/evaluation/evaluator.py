@@ -69,7 +69,8 @@ class CompressionEvaluator:
         self.params = params
         self.dataloader = dataloader
         self.lambda_val = lambda_val
-        os.makedirs(save_dir, exist_ok=True)
+        if save_dir is not None:  # None = metrics only (no artifacts/plots)
+            os.makedirs(save_dir, exist_ok=True)
         self.save_dir = save_dir
         self._forward = jax.jit(
             lambda params, x: model.apply({"params": params}, x, training=False))

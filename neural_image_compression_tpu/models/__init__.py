@@ -9,6 +9,9 @@ from neural_image_compression_tpu.models.joint_ar import (
     noise_quantize, round_quantize, quantize,
 )
 from neural_image_compression_tpu.models.factorized_prior import FactorizedPrior
+from neural_image_compression_tpu.models.gained import (
+    GainedJointAR, fold_gains, folded_model, interp_gain,
+)
 from neural_image_compression_tpu.models.scalable import ScalableImageCoding
 from neural_image_compression_tpu.models.vision import (
     FirstHalf, FrozenActivationBlock, GraphBackbone, SecondHalf,
@@ -24,6 +27,7 @@ __all__ = [
     "LatentSpaceTransform", "EntropyParameters",
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "ScalableImageCoding",
+    "GainedJointAR", "fold_gains", "folded_model", "interp_gain",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "ConvBNSiLU", "C3", "SPPF", "Concat", "build_yolo_backbone",
     "frozen_activation_from_conv", "save_backbone", "load_backbone",

@@ -28,20 +28,41 @@ def _norm(batch):
 
 
 def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
-                    lambda_val: float, mesh=None, donate: bool = True):
+                    lambda_val: float, mesh=None, donate: bool = True,
+                    ema_decay: float = None, levels=None):
     """Build a jitted (optionally mesh-sharded) train step.
 
     Returns step(params, opt_state, batch, rng) -> (params, opt_state, metrics).
     With a mesh: params/opt_state replicated, batch sharded on 'data'.
     This is also the Trainer's step (single source of truth).
-    """
 
-    def step(params, opt_state, batch, rng):
+    With ema_decay in (0, 1), the step additionally threads an exponential
+    moving average of the params (fused into the same program — one extra
+    elementwise pass, no extra dispatch):
+    step(params, opt_state, ema_params, batch, rng)
+      -> (params, opt_state, ema_params, metrics)
+
+    With levels (the lambda ladder of a variable-rate models.GainedJointAR),
+    each step samples a level uniformly, forwards with that level's gain
+    vectors, and weights the loss with levels[n] (lambda_val is unused).
+    """
+    if ema_decay is not None and not (0.0 < ema_decay < 1.0):
+        raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+    lam_table = None if levels is None else jnp.asarray(levels, jnp.float32)
+
+    def update(params, opt_state, batch, rng):
         batch = _norm(batch)
+        if lam_table is None:
+            kwargs, lam = {}, lambda_val
+        else:
+            rng, level_rng = jax.random.split(rng)
+            n = jax.random.randint(level_rng, (), 0, lam_table.shape[0])
+            kwargs, lam = {"level": n}, lam_table[n]
 
         def loss_fn(p):
-            out = model.apply({"params": p}, batch, training=True, rngs={"noise": rng})
-            metrics = rd_loss(out, batch, lambda_val)
+            out = model.apply({"params": p}, batch, training=True,
+                              rngs={"noise": rng}, **kwargs)
+            metrics = rd_loss(out, batch, lam)
             return metrics["loss"], metrics
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -49,7 +70,19 @@ def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    donate_argnums = (0, 1) if donate else ()
+    if ema_decay is None:
+        step = update
+        n_state = 2
+    else:
+        def step(params, opt_state, ema_params, batch, rng):
+            params, opt_state, metrics = update(params, opt_state, batch, rng)
+            ema_params = jax.tree.map(
+                lambda e, p: e + (1.0 - ema_decay) * (p - e).astype(e.dtype),
+                ema_params, params)
+            return params, opt_state, ema_params, metrics
+        n_state = 3
+
+    donate_argnums = tuple(range(n_state)) if donate else ()
     if mesh is None:
         return jax.jit(step, donate_argnums=donate_argnums)
 
@@ -57,8 +90,8 @@ def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
     bsh = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(rep, rep, bsh, rep),
-        out_shardings=(rep, rep, rep),
+        in_shardings=(rep,) * n_state + (bsh, rep),
+        out_shardings=(rep,) * (n_state + 1),
         donate_argnums=donate_argnums,
     )
 

@@ -4,9 +4,10 @@ from neural_image_compression_tpu.train.trainer import Trainer
 from neural_image_compression_tpu.train.schedulers import ReduceLROnPlateau, cosine_lr
 from neural_image_compression_tpu.train.metrics_logger import MetricsLogger
 from neural_image_compression_tpu.train.sweep import (
-    lambda_sweep, plot_rd_curve, vmapped_lambda_sweep,
+    gained_rd_curve, lambda_sweep, plot_rd_curve, vmapped_lambda_sweep,
 )
 
 __all__ = ["loss", "rd_loss", "vision_rd_loss", "Trainer",
            "ReduceLROnPlateau", "cosine_lr", "MetricsLogger",
-           "lambda_sweep", "plot_rd_curve", "vmapped_lambda_sweep"]
+           "gained_rd_curve", "lambda_sweep", "plot_rd_curve",
+           "vmapped_lambda_sweep"]

@@ -51,6 +51,55 @@ def lambda_sweep(model_factory: Callable[[], object], train_loader, val_loader,
     return points
 
 
+def gained_rd_curve(model, params, eval_loader,
+                    levels: Optional[Sequence[float]] = None,
+                    out_dir: Optional[str] = None) -> List[Dict[str, float]]:
+    """RD curve from ONE trained variable-rate model (models.GainedJointAR).
+
+    Folds the gain vectors at each level (defaults: the model's integer
+    ladder; pass fractional levels for interpolated rate points) and runs
+    the standard evaluator on the resulting fixed-rate model. Emits the same
+    point/curve shape as lambda_sweep, so evaluation.bd_rate and
+    plot_rd_curve consume it directly — the whole curve costs N evals and
+    zero retraining.
+    """
+    from neural_image_compression_tpu.evaluation import CompressionEvaluator
+    from neural_image_compression_tpu.models.gained import fold_gains, folded_model
+
+    if levels is None:
+        levels = list(range(len(model.levels)))
+    fm = folded_model(model)
+    points = []
+    for level in levels:
+        ev = CompressionEvaluator(fm, fold_gains(params, level), eval_loader,
+                                  float(interp_lambda(model.levels, level)),
+                                  save_dir=None)
+        metrics, _, _ = ev.evaluate()
+        points.append({"lambda": float(interp_lambda(model.levels, level)),
+                       "level": float(level), "bpp": metrics["BPP"],
+                       "psnr": metrics["PSNR(RGB)"],
+                       "msssim": metrics["MS-SSIM(RGB)"]})
+    points.sort(key=lambda p: p["bpp"])
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "rd_curve.json"), "w") as f:
+            json.dump(points, f, indent=1)
+    return points
+
+
+def interp_lambda(levels: Sequence[float], level) -> float:
+    """The lambda a (possibly fractional) gain level corresponds to —
+    geometric interpolation, matching models.gained.interp_gain."""
+    import math
+
+    n = len(levels)
+    lv = min(max(float(level), 0.0), n - 1)
+    lo = int(lv)
+    hi = min(lo + 1, n - 1)
+    t = lv - lo
+    return math.exp((1 - t) * math.log(levels[lo]) + t * math.log(levels[hi]))
+
+
 def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
                          steps: int, learning_rate: float = 1e-4,
                          seed: int = 0, rd_loss=None):

@@ -44,7 +44,8 @@ class Trainer:
                  val_interval: Optional[int] = None, checkpoint_interval: Optional[int] = None,
                  scalar_interval: int = 1, preemption_safe: bool = False,
                  log_dir: str = "runs/experiment", checkpoint_path: str = "./checkpoints/checkpoint",
-                 seed: int = 0, mesh=None, example_batch=None):
+                 seed: int = 0, mesh=None, example_batch=None,
+                 ema_decay: Optional[float] = None):
         if rd_loss is None:
             rd_loss = default_rd_loss
         self.model = model
@@ -103,6 +104,18 @@ class Trainer:
         self.tx = optimizer
         self.opt_state = self.tx.init(self.params)
 
+        # --- EMA of params (deploy-quality weights; standard practice in
+        # compression training, absent in the reference). The average is
+        # updated inside the jitted train step; validation and eval_params
+        # use it so the plateau scheduler tracks the deployable model.
+        if ema_decay is not None and not (0.0 < ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0, 1), got {ema_decay}")
+        self.ema_decay = ema_decay
+        # fresh buffers (jnp.array copies): params are donated to the train
+        # step, so the EMA tree must not alias them
+        self.ema_params = (jax.tree.map(jnp.array, self.params)
+                           if ema_decay is not None else None)
+
         # --- scheduler ---------------------------------------------------
         self.scheduler = scheduler
         if scheduler is not None:
@@ -149,6 +162,8 @@ class Trainer:
             # is process-consistent and replication is a plain device_put
             self.params = jax.device_put(self.params, self._replicated)
             self.opt_state = jax.device_put(self.opt_state, self._replicated)
+            if self.ema_params is not None:
+                self.ema_params = jax.device_put(self.ema_params, self._replicated)
         else:
             self._batch_sharding = None
 
@@ -156,6 +171,17 @@ class Trainer:
             if x.dtype == jnp.uint8:
                 return x.astype(jnp.float32) / 255.0
             return x
+
+        # Variable-rate (GainedJointAR) runs: the step samples a level per
+        # batch; validation pins the MIDDLE level and its lambda so the
+        # plateau scheduler tracks one consistent objective.
+        levels = getattr(self.model, "levels", None)
+        if levels:
+            self._val_kwargs = {"level": len(levels) // 2}
+            self._val_lambda = float(levels[len(levels) // 2])
+        else:
+            self._val_kwargs = {}
+            self._val_lambda = self.lambda_val
 
         self._train_step = self._build_train_step()
         self._eval_forward = jax.jit(
@@ -168,8 +194,9 @@ class Trainer:
         self._val_step = jax.jit(
             lambda params, x: (lambda m: (m["loss"], m["bpp_total"], m["psnr"]))(
                 self.rd_loss(self.model.apply({"params": params}, _norm(x),
-                                              training=False),
-                             _norm(x), self.lambda_val)))
+                                              training=False,
+                                              **self._val_kwargs),
+                             _norm(x), self._val_lambda)))
         self._diag_forward = jax.jit(
             lambda params, x, rng: self.model.apply(
                 {"params": params}, _norm(x), training=True, rngs={"noise": rng}))
@@ -205,7 +232,9 @@ class Trainer:
         from neural_image_compression_tpu.parallel.train_step import make_train_step
 
         return make_train_step(self.model, self.tx, self.rd_loss,
-                               self.lambda_val, mesh=self.mesh)
+                               self.lambda_val, mesh=self.mesh,
+                               ema_decay=self.ema_decay,
+                               levels=getattr(self.model, "levels", None))
 
     def _set_lr(self, lr: float):
         """Adjust learning rate inside an inject_hyperparams opt state."""
@@ -214,6 +243,13 @@ class Trainer:
             hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
             return lr
         return None
+
+    @property
+    def eval_params(self):
+        """The weights to deploy/evaluate: the EMA when enabled, else the
+        live params. Validation uses these (the plateau scheduler should
+        track the deployable model, not the raw SGD iterate)."""
+        return self.ema_params if self.ema_params is not None else self.params
 
     def current_lr(self) -> float:
         hp = getattr(self.opt_state, "hyperparams", None)
@@ -229,6 +265,8 @@ class Trainer:
         # call deadlocks (Orbax itself makes only the primary host write).
         state = {"params": self.params, "opt_state": self.opt_state,
                  "rng": self._rng}
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
         aux = {"step": int(self.step)}
         if self.plateau is not None:
             aux["plateau"] = self.plateau.state_dict()
@@ -239,7 +277,22 @@ class Trainer:
     def load_checkpoint(self):
         template = {"params": self.params, "opt_state": self.opt_state,
                     "rng": self._rng}
-        state, aux = restore_checkpoint(self.checkpoint_path, template)
+        if self.ema_params is not None:
+            template["ema_params"] = self.ema_params
+        try:
+            state, aux = restore_checkpoint(self.checkpoint_path, template)
+        except Exception:
+            if self.ema_params is None:
+                raise
+            # resuming an EMA run from a pre-EMA checkpoint: restore without
+            # the ema template and restart the average from the live params
+            del template["ema_params"]
+            state, aux = restore_checkpoint(self.checkpoint_path, template)
+            print("checkpoint has no ema_params — EMA restarts from the "
+                  "restored params")
+        if self.ema_params is not None:
+            self.ema_params = (state["ema_params"] if "ema_params" in state
+                               else jax.tree.map(jnp.array, state["params"]))
         self.params = state["params"]
         self.opt_state = jax.tree.unflatten(
             jax.tree.structure(self.opt_state), jax.tree.leaves(state["opt_state"]))
@@ -270,8 +323,13 @@ class Trainer:
             batch = self._shard_batch(self._next_batch())
             self._rng, step_rng = jax.random.split(self._rng)
 
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, batch, step_rng)
+            if self.ema_params is None:
+                self.params, self.opt_state, metrics = self._train_step(
+                    self.params, self.opt_state, batch, step_rng)
+            else:
+                (self.params, self.opt_state, self.ema_params,
+                 metrics) = self._train_step(self.params, self.opt_state,
+                                             self.ema_params, batch, step_rng)
 
             if self.step % self.scalar_interval == 0:
                 self._log_scalars(metrics)
@@ -358,7 +416,7 @@ class Trainer:
         total_loss = bpp = psnr = 0.0
         n = 0
         for imgs in self.val_loader:
-            l, b, p = jax.device_get(self._val_step(self.params,
+            l, b, p = jax.device_get(self._val_step(self.eval_params,
                                                     jnp.asarray(imgs)))
             total_loss += float(l)
             bpp += float(b)

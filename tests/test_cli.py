@@ -392,3 +392,36 @@ def test_cli_export_bad_size_exits(tmp_path):
     with pytest.raises(SystemExit, match="multiples of 64"):
         cli_main(["export", "--out", str(tmp_path / "x.shlo"),
                   "--height", "100", "--width", "64"])
+
+
+def test_cli_train_ema_and_restore_prefers_ema(tmp_path, capsys):
+    """A run with ema_decay>0 checkpoints ema_params, and the CLI restore
+    path (eval/compress/export) deploys those instead of the raw params."""
+    train_dir = str(tmp_path / "train")
+    _write_images(train_dir, n=2, size=192)
+    cfg = Config()
+    cfg.model.name = "factorized"
+    cfg.model.latent_channels = 8
+    cfg.data.train_dir = train_dir
+    cfg.data.batch_size = 1
+    cfg.train.max_steps = 2
+    cfg.train.ema_decay = 0.9
+    cfg.train.log_dir = str(tmp_path / "runs")
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    cli_main(["train", "--config", cfg_path])
+
+    from neural_image_compression_tpu.cli import _restore_params
+    from neural_image_compression_tpu.utils.checkpoint import restore_raw
+
+    model = build_model(cfg.model)
+    params = _restore_params(model, cfg, np.zeros((1, 64, 64, 3), np.float32))
+    assert "restored EMA params" in capsys.readouterr().out
+
+    raw = restore_raw(cfg.train.checkpoint_path)
+    import jax
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(raw["ema_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,219 @@
+"""Variable-rate (gained) model: forward contract, exact gain folding into
+the fixed-rate JointAR (the property that makes the codec/serving/evaluator
+work unchanged), level-sampled training, and a real-bitstream round-trip on
+a folded model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from neural_image_compression_tpu.models import (
+    GainedJointAR, JointAutoregressiveHierarchical, fold_gains, folded_model,
+    interp_gain,
+)
+from neural_image_compression_tpu.train.loss import rd_loss
+
+KEY = jax.random.PRNGKey(0)
+LEVELS = (0.001, 0.005, 0.02)
+
+
+def _init(model, shape=(1, 64, 64, 3)):
+    x = jnp.zeros(shape, jnp.float32)
+    return model.init({"params": KEY, "noise": KEY}, x, training=False)["params"]
+
+
+def _randomize_gains(params, seed=1):
+    """Init gains are all-ones (fold would be trivially exact); perturb them
+    to positive non-trivial values so the tests exercise real scaling. The
+    coding-domain gains (gain_y/gain_z) additionally grow 4x per level so
+    higher levels quantize finely enough to actually code bits at random
+    init (a trained model gets this from the rate loss)."""
+    rng = np.random.RandomState(seed)
+    out = dict(params)
+    for k in ("gain_y", "igain_y", "gain_z", "igain_z"):
+        g = np.asarray(params[k])
+        r = 0.3 + rng.rand(*g.shape).astype(np.float32) * 2.0
+        if k in ("gain_y", "gain_z"):
+            r = r * (4.0 ** np.arange(g.shape[0], dtype=np.float32))[:, None]
+        out[k] = jnp.asarray(r)
+    return out
+
+
+@pytest.fixture(scope="module")
+def gained_small():
+    model = GainedJointAR(latent_channels=8, K=2, levels=LEVELS)
+    return model, _randomize_gains(_init(model))
+
+
+def test_forward_contract_all_levels(gained_small):
+    model, params = gained_small
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    for level in (0, 1, 2, 0.5):
+        out = model.apply({"params": params}, x, training=False, level=level)
+        for k in ("x_hat", "y", "y_in", "z", "z_in", "p_y", "logp_y",
+                  "p_z", "logp_z", "weights", "mus", "sigmas"):
+            assert k in out, k
+        assert out["x_hat"].shape == x.shape
+        assert np.isfinite(np.asarray(out["x_hat"])).all()
+
+
+def test_levels_change_the_rate(gained_small):
+    """Different gain rows quantize differently -> different bits."""
+    model, params = gained_small
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    bits = []
+    for level in (0, 2):
+        out = model.apply({"params": params}, x, training=False, level=level)
+        bits.append(float(rd_loss(out, x, 0.005)["bpp_total"]))
+    assert bits[0] != bits[1]
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 1.3])
+def test_fold_matches_gained_forward(gained_small, level):
+    """THE core property: folding the gains at any level (incl. fractional)
+    into the boundary convs reproduces the gained forward exactly (f32
+    tolerance — the scale multiplies weights instead of activations)."""
+    model, params = gained_small
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    want = model.apply({"params": params}, x, training=False, level=level)
+
+    fm = folded_model(model)
+    fp = fold_gains(params, level)
+    got = fm.apply({"params": fp}, x, training=False)
+
+    np.testing.assert_array_equal(np.asarray(got["y_in"]),
+                                  np.asarray(want["y_in"]))
+    np.testing.assert_array_equal(np.asarray(got["z_in"]),
+                                  np.asarray(want["z_in"]))
+    np.testing.assert_allclose(np.asarray(got["x_hat"]),
+                               np.asarray(want["x_hat"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["p_y"]),
+                               np.asarray(want["p_y"]), rtol=1e-5, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(got["p_z"]),
+                               np.asarray(want["p_z"]), rtol=1e-5, atol=2e-7)
+
+
+def test_interp_gain_endpoints_and_midpoint():
+    table = jnp.asarray([[1.0, 4.0], [2.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(interp_gain(table, 0)), [1.0, 4.0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(interp_gain(table, 1)), [2.0, 1.0],
+                               rtol=1e-6)
+    # geometric midpoint
+    np.testing.assert_allclose(np.asarray(interp_gain(table, 0.5)),
+                               [np.sqrt(2.0), 2.0], rtol=1e-6)
+    # clipped outside the ladder
+    np.testing.assert_allclose(np.asarray(interp_gain(table, 7.0)), [2.0, 1.0],
+                               rtol=1e-6)
+
+
+def test_train_step_samples_levels_and_moves_gains():
+    model = GainedJointAR(latent_channels=8, K=1, levels=LEVELS)
+    params = _init(model)
+    from neural_image_compression_tpu.parallel.train_step import make_train_step
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, rd_loss, 0.005, levels=model.levels)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    g0 = np.asarray(params["gain_y"])
+    losses = []
+    for i in range(8):
+        params, opt_state, m = step(params, opt_state, x, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    # gains receive gradients (every level gets sampled across 8 steps whp;
+    # at minimum SOME row must have moved)
+    assert not np.allclose(np.asarray(params["gain_y"]), g0)
+
+
+def test_trainer_runs_gained(tmp_path):
+    from neural_image_compression_tpu.train import Trainer
+
+    rng = np.random.RandomState(0)
+    loader = list(rng.rand(3, 2, 64, 64, 3).astype(np.float32))
+    model = GainedJointAR(latent_channels=8, K=1, levels=LEVELS)
+    trainer = Trainer(model, loader, val_loader=loader[:1], max_steps=3,
+                      val_interval=2, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None)
+    trainer.train()
+    assert trainer.step == 3
+
+
+def test_codec_roundtrip_on_folded_model(gained_small):
+    """A folded gained model drives the real bitstream codec unchanged."""
+    from neural_image_compression_tpu.coding.codec import JointARCodec
+
+    model, params = gained_small
+    level = 1
+    fm = folded_model(model)
+    fp = fold_gains(params, level)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
+
+    codec = JointARCodec(fm, {"params": fp})
+    data = codec.compress(np.asarray(x))
+    y_dec, z_dec = codec.decode_latents(data)
+
+    out = model.apply({"params": params}, x, training=False, level=level)
+    np.testing.assert_array_equal(z_dec, np.asarray(out["z_in"])[0])
+    np.testing.assert_array_equal(y_dec, np.asarray(out["y_in"])[0])
+    x_hat = codec.decompress(data)
+    np.testing.assert_allclose(
+        x_hat, np.clip(np.asarray(out["x_hat"]), 0, 1), atol=2e-5)
+
+
+def test_validation_uses_fixed_mid_level(tmp_path):
+    from neural_image_compression_tpu.train import Trainer
+
+    loader = list(np.random.RandomState(0).rand(2, 1, 64, 64, 3)
+                  .astype(np.float32))
+    model = GainedJointAR(latent_channels=8, K=1, levels=LEVELS)
+    trainer = Trainer(model, loader, max_steps=1,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    assert trainer._val_kwargs == {"level": 1}
+    assert trainer._val_lambda == LEVELS[1]
+
+
+def test_bad_ladders_raise():
+    x = jnp.zeros((1, 64, 64, 3))
+    with pytest.raises(ValueError, match="ascending"):
+        GainedJointAR(latent_channels=8, levels=(0.01, 0.001)).init(
+            {"params": KEY, "noise": KEY}, x, training=False)
+    with pytest.raises(ValueError, match=">= 2"):
+        GainedJointAR(latent_channels=8, levels=(0.01,)).init(
+            {"params": KEY, "noise": KEY}, x, training=False)
+
+
+def test_fold_rejects_plain_params():
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    params = model.init({"params": KEY, "noise": KEY},
+                        jnp.zeros((1, 64, 64, 3)), training=False)["params"]
+    with pytest.raises(ValueError, match="GainedJointAR"):
+        fold_gains(params, 0)
+
+
+def test_gained_rd_curve(tmp_path, gained_small):
+    """One gained model -> a full RD curve in lambda_sweep's format, directly
+    consumable by evaluation.bd_rate / train.plot_rd_curve."""
+    import json
+    import os
+
+    from neural_image_compression_tpu.train.sweep import (
+        gained_rd_curve, interp_lambda,
+    )
+
+    model, params = gained_small
+    loader = [np.asarray(jax.random.uniform(
+        jax.random.PRNGKey(9), (1, 192, 192, 3)), np.float32)]
+    pts = gained_rd_curve(model, params, loader, out_dir=str(tmp_path))
+    assert len(pts) == len(LEVELS)
+    assert [p["bpp"] for p in pts] == sorted(p["bpp"] for p in pts)
+    for p in pts:
+        assert {"lambda", "level", "bpp", "psnr", "msssim"} <= set(p)
+    on_disk = json.load(open(os.path.join(str(tmp_path), "rd_curve.json")))
+    assert on_disk == pts
+    # fractional levels give interpolated lambdas
+    assert interp_lambda(LEVELS, 0.5) == pytest.approx(
+        (LEVELS[0] * LEVELS[1]) ** 0.5)

@@ -335,3 +335,86 @@ class TestMultiHost:
         arr = trainer._shard_batch(batch)
         assert arr.sharding == trainer._batch_sharding
         np.testing.assert_array_equal(np.asarray(arr), batch)
+
+
+# ---------------------------------------------------------------------------
+# EMA params
+
+
+def test_ema_matches_manual_recurrence(tmp_path, tiny_model):
+    """ema_{t} = d*ema_{t-1} + (1-d)*params_t, started at the init params."""
+    decay = 0.9
+    loader = _loader()
+    trainer = Trainer(tiny_model, loader, max_steps=6, learning_rate=1e-3,
+                      ema_decay=decay, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None, seed=3)
+
+    # replay: capture params after each step by re-running with the same
+    # seed/loader and no EMA, accumulating the recurrence on the host
+    t2 = Trainer(tiny_model, loader, max_steps=6, learning_rate=1e-3,
+                 log_dir=str(tmp_path / "runs2"), checkpoint_path=None, seed=3)
+    ema = jax.device_get(t2.params)
+    for _ in range(6):
+        t2.max_steps = t2.step + 1
+        t2.train()
+        p = jax.device_get(t2.params)
+        ema = jax.tree.map(lambda e, q: e + (1 - decay) * (q - e), ema, p)
+    trainer.train()
+
+    got = jax.device_get(trainer.ema_params)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ema)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    # and the EMA is NOT the raw params (it lags)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(jax.tree.leaves(got),
+                               jax.tree.leaves(jax.device_get(trainer.params))))
+
+
+def test_ema_checkpoint_roundtrip_and_eval_params(tmp_path, tiny_model):
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(tiny_model, _loader(), max_steps=4, ema_decay=0.99,
+                 log_dir=str(tmp_path / "r1"), checkpoint_path=ckpt)
+    t1.train()
+    assert t1.eval_params is t1.ema_params
+
+    t2 = Trainer(tiny_model, _loader(), max_steps=2, ema_decay=0.99,
+                 log_dir=str(tmp_path / "r2"), checkpoint_path=ckpt, resume=True)
+    for a, b in zip(jax.tree.leaves(jax.device_get(t1.ema_params)),
+                    jax.tree.leaves(jax.device_get(t2.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.train()  # continues cleanly
+
+
+def test_ema_resume_from_pre_ema_checkpoint(tmp_path, tiny_model):
+    """Enabling EMA on an old (pre-EMA) checkpoint restarts the average from
+    the restored params instead of failing."""
+    ckpt = str(tmp_path / "ckpt")
+    t1 = Trainer(tiny_model, _loader(), max_steps=3,
+                 log_dir=str(tmp_path / "r1"), checkpoint_path=ckpt)
+    t1.train()
+
+    t2 = Trainer(tiny_model, _loader(), max_steps=2, ema_decay=0.9,
+                 log_dir=str(tmp_path / "r2"), checkpoint_path=ckpt, resume=True)
+    for a, b in zip(jax.tree.leaves(jax.device_get(t2.params)),
+                    jax.tree.leaves(jax.device_get(t2.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    t2.train()
+
+
+def test_ema_invalid_decay_raises(tmp_path, tiny_model):
+    with pytest.raises(ValueError, match="ema_decay"):
+        Trainer(tiny_model, _loader(), max_steps=1, ema_decay=1.0,
+                log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+
+
+def test_ema_with_mesh(tmp_path, tiny_model):
+    from neural_image_compression_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    trainer = Trainer(tiny_model, _loader(batch=8), max_steps=3, ema_decay=0.9,
+                      mesh=mesh, log_dir=str(tmp_path / "runs"),
+                      checkpoint_path=None)
+    trainer.train()
+    leaves = jax.tree.leaves(trainer.ema_params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
