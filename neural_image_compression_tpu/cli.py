@@ -207,11 +207,18 @@ def cmd_eval(args):
 
 def _make_codec(cfg: Config, model, params, card_path=None):
     from neural_image_compression_tpu.coding import (
-        FactorizedPriorCodec, JointARCodec, ScalableCodec,
+        CheckerboardCodec, FactorizedPriorCodec, JointARCodec, ScalableCodec,
     )
 
     cls = {"factorized": FactorizedPriorCodec,
-           "scalable": ScalableCodec}.get(cfg.model.name, JointARCodec)
+           "scalable": ScalableCodec,
+           "checkerboard": CheckerboardCodec}.get(cfg.model.name, JointARCodec)
+    if cls is CheckerboardCodec:
+        if card_path:
+            sys.exit("portable cards are not supported for the checkerboard "
+                     "codec (its parameters are device-derived); use the "
+                     "joint_ar model for portable streams")
+        return cls(model, {"params": params})
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
@@ -233,7 +240,7 @@ def _auto_streams(args, cfg) -> int:
     n = getattr(args, "streams", None)
     if n is not None:
         return n
-    if cfg.model.name in ("factorized", "scalable"):
+    if cfg.model.name in ("factorized", "scalable", "checkerboard"):
         return 1
     from neural_image_compression_tpu.coding.codec import NATIVE_AR
 
@@ -268,6 +275,10 @@ def cmd_compress(args):
     model, params = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
+    if portable and cfg.model.name == "checkerboard":
+        sys.exit("portable streams are not supported for the checkerboard "
+                 "codec (its parameters are device-derived); use the "
+                 "joint_ar model for portable streams")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1
@@ -296,10 +307,12 @@ def cmd_compress(args):
             print(f"portable card saved -> {card_path}")
     else:
         n_streams = _auto_streams(args, cfg)
-        if n_streams > 1 and cfg.model.name in ("factorized", "scalable"):
+        if n_streams > 1 and cfg.model.name in ("factorized", "scalable",
+                                                "checkerboard"):
             sys.exit("--streams applies to the joint-AR models only (the "
-                     "factorized codec is already fully parallel; the "
-                     "scalable codec's layers decode concurrently)")
+                     "factorized and checkerboard codecs are already fully "
+                     "parallel; the scalable codec's layers decode "
+                     "concurrently)")
         same_shape = len({p.shape for p in imgs}) == 1
         # Multi-image jobs prefer the batched path (one TPU pass + threaded
         # host AR) unless the user EXPLICITLY asked for interleaved streams;

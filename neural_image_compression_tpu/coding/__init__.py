@@ -8,14 +8,15 @@ from neural_image_compression_tpu.coding.portable import (
     PortableCard, portable_ar_decode, portable_ar_encode,
 )
 from neural_image_compression_tpu.coding.codec import (
-    FactorizedPriorCodec, JointARCodec, ScalableCodec, bitstream_bpp,
-    stream_size, wavefront_order,
+    CheckerboardCodec, FactorizedPriorCodec, JointARCodec, ScalableCodec,
+    bitstream_bpp, stream_size, wavefront_order,
 )
 
 __all__ = [
     "RansDecoder", "encode_gaussian", "encode_indexed",
     "factorized_tables", "quantize_pmf_rows",
-    "FactorizedPriorCodec", "JointARCodec", "ScalableCodec", "bitstream_bpp",
+    "CheckerboardCodec", "FactorizedPriorCodec", "JointARCodec",
+    "ScalableCodec", "bitstream_bpp",
     "stream_size", "wavefront_order",
     "PortableCard", "portable_ar_decode", "portable_ar_encode",
 ]

@@ -38,6 +38,7 @@ import numpy as np
 
 from neural_image_compression_tpu.coding import backend
 from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
+from neural_image_compression_tpu.models.checkerboard import checkerboard_mask
 
 _MAGIC = b"NIC1"
 _KIND_JOINT = 1
@@ -46,6 +47,7 @@ _KIND_SCALABLE = 3
 _KIND_JOINT_PORTABLE = 4       # integer-deterministic paths (coding/portable.py)
 _KIND_FACTORIZED_PORTABLE = 5
 _KIND_SCALABLE_PORTABLE = 6
+_KIND_CHECKERBOARD = 7         # two-pass parallel decode (models/checkerboard.py)
 
 LEAKY_SLOPE = 0.01
 
@@ -105,13 +107,18 @@ def _make_analysis(model, with_hyper: bool):
     def body(mdl, x):
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
-        y = jnp.round(mdl.encoder(x).astype(jnp.float32))
+        # z derives from the UNROUNDED y — same as the model's eval forward
+        # (joint_ar.py __call__: z = hyper_encoder(y), z_in = round(z);
+        # reference Models.py:49-66) — so decoded z_q equals the model's
+        # z_in bit-exactly, not just self-consistently.
+        y_c = mdl.encoder(x).astype(jnp.float32)
+        y = jnp.round(y_c)
         y16 = jnp.clip(y, -32767.0, 32767.0).astype(jnp.int16)
         y16 = jnp.where(jnp.max(jnp.abs(y)) > 32767.0,
                         jnp.full_like(y16, -32768), y16)
         if not with_hyper:
             return (y16,)
-        return (y16, jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+        return (y16, jnp.round(mdl.hyper_encoder(y_c).astype(jnp.float32)))
     return jax.jit(lambda v, x: model.apply(v, x, method=body))
 
 
@@ -121,10 +128,11 @@ def _make_analysis_f32(model, with_hyper: bool):
     def body(mdl, x):
         if x.dtype == jnp.uint8:
             x = x.astype(jnp.float32) / 255.0
-        y = jnp.round(mdl.encoder(x).astype(jnp.float32))
+        y_c = mdl.encoder(x).astype(jnp.float32)
+        y = jnp.round(y_c)
         if not with_hyper:
             return (y,)
-        return (y, jnp.round(mdl.hyper_encoder(y).astype(jnp.float32)))
+        return (y, jnp.round(mdl.hyper_encoder(y_c).astype(jnp.float32)))
     return jax.jit(lambda v, x: model.apply(v, x, method=body))
 
 
@@ -802,6 +810,184 @@ class JointARCodec:
 # ---------------------------------------------------------------------------
 # Codec for FactorizedPrior (fully parallel both directions)
 # ---------------------------------------------------------------------------
+
+class CheckerboardCodec:
+    """Two-pass parallel codec for models.CheckerboardHierarchical.
+
+    No host wavefront: decoding a latent grid is exactly TWO jitted device
+    programs — anchor entropy params from the hyperprior alone
+    (model.anchor_pass), then non-anchor params from ONE conv over the
+    decoded anchors (model.nonanchor_pass) — plus two chunked
+    decode_gaussian calls on a single rANS stream. The entire entropy-
+    parameter computation is parallel device work, so decode latency is
+    O(TPU forward), not O(h + w) serial waves on the host.
+
+    Determinism contract: unlike the wavefront codec (whose parameters are
+    derived through a shared HOST path), both sides here derive ALL entropy
+    parameters through the SAME jitted device programs on the SAME integer
+    inputs (z_q; the anchor-filled latent grid), so the f32 parameters are
+    bit-identical at encode and decode. Streams are self-consistent per
+    device/build; cross-machine portability remains the portable card's job.
+
+    Stream layout: common header (kind 7, layout word 0) + z stream
+    (factorized tables, identical to JointARCodec) + ONE y stream holding
+    anchors in row-major order followed by non-anchors (channel fastest),
+    the order checkerboard_mask defines.
+    """
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self.K = model.K
+        self._z_cache = {}
+        self._analysis_q = _make_analysis(model, with_hyper=True)
+        self._analysis_f32 = None
+        self._anchor = jax.jit(lambda v, zq: model.apply(
+            v, zq, method=lambda mdl, z: mdl.anchor_pass(z)))
+        self._nonanchor = jax.jit(lambda v, psi, ya: model.apply(
+            v, psi, ya, method=lambda mdl, p, y: mdl.nonanchor_pass(p, y)))
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
+
+    # -- helpers ----------------------------------------------------------
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=True)
+        return self._analysis_f32
+
+    def _z_tables(self, zmin: int, zmax: int):
+        key = (zmin, zmax)
+        if key not in self._z_cache:
+            self._z_cache[key] = factorized_tables(self.model, self.variables,
+                                                   zmin, zmax)
+        return self._z_cache[key]
+
+    def _gather_params(self, params_t, mask: np.ndarray):
+        """Device param grids -> per-symbol coder rows at `mask` positions.
+
+        K == 1: (mu (n*M,), sigma (n*M,), None); K > 1: ((n*M, K) rows for
+        mus/sigmas/weights) — row i*M+c is position i (mask row-major
+        order), channel c, matching the symbol order y_q[mask].ravel().
+        """
+        if self.K == 1:
+            mu, sigma = params_t
+            return (np.asarray(mu)[0][mask].reshape(-1),
+                    np.asarray(sigma)[0][mask].reshape(-1), None)
+        w, mus, sig = (np.asarray(a)[0] for a in params_t)  # (h, w, K, M)
+
+        def rows(a):
+            # (n, K, M) -> (n, M, K) -> (n*M, K)
+            return np.ascontiguousarray(
+                np.moveaxis(a[mask], 1, 2)).reshape(-1, self.K)
+        return rows(mus), rows(sig), rows(w)
+
+    # -- encode -----------------------------------------------------------
+    def compress(self, x: np.ndarray) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded to
+        multiples of 64, cropped back at decompress)."""
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+
+        outs = self._analysis_q(self.variables, x)
+        # pass 1 enqueues on the DEVICE z_q before any host fetch: psi and
+        # the anchor params pipeline with the y/z downloads over the link
+        out_a = self._anchor(self.variables, outs[1])
+        psi_dev, pa = out_a[0], out_a[1:]
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
+        z_q = np.asarray(outs[1])[0]
+        backend._require_integral_latents(y_q)
+
+        h, w = y_q.shape[:2]
+        am = checkerboard_mask(h, w)
+        y_anchor = np.where(am[..., None], y_q, 0.0).astype(np.float32)
+        pna = self._nonanchor(self.variables, psi_dev,
+                              jnp.asarray(y_anchor[None]))
+
+        # --- z stream ---------------------------------------------------
+        zmin, zmax = int(z_q.min()), int(z_q.max())
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         cdfs, offsets, sizes)
+
+        # --- y stream: anchors then non-anchors, one rANS stream ---------
+        sym = np.concatenate([y_q[am], y_q[~am]]).astype(np.int32).reshape(-1)
+        mu_a, sig_a, w_a = self._gather_params(pa, am)
+        mu_n, sig_n, w_n = self._gather_params(pna, ~am)
+        mus = np.concatenate([mu_a, mu_n])
+        sigmas = np.concatenate([sig_a, sig_n])
+        weights = None if self.K == 1 else np.concatenate([w_a, w_n])
+        y_bytes = backend.encode_gaussian(sym, mus, sigmas, weights)
+
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_CHECKERBOARD,
+                             self.K, self.M, img_h, img_w, 0, zmin, zmax,
+                             len(z_bytes), len(y_bytes))
+        return header + z_bytes + y_bytes
+
+    # -- decode -----------------------------------------------------------
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode (y_q, z_q) from a checkerboard bitstream."""
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if magic != _MAGIC or kind != _KIND_CHECKERBOARD:
+            raise ValueError("not a checkerboard bitstream")
+        if K != self.K or M != self.M:
+            raise ValueError(f"stream is K={K} M={M}, codec model is "
+                             f"K={self.K} M={self.M}")
+        z_bytes = data[hs:hs + len_z]
+        y_payload = data[hs + len_z:hs + len_z + len_y]
+
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+
+        # --- z ------------------------------------------------------------
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+        # --- pass 1: anchors from the hyperprior --------------------------
+        out_a = self._anchor(self.variables, jnp.asarray(z_q)[None])
+        psi_dev, pa = out_a[0], out_a[1:]
+        am = checkerboard_mask(h, w)
+        mu_a, sig_a, w_a = self._gather_params(pa, am)
+        dec = backend.RansDecoder(y_payload)
+        vals_a = dec.decode_gaussian(mu_a, sig_a, w_a)
+        y_hat = np.zeros((h, w, self.M), np.float32)
+        y_hat[am] = vals_a.reshape(-1, self.M).astype(np.float32)
+
+        # --- pass 2: non-anchors from one conv over the anchors -----------
+        pna = self._nonanchor(self.variables, psi_dev,
+                              jnp.asarray(y_hat[None]))
+        mu_n, sig_n, w_n = self._gather_params(pna, ~am)
+        vals_n = dec.decode_gaussian(mu_n, sig_n, w_n)
+        dec.finish()  # truncated/corrupt stream -> error, not garbage
+        y_hat[~am] = vals_n.reshape(-1, self.M).astype(np.float32)
+        return y_hat, z_q
+
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
+        """Reconstruct (1, H, W, 3); as_uint8 downloads uint8 pixels (4x
+        less link traffic — the serving output)."""
+        y_hat, _ = self.decode_latents(data)
+        img_h, img_w = _stream_size(data)
+        y_dev = _latents_to_device(y_hat[None])
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
 
 class FactorizedPriorCodec:
     def __init__(self, model, variables, portable_card=None):

@@ -16,7 +16,8 @@ from typing import Optional
 
 @dataclass
 class ModelConfig:
-    name: str = "joint_ar"  # joint_ar | residual | factorized | scalable | gained
+    name: str = "joint_ar"  # joint_ar | residual | factorized | scalable
+                            # | gained | checkerboard
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
@@ -91,8 +92,9 @@ def build_model(cfg: ModelConfig):
     import jax.numpy as jnp
 
     from neural_image_compression_tpu.models import (
-        FactorizedPrior, GainedJointAR, HierarchicalMixtureResidual,
-        JointAutoregressiveHierarchical, ScalableImageCoding,
+        CheckerboardHierarchical, FactorizedPrior, GainedJointAR,
+        HierarchicalMixtureResidual, JointAutoregressiveHierarchical,
+        ScalableImageCoding,
     )
 
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else None
@@ -102,6 +104,9 @@ def build_model(cfg: ModelConfig):
                              dtype=dtype, **kwargs)
     if cfg.name == "joint_ar":
         return JointAutoregressiveHierarchical(
+            latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
+    if cfg.name == "checkerboard":
+        return CheckerboardHierarchical(
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
     if cfg.name == "residual":
         return HierarchicalMixtureResidual(

@@ -9,6 +9,9 @@ from neural_image_compression_tpu.models.joint_ar import (
     noise_quantize, round_quantize, quantize,
 )
 from neural_image_compression_tpu.models.factorized_prior import FactorizedPrior
+from neural_image_compression_tpu.models.checkerboard import (
+    CheckerboardContext, CheckerboardHierarchical, checkerboard_mask,
+)
 from neural_image_compression_tpu.models.gained import (
     GainedJointAR, fold_gains, folded_model, interp_gain,
 )
@@ -27,6 +30,7 @@ __all__ = [
     "LatentSpaceTransform", "EntropyParameters",
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "ScalableImageCoding",
+    "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
     "GainedJointAR", "fold_gains", "folded_model", "interp_gain",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "ConvBNSiLU", "C3", "SPPF", "Concat", "build_yolo_backbone",
