@@ -62,19 +62,22 @@ def _restore_params(model, cfg: Config, example):
 def _materialize_level(cfg, model, params, args):
     """Variable-rate (gained) configs: fold the gain vectors at --level into
     the boundary convolutions and continue with the fixed-rate joint-AR model
-    — the codec, evaluator, and serving export all run unchanged on it."""
+    — the codec, evaluator, and serving export all run unchanged on it.
+    Returns (model, params, level) — level is None for fixed-rate models so
+    callers can record it in stream metadata (decompress at a different fold
+    level would desync the rANS decode into garbage)."""
     if cfg.model.name != "gained":
-        return model, params
+        return model, params, None
     from neural_image_compression_tpu.models import fold_gains, folded_model
 
-    level = float(getattr(args, "level", 0.0) or 0.0)
+    level = float(getattr(args, "level", None) or 0.0)
     n = len(model.levels)
     if not (0 <= level <= n - 1):
         sys.exit(f"--level must be in [0, {n - 1}] for this model's "
                  f"{n}-point ladder (fractional = interpolated rate)")
     print(f"gained model: folded at level {level} "
           f"(lambda ladder {list(model.levels)})")
-    return folded_model(model), fold_gains(params, level)
+    return folded_model(model), fold_gains(params, level), level
 
 
 def cmd_preprocess(args):
@@ -180,7 +183,7 @@ def cmd_eval(args):
     loader = BatchLoader(KodakDataset(cfg.eval.data_dir), batch_size=1)
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    model, params = _materialize_level(cfg, model, params, args)
+    model, params, level = _materialize_level(cfg, model, params, args)
 
     if cfg.model.name == "scalable":
         import functools
@@ -272,7 +275,7 @@ def cmd_compress(args):
     # which traces the f32 path
     example = pad_to_multiple(imgs[0].astype(np.float32) / 255.0, 64)
     params = _restore_params(model, cfg, example)
-    model, params = _materialize_level(cfg, model, params, args)
+    model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
     if portable and cfg.model.name == "checkerboard":
@@ -324,7 +327,13 @@ def cmd_compress(args):
             kw = {"n_streams": n_streams} if n_streams > 1 else {}
             streams = [codec.compress(p, **kw) for p in imgs]
     for src, out, (h, w), data in zip(args.image, outs, sizes, streams):
-        _write_stream(out, {"orig_h": h, "orig_w": w}, data)
+        meta = {"orig_h": h, "orig_w": w}
+        if level is not None:
+            # decompressing a gained stream at a different fold level derives
+            # wrong entropy params and desyncs the rANS decode — record the
+            # level so cmd_decompress can use/validate it
+            meta["level"] = level
+        _write_stream(out, meta, data)
         print(f"{src} -> {out}: {len(data)} bytes, "
               f"{len(data) * 8 / (h * w):.4f} bpp")
 
@@ -342,9 +351,28 @@ def cmd_decompress(args):
             datas.append(f.read())
 
     model = build_model(cfg.model)
+    if cfg.model.name == "gained":
+        # streams written by cmd_compress record the fold level; decoding at
+        # any other level desyncs the rANS decode into garbage, so the
+        # recorded level wins and a contradicting --level is a hard error
+        recorded = {m["level"] for m in metas if "level" in m}
+        if len(recorded) > 1:
+            sys.exit(f"bitstreams were compressed at different fold levels "
+                     f"{sorted(recorded)}; decode them separately")
+        if recorded:
+            rec = recorded.pop()
+            if args.level is not None and float(args.level) != float(rec):
+                sys.exit(f"--level {args.level} contradicts the level "
+                         f"recorded in the bitstream ({rec}); drop --level "
+                         f"or pass --level {rec}")
+            args.level = rec
+        elif args.level is None:
+            print("WARNING: gained streams lack a recorded fold level "
+                  "(written by an older version); assuming level 0.0 — "
+                  "pass --level if they were compressed at another level")
     example = np.zeros((1, 256, 256, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    model, params = _materialize_level(cfg, model, params, args)
+    model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     if card_path and not os.path.exists(card_path):
         # compress builds a missing card; decode against a card other than
@@ -396,7 +424,7 @@ def cmd_export(args):
     model = build_model(cfg.model)
     example = np.zeros((1, args.height, args.width, 3), np.float32)
     params = _restore_params(model, cfg, example)
-    model, params = _materialize_level(cfg, model, params, args)
+    model, params, level = _materialize_level(cfg, model, params, args)
     platforms = args.platforms.split(",") if args.platforms else None
     try:
         exported = serving.export_model(model, params, args.height, args.width,
@@ -472,7 +500,7 @@ def main(argv=None):
     sp.add_argument("--backbone", default=None,
                     help="saved backbone .npz: report the vision-distillation "
                          "MSE for scalable models")
-    sp.add_argument("--level", type=float, default=0.0,
+    sp.add_argument("--level", type=float, default=None,
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_eval)
@@ -495,7 +523,7 @@ def main(argv=None):
                     help="portable-card file: loaded if it exists, else "
                          "built from the model and saved here (implies "
                          "--portable)")
-    sp.add_argument("--level", type=float, default=0.0,
+    sp.add_argument("--level", type=float, default=None,
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_compress)
@@ -507,7 +535,7 @@ def main(argv=None):
                     help="output file (single stream) or directory (several)")
     sp.add_argument("--card", default=None,
                     help="portable-card file for portable bitstreams")
-    sp.add_argument("--level", type=float, default=0.0,
+    sp.add_argument("--level", type=float, default=None,
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_decompress)
@@ -527,7 +555,7 @@ def main(argv=None):
     sp.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms, e.g. tpu,cpu "
                          "(default: current backend)")
-    sp.add_argument("--level", type=float, default=0.0,
+    sp.add_argument("--level", type=float, default=None,
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_export)

@@ -38,12 +38,26 @@ def _extract(points: Sequence[Point], metric: str) -> Tuple[np.ndarray, np.ndarr
         raise ValueError("rates must be positive")
     order = np.argsort(rate)
     rate, dist = rate[order], dist[order]
-    if np.any(np.diff(rate) <= 0):
-        raise ValueError("duplicate rate values in RD curve")
-    if np.any(np.diff(dist) <= 0):
-        raise ValueError("RD curve is not monotone: distortion metric must "
-                         "strictly increase with rate")
-    return rate, dist
+    # Real measured sweeps on small eval sets can have flat or slightly
+    # inverted quality between adjacent rate points. PCHIP needs a strictly
+    # monotone curve, so prune dominated points (>= rate, <= quality — they
+    # carry no RD information) instead of raising; only a curve that is
+    # non-monotone THROUGHOUT (fewer than 2 survivors) is an error.
+    keep_r, keep_d = [rate[0]], [dist[0]]
+    for r, q in zip(rate[1:], dist[1:]):
+        if q <= keep_d[-1]:
+            continue                          # dominated: >= bits, <= quality
+        if r == keep_r[-1]:
+            keep_d[-1] = q                    # same rate, better quality wins
+            continue
+        keep_r.append(r)
+        keep_d.append(q)
+    if len(keep_r) < 2:
+        raise ValueError(
+            "RD curve is not monotone: after pruning dominated points fewer "
+            "than 2 remain (distortion metric must increase with rate "
+            "somewhere on the curve)")
+    return np.asarray(keep_r), np.asarray(keep_d)
 
 
 def _pchip_derivatives(x: np.ndarray, y: np.ndarray) -> np.ndarray:

@@ -175,8 +175,12 @@ def folded_model(gained: GainedJointAR) -> JointAutoregressiveHierarchical:
 
 def fold_gains(params, level) -> dict:
     """Fold a GainedJointAR param tree at `level` (int or fractional) into a
-    plain JointAutoregressiveHierarchical tree. Exact: the four gain vectors
-    become channel scales on the boundary convolutions —
+    plain JointAutoregressiveHierarchical tree. Exact up to f32 association:
+    the four gain vectors become channel scales on the boundary convolutions
+    (sum(w_i*g*x_i) != g*sum(w_i*x_i) bit-for-bit, so a latent sitting on a
+    round() tie can flip by one step between the gained and folded forwards;
+    codec correctness is unaffected because encode and decode both use the
+    folded params) —
 
       encoder/Conv2d_3      out-channels * g_y   (kernel AND bias: the conv
                                                   output IS y, so both scale)

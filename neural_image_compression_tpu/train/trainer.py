@@ -31,7 +31,7 @@ from neural_image_compression_tpu.train.loss import rd_loss as default_rd_loss
 from neural_image_compression_tpu.train.metrics_logger import MetricsLogger, NullLogger
 from neural_image_compression_tpu.train.schedulers import ReduceLROnPlateau, cosine_lr
 from neural_image_compression_tpu.utils.checkpoint import (
-    checkpoint_exists, restore_checkpoint, save_checkpoint,
+    checkpoint_exists, checkpoint_keys, restore_checkpoint, save_checkpoint,
 )
 
 
@@ -277,19 +277,19 @@ class Trainer:
     def load_checkpoint(self):
         template = {"params": self.params, "opt_state": self.opt_state,
                     "rng": self._rng}
+        # adapt the template to what the checkpoint actually contains
+        # (metadata-only read): resuming an EMA run from a pre-EMA checkpoint
+        # restores without the ema template and restarts the average from
+        # the live params. Any other restore failure (corrupt/mismatched
+        # checkpoint) propagates as-is instead of taking a misleading
+        # "pre-EMA" recovery path.
         if self.ema_params is not None:
-            template["ema_params"] = self.ema_params
-        try:
-            state, aux = restore_checkpoint(self.checkpoint_path, template)
-        except Exception:
-            if self.ema_params is None:
-                raise
-            # resuming an EMA run from a pre-EMA checkpoint: restore without
-            # the ema template and restart the average from the live params
-            del template["ema_params"]
-            state, aux = restore_checkpoint(self.checkpoint_path, template)
-            print("checkpoint has no ema_params — EMA restarts from the "
-                  "restored params")
+            if "ema_params" in checkpoint_keys(self.checkpoint_path):
+                template["ema_params"] = self.ema_params
+            else:
+                print("checkpoint has no ema_params — EMA restarts from the "
+                      "restored params")
+        state, aux = restore_checkpoint(self.checkpoint_path, template)
         if self.ema_params is not None:
             self.ema_params = (state["ema_params"] if "ema_params" in state
                                else jax.tree.map(jnp.array, state["params"]))

@@ -57,5 +57,15 @@ def restore_raw(path: str):
     return _ckptr().restore(os.path.abspath(path))
 
 
+def checkpoint_keys(path: str) -> set:
+    """Top-level keys of a saved checkpoint, from Orbax metadata only (no
+    array data is read). Lets callers adapt their restore template to what
+    the checkpoint actually contains (e.g. pre-EMA checkpoints lack
+    'ema_params') instead of guessing from restore failures."""
+    md = _ckptr().metadata(os.path.abspath(path))
+    item = getattr(md, "item_metadata", md)
+    return set(item.keys())
+
+
 def checkpoint_exists(path: str) -> bool:
     return os.path.isdir(os.path.abspath(path))

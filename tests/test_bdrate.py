@@ -98,8 +98,20 @@ class TestValidation:
         with pytest.raises(ValueError, match=">= 2"):
             bd_rate(ANCHOR[:1], ANCHOR)
 
-    def test_non_monotone_raises(self):
-        bad = [(0.1, 30.0), (0.2, 29.0), (0.4, 34.0)]
+    def test_dominated_points_are_pruned(self):
+        # real measured sweeps can have slightly inverted quality between
+        # adjacent rate points; dominated points are dropped, not fatal
+        noisy = [(0.1, 30.0), (0.2, 29.9), (0.4, 34.0)]
+        clean = [(0.1, 30.0), (0.4, 34.0)]
+        assert bd_rate(noisy, ANCHOR) == pytest.approx(
+            bd_rate(clean, ANCHOR), rel=1e-12)
+        # duplicate-rate points collapse to the better quality
+        dup = [(0.1, 29.0), (0.1, 30.0), (0.4, 34.0)]
+        assert bd_rate(dup, ANCHOR) == pytest.approx(
+            bd_rate(clean, ANCHOR), rel=1e-12)
+
+    def test_fully_non_monotone_raises(self):
+        bad = [(0.1, 30.0), (0.2, 29.0), (0.4, 28.0)]
         with pytest.raises(ValueError, match="monotone"):
             bd_rate(bad, ANCHOR)
 

@@ -1,0 +1,313 @@
+"""Equal-data trained-RD comparison: the torch reference vs this framework.
+
+Golden-parity tests prove the forward numerics match at IMPORTED weights;
+this tool proves the TRAINING DYNAMICS land on the same RD point. Both
+sides train the same architecture (reference Models.py:10-106 /
+models/joint_ar.py) on the SAME synthetic patch corpus in the SAME batch
+order with the SAME optimizer (Adam lr=1e-4, the reference Main.ipynb cell
+"torch.optim.Adam(model.parameters(), lr=1e-4)") and loss (rd_loss,
+RateDistortionLoss.py:5-40 — golden-parity-verified against ours), then
+both evaluate (round-quantized forward) on the same held-out 768x512 set.
+
+What legitimately differs between the sides: parameter init and the
+training-noise RNG (different frameworks). To size that run-to-run noise,
+the JAX side trains with several seeds; parity holds when the torch result
+sits inside (or within a small multiple of) the JAX seed spread.
+
+The torch side runs the reference code AS AN ORACLE from /root/reference
+(sys.path import, like tools/export_golden.py) — nothing is copied.
+
+Stages (CPU-paced torch is the slow side — run it detached):
+  python tools/rd_parity_train.py data                # build corpus + schedule
+  nohup python -u tools/rd_parity_train.py torch --lam 0.005 &   # hours (1 vCPU)
+  python tools/rd_parity_train.py jax --lam 0.005 --seed 0       # minutes (TPU)
+  python tools/rd_parity_train.py report              # table + JSON artifact
+
+Config: M=48, K=1, 128x128 patches, batch 8, 2500 steps, lam in
+{0.005, 0.02} (VERDICT r2 item 1's suggested scale for the 1-vCPU box).
+"""
+
+import argparse
+import json
+import math
+import os
+import time
+
+import numpy as np
+
+M, K = 48, 1
+PATCH, BATCH, STEPS = 128, 8, 2500
+N_TRAIN, N_VAL = 256, 3
+LAMBDAS = (0.005, 0.02)
+WORK = os.environ.get("RD_PARITY_DIR", "/tmp/nic_rd_parity")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- data
+def _synth(h, w, key):
+    """Same texture family as tools/train_at_scale.make_synthetic_dataset."""
+    from PIL import Image
+
+    r = np.random.RandomState(key)
+    base = r.rand(8, 8, 3)
+    img = np.asarray(Image.fromarray(
+        (base * 255).astype(np.uint8)).resize((w, h), Image.BICUBIC),
+        np.float32) / 255.0
+    mid = r.rand(h // 8, w // 8, 3)
+    mid = np.asarray(Image.fromarray(
+        (mid * 255).astype(np.uint8)).resize((w, h), Image.BILINEAR),
+        np.float32) / 255.0
+    out = np.clip(0.55 * img + 0.4 * mid + 0.05 * r.randn(h, w, 3), 0, 1)
+    return (out * 255).astype(np.uint8)
+
+
+def cmd_data(args):
+    os.makedirs(WORK, exist_ok=True)
+    path = os.path.join(WORK, "corpus.npz")
+    if os.path.exists(path) and not args.overwrite:
+        print(f"corpus exists: {path}")
+        return
+    train = np.stack([_synth(PATCH, PATCH, i) for i in range(N_TRAIN)])
+    val = np.stack([_synth(512, 768, 10_000 + i) for i in range(N_VAL)])
+    # one shared batch schedule: both sides consume identical batches in
+    # identical order (removes data order as a noise source)
+    sched = np.random.RandomState(123).randint(
+        0, N_TRAIN, size=(STEPS, BATCH)).astype(np.int32)
+    np.savez_compressed(path, train=train, val=val, schedule=sched)
+    print(f"corpus -> {path}: train {train.shape} val {val.shape} "
+          f"schedule {sched.shape}")
+
+
+def _load_corpus():
+    d = np.load(os.path.join(WORK, "corpus.npz"))
+    return d["train"], d["val"], d["schedule"]
+
+
+# ---------------------------------------------------------------- torch side
+def cmd_torch(args):
+    import sys
+
+    import torch
+
+    sys.path.insert(0, REPO)
+    from tools.torch_oracles import install_as_compressai
+
+    install_as_compressai()  # reference imports compressai.layers.gdn.GDN
+    sys.path.insert(0, "/root/reference")
+    from Models import JointAutoregressiveHierarchical as RefModel
+    from RateDistortionLoss import rd_loss as ref_rd_loss
+
+    torch.set_num_threads(1)  # the box has one vCPU; threads only thrash
+    torch.manual_seed(args.seed)
+    train, val, sched = _load_corpus()
+    train_f = train.astype(np.float32) / 255.0  # NHWC
+
+    model = RefModel(latent_channels=M, K=K)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    lam = args.lam
+
+    t0 = time.time()
+    losses = []
+    for step in range(STEPS):
+        x = torch.from_numpy(
+            train_f[sched[step]].transpose(0, 3, 1, 2)).contiguous()
+        out = model(x, training=True)
+        m = ref_rd_loss(out, x, lam)
+        loss = m["loss"] if isinstance(m, dict) else m[0]
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+        if step % 50 == 0 or step == STEPS - 1:
+            el = time.time() - t0
+            print(f"step {step} loss {float(loss):.4f} "
+                  f"({(step + 1) / el:.2f} steps/s, {el:.0f}s)", flush=True)
+
+    # eval: round-quantized forward on the held-out 768x512 images
+    model.eval()
+    rows = []
+    with torch.no_grad():
+        for i in range(val.shape[0]):
+            x = torch.from_numpy(
+                val[i:i + 1].astype(np.float32).transpose(0, 3, 1, 2)
+                / 255.0).contiguous()
+            out = model(x, training=False)
+            m = ref_rd_loss(out, x, lam)
+            rows.append({k: float(m[k]) for k in
+                         ("bpp_y", "bpp_z", "bpp_total", "psnr", "mse")
+                         if k in m})
+    res = {"side": "torch", "lam": lam, "seed": args.seed,
+           "steps": STEPS, "batch": BATCH, "M": M, "K": K,
+           "train_minutes": (time.time() - t0) / 60.0,
+           "final_train_loss": float(np.mean(losses[-100:])),
+           "val_mean": {k: float(np.mean([r[k] for r in rows]))
+                        for k in rows[0]},
+           "val_per_image": rows}
+    out_path = os.path.join(
+        WORK, f"torch_lam{lam}_seed{args.seed}.json")
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res["val_mean"]))
+    print(f"-> {out_path}")
+
+
+# ---------------------------------------------------------------- jax side
+def cmd_jax(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from neural_image_compression_tpu.models import (
+        JointAutoregressiveHierarchical,
+    )
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    train, val, sched = _load_corpus()
+    lam = args.lam
+
+    # f32 transforms: the comparison isolates TRAINING DYNAMICS, so the
+    # bf16 speed path stays out of the equation
+    model = JointAutoregressiveHierarchical(latent_channels=M, K=K)
+    key = jax.random.PRNGKey(args.seed)
+    x0 = jnp.zeros((BATCH, PATCH, PATCH, 3), jnp.float32)
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "noise": k}, x, training=True))(key, x0)["params"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt, x, rng):
+        x = x.astype(jnp.float32) / 255.0
+
+        def loss_fn(p):
+            out = model.apply({"params": p}, x, training=True,
+                              rngs={"noise": rng})
+            m = rd_loss(out, x, lam)
+            return m["loss"], m
+
+        (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, m
+
+    # identical batches in identical order as the torch side; uint8 to the
+    # device, /255 on device
+    t0 = time.time()
+    rng = jax.random.PRNGKey(1000 + args.seed)
+    loss_tail = []
+    for step in range(STEPS):
+        rng, sub = jax.random.split(rng)
+        params, opt, m = step_fn(params, opt, jnp.asarray(train[sched[step]]),
+                                 sub)
+        if step >= STEPS - 100:
+            loss_tail.append(m["loss"])
+        if step % 250 == 0:
+            # host fetch as completion barrier (tunnel contract, CLAUDE.md)
+            print(f"step {step} loss {float(m['loss']):.4f} "
+                  f"({(step + 1) / (time.time() - t0):.1f} steps/s)",
+                  flush=True)
+    final_loss = float(np.mean([float(v) for v in loss_tail]))
+
+    eval_fwd = jax.jit(lambda p, x: model.apply(
+        {"params": p}, x.astype(jnp.float32) / 255.0, training=False))
+    rows = []
+    for i in range(val.shape[0]):
+        x = jnp.asarray(val[i:i + 1])
+        out = eval_fwd(params, x)
+        m = rd_loss(out, x.astype(jnp.float32) / 255.0, lam)
+        rows.append({k: float(m[k]) for k in
+                     ("bpp_y", "bpp_z", "bpp_total", "psnr", "mse")})
+    res = {"side": "jax", "lam": lam, "seed": args.seed,
+           "steps": STEPS, "batch": BATCH, "M": M, "K": K,
+           "backend": jax.devices()[0].platform,
+           "train_minutes": (time.time() - t0) / 60.0,
+           "final_train_loss": final_loss,
+           "val_mean": {k: float(np.mean([r[k] for r in rows]))
+                        for k in rows[0]},
+           "val_per_image": rows}
+    out_path = os.path.join(WORK, f"jax_lam{lam}_seed{args.seed}.json")
+    with open(out_path, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res["val_mean"]))
+    print(f"-> {out_path}")
+
+
+# ---------------------------------------------------------------- report
+def cmd_report(args):
+    import glob
+
+    runs = []
+    for p in sorted(glob.glob(os.path.join(WORK, "*_lam*_seed*.json"))):
+        with open(p) as f:
+            runs.append(json.load(f))
+    if not runs:
+        print("no runs found in", WORK)
+        return
+    lines = ["| side | lam | seed | bpp_y | bpp_z | bpp_total | psnr |",
+             "|---|---|---|---|---|---|---|"]
+    for r in runs:
+        v = r["val_mean"]
+        lines.append(
+            f"| {r['side']} | {r['lam']} | {r['seed']} | {v['bpp_y']:.4f} "
+            f"| {v['bpp_z']:.4f} | {v['bpp_total']:.4f} | {v['psnr']:.2f} |")
+    table = "\n".join(lines)
+    print(table)
+
+    # parity verdict per lambda: |torch - mean(jax)| vs jax seed spread
+    verdict = {}
+    for lam in sorted({r["lam"] for r in runs}):
+        tv = [r for r in runs if r["side"] == "torch" and r["lam"] == lam]
+        jv = [r for r in runs if r["side"] == "jax" and r["lam"] == lam]
+        if not tv or len(jv) < 2:
+            continue
+        ent = {}
+        for k in ("bpp_total", "psnr"):
+            jvals = np.asarray([r["val_mean"][k] for r in jv])
+            tvals = np.asarray([r["val_mean"][k] for r in tv])
+            spread = float(jvals.max() - jvals.min())
+            gap = float(abs(tvals.mean() - jvals.mean()))
+            ent[k] = {"torch": float(tvals.mean()),
+                      "jax_mean": float(jvals.mean()),
+                      "jax_spread": spread, "gap": gap,
+                      "gap_over_spread": gap / spread if spread else None}
+        verdict[str(lam)] = ent
+    art = {"config": {"M": M, "K": K, "patch": PATCH, "batch": BATCH,
+                      "steps": STEPS, "optimizer": "adam(1e-4)",
+                      "corpus": "synthetic, shared batch schedule"},
+           "runs": [{k: r[k] for k in
+                     ("side", "lam", "seed", "val_mean", "final_train_loss",
+                      "train_minutes")} for r in runs],
+           "verdict": verdict}
+    out = os.path.join(REPO, "eval_results", "rd_parity_trained.json")
+    with open(out, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"-> {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("data")
+    p.add_argument("--overwrite", action="store_true")
+    p.set_defaults(fn=cmd_data)
+    p = sub.add_parser("torch")
+    p.add_argument("--lam", type=float, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_torch)
+    p = sub.add_parser("jax")
+    p.add_argument("--lam", type=float, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true")
+    p.set_defaults(fn=cmd_jax)
+    p = sub.add_parser("report")
+    p.set_defaults(fn=cmd_report)
+    args = ap.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
