@@ -216,12 +216,6 @@ def _make_codec(cfg: Config, model, params, card_path=None):
     cls = {"factorized": FactorizedPriorCodec,
            "scalable": ScalableCodec,
            "checkerboard": CheckerboardCodec}.get(cfg.model.name, JointARCodec)
-    if cls is CheckerboardCodec:
-        if card_path:
-            sys.exit("portable cards are not supported for the checkerboard "
-                     "codec (its parameters are device-derived); use the "
-                     "joint_ar model for portable streams")
-        return cls(model, {"params": params})
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
@@ -243,8 +237,11 @@ def _auto_streams(args, cfg) -> int:
     n = getattr(args, "streams", None)
     if n is not None:
         return n
-    if cfg.model.name in ("factorized", "scalable", "checkerboard"):
+    if cfg.model.name in ("factorized", "scalable"):
         return 1
+    if cfg.model.name == "checkerboard":
+        # lanes are a pure partition of each pass (no context approximation)
+        return min(16, os.cpu_count() or 1)
     from neural_image_compression_tpu.coding.codec import NATIVE_AR
 
     if not NATIVE_AR:  # numpy fallback supports single-stream only
@@ -278,10 +275,6 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
-    if portable and cfg.model.name == "checkerboard":
-        sys.exit("portable streams are not supported for the checkerboard "
-                 "codec (its parameters are device-derived); use the "
-                 "joint_ar model for portable streams")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1
@@ -310,10 +303,9 @@ def cmd_compress(args):
             print(f"portable card saved -> {card_path}")
     else:
         n_streams = _auto_streams(args, cfg)
-        if n_streams > 1 and cfg.model.name in ("factorized", "scalable",
-                                                "checkerboard"):
-            sys.exit("--streams applies to the joint-AR models only (the "
-                     "factorized and checkerboard codecs are already fully "
+        if n_streams > 1 and cfg.model.name in ("factorized", "scalable"):
+            sys.exit("--streams applies to the joint-AR and checkerboard "
+                     "models only (the factorized codec is already fully "
                      "parallel; the scalable codec's layers decode "
                      "concurrently)")
         same_shape = len({p.shape for p in imgs}) == 1
@@ -390,8 +382,9 @@ def cmd_decompress(args):
     if multi:
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
-    # kind byte: 4/5/6 = joint/factorized/scalable portable (codec.py _KIND_*)
-    portable = any(len(d) > 4 and d[4] in (4, 5, 6) for d in datas)
+    # kind byte: 4/5/6/8 = joint/factorized/scalable/checkerboard portable
+    # (codec.py _KIND_*)
+    portable = any(len(d) > 4 and d[4] in (4, 5, 6, 8) for d in datas)
     # as_uint8: clip/round/*255 runs on device and uint8 pixels come off the
     # link (4x less download traffic than f32 reconstructions)
     if multi and same_shape and not portable \
@@ -518,7 +511,8 @@ def main(argv=None):
                          "stream per core")
     sp.add_argument("--portable", action="store_true",
                     help="cross-machine deterministic streams (integer "
-                         "codec path; joint-AR models only)")
+                         "codec path; joint-AR, checkerboard, factorized "
+                         "and scalable models)")
     sp.add_argument("--card", default=None,
                     help="portable-card file: loaded if it exists, else "
                          "built from the model and saved here (implies "

@@ -48,6 +48,7 @@ _KIND_JOINT_PORTABLE = 4       # integer-deterministic paths (coding/portable.py
 _KIND_FACTORIZED_PORTABLE = 5
 _KIND_SCALABLE_PORTABLE = 6
 _KIND_CHECKERBOARD = 7         # two-pass parallel decode (models/checkerboard.py)
+_KIND_CHECKERBOARD_PORTABLE = 8
 
 LEAKY_SLOPE = 0.01
 
@@ -835,13 +836,14 @@ class CheckerboardCodec:
     the order checkerboard_mask defines.
     """
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, portable_card=None):
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
         self.K = model.K
         self._z_cache = {}
         self._prog_cache = {}
+        self._portable_card = portable_card
         self._analysis_q = _make_analysis(model, with_hyper=True)
         self._analysis_f32 = None
         self._synthesis = jax.jit(lambda v, yq: model.apply(
@@ -915,11 +917,147 @@ class CheckerboardCodec:
         w, mus, sig = rows_t
         return np.asarray(mus), np.asarray(sig), np.asarray(w)
 
-    # -- encode -----------------------------------------------------------
-    def compress(self, x: np.ndarray) -> bytes:
-        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded to
-        multiples of 64, cropped back at decompress)."""
+    # -- portable mode ------------------------------------------------------
+    def portable_card(self):
+        """The deterministic codec artifact for cross-machine checkerboard
+        streams (family=1: the 12 odd-parity taps of the plain 5x5 context
+        conv replace the wavefront card's causal taps; everything downstream
+        — integer hyper-decoder, EP MLP, sigma-bin CDF tables — is the same
+        spec). Built lazily; ship with .save(path)."""
+        if self._portable_card is None:
+            from neural_image_compression_tpu.coding.portable import PortableCard
+
+            self._portable_card = PortableCard.build(self.model, self.variables,
+                                                     family="checkerboard")
+        return self._portable_card
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        """Encode with the cross-machine deterministic integer path: decode
+        is two integer GEMM passes on ANY machine/implementation holding the
+        same card — no device in the loop at all (unlike compress(), whose
+        pass programs are per-build jitted device code)."""
+        from neural_image_compression_tpu.coding import portable as P
+
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        card = self.portable_card()
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+        outs = self._analysis_q(self.variables, x)
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
+
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         card.z_cdfs, card.z_offsets,
+                                         card.z_sizes)
+        psi_fix = card.hyper_forward(z_q)
+        y_payload = P.portable_cb_encode(card, y_q, psi_fix)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC,
+                             _KIND_CHECKERBOARD_PORTABLE, self.K, self.M,
+                             img_h, img_w, 0, card.zmin, card.zmax,
+                             len(z_bytes), len(y_payload))
+        return header + card.hash + z_bytes + y_payload
+
+    def _decode_latents_portable(self, data: bytes
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        _, _, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if K != self.K or M != self.M:
+            raise ValueError(f"stream is K={K} M={M}, codec model is "
+                             f"K={self.K} M={self.M}")
+        if data[hs:hs + 8] != card.hash:
+            raise ValueError(
+                "portable stream was encoded with a different card — load "
+                "the encoder's card file (PortableCard.load) and pass it "
+                "via CheckerboardCodec(portable_card=...)")
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        z_bytes = data[hs + 8:hs + 8 + len_z]
+        y_payload = data[hs + 8 + len_z:hs + 8 + len_z + len_y]
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(
+            z_bytes, z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        psi_fix = card.hyper_forward(z_q)
+        y_hat = P.portable_cb_decode(card, y_payload, psi_fix, h, w)
+        return y_hat, z_q
+
+    # -- interleaved-lane helpers ------------------------------------------
+    @staticmethod
+    def _encode_lanes(sym, mus, sigmas, weights, n_a: int, n: int,
+                      workers=None) -> bytes:
+        """N-way interleaved rANS for the two-block (anchors || non-anchors)
+        symbol sequence: within EACH block, symbol s goes to lane s % N, so
+        pass-1 decode needs only the anchor prefix of every lane and pass-2
+        continues the same lanes. Entropy params are untouched (the lanes
+        are a pure partition), so the rate cost is the ~4-byte rANS tail +
+        4-byte length word per extra lane. Payload: N uint32 lane lengths +
+        concatenated lanes."""
+        def _one(i):
+            pick = np.concatenate([np.arange(i, n_a, n),
+                                   np.arange(n_a + i, len(sym), n)])
+            return backend.encode_gaussian(
+                sym[pick], mus[pick], sigmas[pick],
+                None if weights is None else weights[pick])
+        with ThreadPoolExecutor(
+                max_workers=workers or min(n, os.cpu_count() or 1)) as ex:
+            lanes = list(ex.map(_one, range(n)))
+        table = struct.pack(f"<{n}I", *[len(s) for s in lanes])
+        return table + b"".join(lanes)
+
+    @staticmethod
+    def _open_lanes(payload: bytes, n: int):
+        """Payload -> N RansDecoder lane decoders."""
+        table = struct.unpack(f"<{n}I", payload[:4 * n])
+        if 4 * n + sum(table) != len(payload):
+            raise ValueError("corrupt checkerboard stream: lane table does "
+                             "not cover the payload")
+        decs, off = [], 4 * n
+        for ln in table:
+            decs.append(backend.RansDecoder(payload[off:off + ln]))
+            off += ln
+        return decs
+
+    @staticmethod
+    def _decode_block_lanes(decs, mus, sigmas, weights, workers=None
+                            ) -> np.ndarray:
+        """Decode one block (anchors or non-anchors) across the lanes: lane
+        i holds symbols i, i+N, ... of the block. Lanes are independent
+        streams and the native decoder releases the GIL, so they decode
+        concurrently on a multicore host."""
+        n = len(decs)
+        out = np.empty(mus.shape[0], np.int32)
+
+        def _one(i):
+            out[i::n] = decs[i].decode_gaussian(
+                mus[i::n], sigmas[i::n],
+                None if weights is None else weights[i::n])
+        with ThreadPoolExecutor(
+                max_workers=workers or min(n, os.cpu_count() or 1)) as ex:
+            list(ex.map(_one, range(n)))
+        return out
+
+    # -- encode -----------------------------------------------------------
+    def compress(self, x: np.ndarray, n_streams: int = 1) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded to
+        multiples of 64, cropped back at decompress).
+
+        n_streams=N (N>1): N-way INTERLEAVED rANS with unchanged entropy
+        params — anchors and non-anchors are fully parallel within their
+        pass, so (unlike the wavefront codec's interleaving) the lanes are a
+        trivial partition: rate-neutral up to the ~8-byte/lane framing, and
+        a multicore decoder pulls the lanes concurrently inside each pass.
+        """
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        assert 1 <= n_streams <= 255
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
 
@@ -948,32 +1086,139 @@ class CheckerboardCodec:
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
                                          cdfs, offsets, sizes)
 
-        # --- y stream: anchors then non-anchors, one rANS stream ---------
+        # --- y stream(s): anchors then non-anchors -----------------------
         sym = np.concatenate([y_q[am], y_q[~am]]).astype(np.int32).reshape(-1)
         mu_a, sig_a, w_a = self._coder_rows(pa)
         mu_n, sig_n, w_n = self._coder_rows(pna)
         mus = np.concatenate([mu_a, mu_n])
         sigmas = np.concatenate([sig_a, sig_n])
         weights = None if self.K == 1 else np.concatenate([w_a, w_n])
-        y_bytes = backend.encode_gaussian(sym, mus, sigmas, weights)
+        if n_streams == 1:
+            y_bytes = backend.encode_gaussian(sym, mus, sigmas, weights)
+            layout = 0
+        else:
+            y_bytes = self._encode_lanes(sym, mus, sigmas, weights,
+                                         mu_a.shape[0], n_streams)
+            layout = 0x8000 | n_streams
 
         header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_CHECKERBOARD,
-                             self.K, self.M, img_h, img_w, 0, zmin, zmax,
+                             self.K, self.M, img_h, img_w, layout, zmin, zmax,
                              len(z_bytes), len(y_bytes))
         return header + z_bytes + y_bytes
 
+    def compress_batch(self, xs: np.ndarray, workers: int = None,
+                       n_streams: int = 1) -> list:
+        """Encode B images with every device pass enqueued before the first
+        host fetch (the tunnel pipelines all the programs) and the host rANS
+        threaded per image. Streams are byte-identical to per-image
+        compress(): the pass programs run batch-1 per image — the entropy
+        params feed the deterministic coding path, and a B-batched program
+        is not guaranteed bit-identical to batch-1 (same contract as
+        JointARCodec.compress_batch). xs: (B, H, W, 3); returns B streams."""
+        assert xs.ndim == 4
+        assert 1 <= n_streams <= 255
+        img_h, img_w = xs.shape[1], xs.shape[2]
+        xp = _pad_input(xs, 64)
+        B = xp.shape[0]
+        outs = [self._analysis_q(self.variables, jnp.asarray(xp[b:b + 1]))
+                for b in range(B)]
+        h, w = outs[0][0].shape[1], outs[0][0].shape[2]
+        anchor_prog, nonanchor_prog = self._programs(h, w)
+        outs_a = [anchor_prog(self.variables, o[1]) for o in outs]
+        am = checkerboard_mask(h, w)
+        pnas = []
+        y_qs, z_qs = [], []
+        for b in range(B):
+            y_q = _fetch_y16(outs[b][0], lambda b=b: np.asarray(
+                self._analysis_full()(self.variables,
+                                      jnp.asarray(xp[b:b + 1]))[0]))[0]
+            backend._require_integral_latents(y_q)
+            y_qs.append(y_q)
+            z_qs.append(np.asarray(outs[b][1])[0])
+            y_anchor = np.where(am[..., None], y_q, 0.0).astype(np.float32)
+            pnas.append(nonanchor_prog(self.variables, outs_a[b][0],
+                                       _latents_to_device(y_anchor[None])))
+        # warm the z-table cache serially (it's a jitted device call)
+        for z_q in z_qs:
+            self._z_tables(int(z_q.min()), int(z_q.max()))
+
+        def _one(b):
+            y_q, z_q = y_qs[b], z_qs[b]
+            zmin, zmax = int(z_q.min()), int(z_q.max())
+            cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+            z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+            z_index = np.tile(np.arange(self.M, dtype=np.int32),
+                              z_sym.shape[0])
+            z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                             cdfs, offsets, sizes)
+            sym = np.concatenate([y_q[am], y_q[~am]]).astype(
+                np.int32).reshape(-1)
+            mu_a, sig_a, w_a = self._coder_rows(outs_a[b][1:])
+            mu_n, sig_n, w_n = self._coder_rows(pnas[b])
+            mus = np.concatenate([mu_a, mu_n])
+            sigmas = np.concatenate([sig_a, sig_n])
+            weights = None if self.K == 1 else np.concatenate([w_a, w_n])
+            if n_streams == 1:
+                y_bytes = backend.encode_gaussian(sym, mus, sigmas, weights)
+                layout = 0
+            else:
+                y_bytes = self._encode_lanes(sym, mus, sigmas, weights,
+                                             mu_a.shape[0], n_streams,
+                                             workers=1)
+                layout = 0x8000 | n_streams
+            header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_CHECKERBOARD,
+                                 self.K, self.M, img_h, img_w, layout,
+                                 zmin, zmax, len(z_bytes), len(y_bytes))
+            return header + z_bytes + y_bytes
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            return list(ex.map(_one, range(B)))
+
     # -- decode -----------------------------------------------------------
-    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode (y_q, z_q) from a checkerboard bitstream."""
+    def _parse_header(self, data: bytes):
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
-        magic, kind, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = \
+        magic, kind, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
             struct.unpack(fmt, data[:hs])
-        if magic != _MAGIC or kind != _KIND_CHECKERBOARD:
+        if magic != _MAGIC or kind not in (_KIND_CHECKERBOARD,
+                                           _KIND_CHECKERBOARD_PORTABLE):
             raise ValueError("not a checkerboard bitstream")
         if K != self.K or M != self.M:
             raise ValueError(f"stream is K={K} M={M}, codec model is "
                              f"K={self.K} M={self.M}")
+        return hs, img_h, img_w, layout, zmin, zmax, len_z, len_y
+
+    @staticmethod
+    def _is_portable(data: bytes) -> bool:
+        return len(data) > 5 and data[4] == _KIND_CHECKERBOARD_PORTABLE
+
+    def _decode_z(self, z_bytes: bytes, zmin: int, zmax: int, hz: int,
+                  wz: int) -> np.ndarray:
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
+        return z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+    def _open_y(self, payload: bytes, layout: int):
+        """Lane decoders for a y payload (single stream = one lane)."""
+        if layout & 0x8000:
+            n = layout & 0xFF
+            if n < 1:
+                raise ValueError("corrupt header: interleaved stream count 0")
+            return self._open_lanes(payload, n)
+        if layout != 0:
+            raise ValueError(f"unknown checkerboard stream layout {layout}")
+        return [backend.RansDecoder(payload)]
+
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode (y_q, z_q) from a checkerboard bitstream (float or
+        portable kind)."""
+        if self._is_portable(data):
+            self._parse_header(data)  # magic/K/M validation
+            return self._decode_latents_portable(data)
+        hs, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
+            self._parse_header(data)
         z_bytes = data[hs:hs + len_z]
         y_payload = data[hs + len_z:hs + len_z + len_y]
 
@@ -981,12 +1226,7 @@ class CheckerboardCodec:
         h, w = ph // 16, pw // 16
         hz, wz = ph // 64, pw // 64
 
-        # --- z ------------------------------------------------------------
-        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
-        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
-        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
-                                        sizes)
-        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        z_q = self._decode_z(z_bytes, zmin, zmax, hz, wz)
 
         # --- pass 1: anchors from the hyperprior --------------------------
         anchor_prog, nonanchor_prog = self._programs(h, w)
@@ -994,8 +1234,8 @@ class CheckerboardCodec:
         psi_dev, pa = out_a[0], out_a[1:]
         am = checkerboard_mask(h, w)
         mu_a, sig_a, w_a = self._coder_rows(pa)
-        dec = backend.RansDecoder(y_payload)
-        vals_a = dec.decode_gaussian(mu_a, sig_a, w_a)
+        decs = self._open_y(y_payload, layout)
+        vals_a = self._decode_block_lanes(decs, mu_a, sig_a, w_a)
         y_hat = np.zeros((h, w, self.M), np.float32)
         y_hat[am] = vals_a.reshape(-1, self.M).astype(np.float32)
 
@@ -1003,8 +1243,9 @@ class CheckerboardCodec:
         pna = nonanchor_prog(self.variables, psi_dev,
                              _latents_to_device(y_hat[None]))
         mu_n, sig_n, w_n = self._coder_rows(pna)
-        vals_n = dec.decode_gaussian(mu_n, sig_n, w_n)
-        dec.finish()  # truncated/corrupt stream -> error, not garbage
+        vals_n = self._decode_block_lanes(decs, mu_n, sig_n, w_n)
+        for dec in decs:
+            dec.finish()  # truncated/corrupt stream -> error, not garbage
         y_hat[~am] = vals_n.reshape(-1, self.M).astype(np.float32)
         return y_hat, z_q
 
@@ -1014,6 +1255,79 @@ class CheckerboardCodec:
         y_hat, _ = self.decode_latents(data)
         img_h, img_w = _stream_size(data)
         y_dev = _latents_to_device(y_hat[None])
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
+    def decompress_batch(self, datas: list, workers: int = None,
+                         as_uint8: bool = False) -> np.ndarray:
+        """Decode B same-shape bitstreams as two PIPELINED pass waves: all
+        pass-1 programs are enqueued before any host fetch (the tunnel
+        round-trips overlap across images), anchors rANS-decode in parallel
+        threads, then the same for pass 2, and ONE batched synthesis program
+        reconstructs the whole batch (synthesis never feeds the coder, so
+        batching it is determinism-safe; the pass programs stay batch-1 —
+        the same contract as compress_batch). Returns (B, H, W, 3)."""
+        if any(self._is_portable(d) for d in datas):
+            # portable decode has no device pass to pipeline; keep it simple
+            return np.concatenate([self.decompress(d, as_uint8=as_uint8)
+                                   for d in datas])
+        parsed = [self._parse_header(d) for d in datas]
+        img_h, img_w = parsed[0][1], parsed[0][2]
+        assert all(p[1] == img_h and p[2] == img_w for p in parsed), \
+            "decompress_batch requires same-shape bitstreams"
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        B = len(datas)
+        am = checkerboard_mask(h, w)
+        anchor_prog, nonanchor_prog = self._programs(h, w)
+
+        # z decode (serial — warms/uses the jitted z-table cache safely)
+        z_all = [self._decode_z(datas[b][parsed[b][0]:
+                                         parsed[b][0] + parsed[b][6]],
+                                parsed[b][4], parsed[b][5], hz, wz)
+                 for b in range(B)]
+
+        # --- pass-1 wave: enqueue all programs, then fetch + decode -------
+        outs_a = [anchor_prog(self.variables, jnp.asarray(z_all[b])[None])
+                  for b in range(B)]
+        y_hats = [np.zeros((h, w, self.M), np.float32) for _ in range(B)]
+        all_decs = [None] * B
+
+        def _pass1(b):
+            hs, _, _, layout, _, _, len_z, len_y = parsed[b]
+            payload = datas[b][hs + len_z:hs + len_z + len_y]
+            decs = self._open_y(payload, layout)
+            mu_a, sig_a, w_a = self._coder_rows(outs_a[b][1:])
+            vals = self._decode_block_lanes(decs, mu_a, sig_a, w_a,
+                                            workers=1)
+            y_hats[b][am] = vals.reshape(-1, self.M).astype(np.float32)
+            all_decs[b] = decs
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(_pass1, range(B)))
+
+        # --- pass-2 wave --------------------------------------------------
+        pnas = [nonanchor_prog(self.variables, outs_a[b][0],
+                               _latents_to_device(y_hats[b][None]))
+                for b in range(B)]
+
+        def _pass2(b):
+            mu_n, sig_n, w_n = self._coder_rows(pnas[b])
+            vals = self._decode_block_lanes(all_decs[b], mu_n, sig_n, w_n,
+                                            workers=1)
+            for dec in all_decs[b]:
+                dec.finish()
+            y_hats[b][~am] = vals.reshape(-1, self.M).astype(np.float32)
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(_pass2, range(B)))
+
+        # --- one batched synthesis over the whole batch -------------------
+        y_dev = _latents_to_device(np.stack(y_hats))
         if as_uint8:
             (x_u8,) = self._synthesis_u8(self.variables, y_dev)
             return np.asarray(x_u8)[:, :img_h, :img_w]

@@ -226,7 +226,8 @@ class PortableCard:
                  sigma2_fix: np.ndarray, sigma_R: np.ndarray,
                  tables: List[np.ndarray], exp_lut: np.ndarray,
                  z_cdfs: np.ndarray, z_offsets: np.ndarray,
-                 z_sizes: np.ndarray, zmin: int, zmax: int):
+                 z_sizes: np.ndarray, zmin: int, zmax: int,
+                 family: int = 0):
         # Validate here so build(), load(), and _from_mapping() all reject
         # out-of-spec cards identically for the numpy AND native paths (the
         # native coder sizes fixed buffers from these: K<=16 mixture scratch,
@@ -240,8 +241,11 @@ class PortableCard:
         if sigma_R.size and not (0 <= int(sigma_R.min())
                                  and int(sigma_R.max()) <= 254):
             raise ValueError("corrupt card: sigma_R outside [0, 254]")
+        if family not in (0, 1):
+            raise ValueError(f"unknown card family {family}")
         self.M = M
         self.K = K
+        self.family = family        # 0 = wavefront (causal ctx), 1 = checkerboard
         self.hyper = hyper          # [(kind, layer, geometry), ...]
         self.ctx = ctx
         self.ep1_phi = ep1_phi
@@ -264,7 +268,8 @@ class PortableCard:
     # -- hashing / serialization ---------------------------------------
     def _arrays(self) -> List[Tuple[str, np.ndarray]]:
         out = [("meta", np.array([_CARD_VERSION, self.M, self.K,
-                                  self.zmin, self.zmax], np.int64))]
+                                  self.zmin, self.zmax, self.family],
+                                 np.int64))]
         for i, (kind, layer, geom) in enumerate(self.hyper):
             out.append((f"hyper{i}_w", layer.wq))
             out.append((f"hyper{i}_b", layer.bq))
@@ -304,7 +309,8 @@ class PortableCard:
         """Rebuild from any mapping with `in` + `[]` over the _arrays() keys
         (an NpzFile, or a prefix-stripped dict — see load_scalable_cards)."""
         meta = d["meta"]
-        version, M, K, zmin, zmax = (int(v) for v in meta)
+        version, M, K, zmin, zmax = (int(v) for v in meta[:5])
+        family = int(meta[5]) if len(meta) > 5 else 0
         if version != _CARD_VERSION:
             raise ValueError(f"unsupported card version {version}")
         hyper = []
@@ -328,28 +334,52 @@ class PortableCard:
                    layers["ep1_psi"], layers["ep2"], layers["ep3"],
                    d["sigma_thr"], d["sigma_fix"], d["sigma2_fix"],
                    d["sigma_R"], tables, d["exp_lut"], d["z_cdfs"],
-                   d["z_offsets"], d["z_sizes"], zmin, zmax)
+                   d["z_offsets"], d["z_sizes"], zmin, zmax, family)
 
     # -- build ----------------------------------------------------------
     @classmethod
     def build(cls, model, variables, zmin: int = -64, zmax: int = 64,
               ctx_name: str = "context_model",
               ep_name: str = "entropy_parameters",
-              M: int = None, K: int = None) -> "PortableCard":
+              M: int = None, K: int = None,
+              family: str = "wavefront") -> "PortableCard":
         """Quantize the model's coding-path weights and precompute all
         integer tables. The only float computation in portable mode.
 
         ctx_name/ep_name/M select which context + entropy-parameter pair the
         card covers — the scalable model builds one card per latent layer
         (context_model_1/entropy_parameters_1 with M=M1, etc.), each
-        carrying the shared hyper-decoder and z tables."""
+        carrying the shared hyper-decoder and z tables.
+
+        family: 'wavefront' quantizes the causal masked-conv context (the
+        12 CTX_POSITIONS taps); 'checkerboard' quantizes the checkerboard
+        model's plain 5x5 context conv restricted to its 12 live
+        (odd-parity) taps, CB_CTX_POSITIONS order — the integer GEMM stack
+        downstream is identical for both."""
         from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
         from neural_image_compression_tpu.coding.codec import _HostParamNets
 
+        fam = {"wavefront": 0, "checkerboard": 1}[family]
         p = variables["params"]
         M = model.latent_channels if M is None else M
         K = model.K if K is None else K
-        nets = _HostParamNets(p[ctx_name], p[ep_name], M, K)
+        if fam == 1:
+            from neural_image_compression_tpu.models.checkerboard import (
+                CB_CTX_POSITIONS,
+            )
+
+            conv = p[ctx_name]["Conv2d_0"]
+            # _HostParamNets handles the EP extraction + the K>1 coder-layout
+            # column permutation; its causal ctx_w is discarded in favor of
+            # the checkerboard tap set below (the synthetic MaskedConv2d_0
+            # key only satisfies its constructor)
+            nets = _HostParamNets({"MaskedConv2d_0": conv}, p[ep_name], M, K)
+            kernel = np.asarray(conv["kernel"])          # (5, 5, M, 2M)
+            nets.ctx_w = np.concatenate(
+                [kernel[r, c] for (r, c) in CB_CTX_POSITIONS], axis=0)
+            nets.ctx_bias = np.asarray(conv["bias"])
+        else:
+            nets = _HostParamNets(p[ctx_name], p[ep_name], M, K)
 
         # hyper-decoder layer list (float kernels in our direct-conv HWIO
         # orientation, straight from the flax params)
@@ -425,7 +455,7 @@ class PortableCard:
                    sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables,
                    exp_lut, z_cdfs.astype(np.uint32),
                    np.asarray(z_offsets, np.int32),
-                   np.asarray(z_sizes, np.int32), zmin, zmax)
+                   np.asarray(z_sizes, np.int32), zmin, zmax, fam)
 
     # -- integer forward passes ----------------------------------------
     def hyper_forward(self, z_q: np.ndarray,
@@ -467,7 +497,14 @@ class PortableCard:
         layer-1 psi accumulators. Returns raw h3 (n, out_dim) int64 F_BITS,
         in the model's (kind, k, m) column order."""
         phi = _requant(_gemm(gathered, self.ctx), self.ctx)
-        acc1 = _imatmul(phi, self.ep1_phi.wq) + p_acc
+        return self.params_from_acc(_imatmul(phi, self.ep1_phi.wq) + p_acc)
+
+    def params_from_acc(self, acc1: np.ndarray):
+        """Layer-1 accumulators -> raw h3. The checkerboard ANCHOR pass
+        calls this directly with acc1 = p_acc: its context is defined to be
+        exactly zero, and a zero phi contributes nothing to the exact
+        integer accumulator, so skipping the ctx/ep1 GEMMs is bit-identical
+        to running them on zeros."""
         h = _lrelu(rshift_round(acc1, self.ep1_phi.sw))
         h = _lrelu(_requant(_gemm(h, self.ep2), self.ep2))
         return _requant(_gemm(h, self.ep3), self.ep3)
@@ -648,6 +685,9 @@ def portable_ar_encode(card: PortableCard, y_q: np.ndarray,
     y_q: (h, w, M) integer-valued; psi_fix: (h, w, 2M) int64 F_BITS.
     native selects the C++ (True) or numpy (False) implementation — both
     produce bit-identical streams; default follows NIC_DISABLE_NATIVE_AR."""
+    if card.family != 0:
+        raise ValueError("card is not a wavefront-family card (checkerboard "
+                         "streams use portable_cb_encode/decode)")
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
     if not (np.abs(np.asarray(y_q)).max(initial=0) <= Y_ABS_MAX):
@@ -707,6 +747,9 @@ def _py_ar_encode(card: PortableCard, y_q: np.ndarray,
 def portable_ar_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
                        h: int, w: int, native: bool = None) -> np.ndarray:
     """Decode one latent layer; returns (h, w, M) float32 of integers."""
+    if card.family != 0:
+        raise ValueError("card is not a wavefront-family card (checkerboard "
+                         "streams use portable_cb_encode/decode)")
     if native is None:
         native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
     if native:
@@ -750,6 +793,159 @@ def _py_ar_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
                     v = c + (jj - R)
                 y_out[i, j, m] = v
             y_pad[i + 2, j + 2] = y_out[i, j] << F_BITS
+    if not dec.ok():
+        raise ValueError("corrupt or truncated portable AR stream")
+    return y_out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Checkerboard two-pass encode/decode (numpy reference implementation)
+# ---------------------------------------------------------------------------
+
+def _cb_gather(y_pad: np.ndarray, pix: np.ndarray) -> np.ndarray:
+    """y_pad: (h+4, w+4, M) int64 F_BITS (ANCHOR values only, zeros at
+    non-anchors); pix (n, 2) non-anchor coords -> (n, 12M) in the canonical
+    CB_CTX_POSITIONS order (models/checkerboard.py)."""
+    from neural_image_compression_tpu.models.checkerboard import (
+        CB_CTX_POSITIONS,
+    )
+
+    n = pix.shape[0]
+    m = y_pad.shape[-1]
+    out = np.empty((n, 12 * m), np.int64)
+    for idx, (r, c) in enumerate(CB_CTX_POSITIONS):
+        out[:, idx * m:(idx + 1) * m] = y_pad[pix[:, 0] + r, pix[:, 1] + c]
+    return out
+
+
+def _cb_plan(card: PortableCard, h: int, w: int):
+    """(anchor pix, non-anchor pix, anchor flat idx, non-anchor flat idx) —
+    row-major within each block, the stream's symbol order (matches the
+    float CheckerboardCodec's y_q[am] / y_q[~am] layout)."""
+    from neural_image_compression_tpu.models.checkerboard import (
+        checkerboard_mask,
+    )
+
+    am = checkerboard_mask(h, w)
+    pix_a = np.argwhere(am).astype(np.int64)
+    pix_n = np.argwhere(~am).astype(np.int64)
+    return am, pix_a, pix_n
+
+
+def _cb_pass_params(card: PortableCard, p_acc: np.ndarray, w: int,
+                    pix: np.ndarray, y_pad=None):
+    """h3 rows for one pass: anchors (y_pad None -> context exactly zero) or
+    non-anchors (context GEMM over the gathered anchor taps)."""
+    rows = p_acc[pix[:, 0] * w + pix[:, 1]]
+    if y_pad is None:
+        return card.params_from_acc(rows)
+    return card.wave_params(_cb_gather(y_pad, pix), rows)
+
+
+def portable_cb_encode(card: PortableCard, y_q: np.ndarray,
+                       psi_fix: np.ndarray, native: bool = None) -> bytes:
+    """Encode one checkerboard latent grid with the integer parameter path.
+    Same stream <-> symbol conventions as portable_ar_encode; the pass
+    structure is the checkerboard codec's (anchors from the hyperprior
+    alone, then non-anchors from the 12-tap integer context GEMM)."""
+    if card.family != 1:
+        raise ValueError("card is not a checkerboard-family card")
+    if native is None:
+        native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+    if not (np.abs(np.asarray(y_q)).max(initial=0) <= Y_ABS_MAX):
+        raise ValueError(f"latent magnitude exceeds the portable-spec bound "
+                         f"(|y| <= {Y_ABS_MAX}) or is non-finite")
+    if native:
+        p_acc = card.psi_precompute(psi_fix, native=True)
+        return _native_coder(card).encode_cb(
+            np.asarray(y_q).astype(np.int32), p_acc)
+    return _py_cb_encode(card, y_q, psi_fix)
+
+
+def _py_cb_encode(card: PortableCard, y_q: np.ndarray,
+                  psi_fix: np.ndarray) -> bytes:
+    h, w = y_q.shape[:2]
+    M = card.M
+    y_int = np.asarray(y_q).astype(np.int64)
+    am, pix_a, pix_n = _cb_plan(card, h, w)
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
+    y_pad = np.zeros((h + 4, w + 4, M), np.int64)
+    y_pad[2:-2, 2:-2][am] = y_int[am] << F_BITS  # anchors only (decode parity)
+
+    h3_a = _cb_pass_params(card, p_acc, w, pix_a)
+    h3_n = _cb_pass_params(card, p_acc, w, pix_n, y_pad)
+
+    syms: List[int] = []
+    models: List[Tuple] = []
+    for h3, pix in ((h3_a, pix_a), (h3_n, pix_n)):
+        for p in range(pix.shape[0]):
+            mu, bins, wfix = card.channel_models(h3[p])
+            yrow = y_int[pix[p, 0], pix[p, 1]]
+            for m in range(M):
+                syms.append(int(yrow[m]))
+                models.append((mu[m], bins[m], wfix[m]))
+    enc = PyEncoder()
+    for i in range(len(syms) - 1, -1, -1):
+        c, R, cum = build_symbol_model(card, *models[i])
+        d = syms[i] - c
+        if -R <= d <= R:
+            j = d + R
+            enc.put(int(cum[j]), int(cum[j + 1] - cum[j]))
+        else:
+            v = (syms[i] + 0x80000000) & 0xFFFFFFFF
+            enc.put_raw16(v & 0xFFFF)
+            enc.put_raw16((v >> 16) & 0xFFFF)
+            j = 2 * R + 1
+            enc.put(int(cum[j]), int(cum[j + 1] - cum[j]))
+    return enc.flush()
+
+
+def portable_cb_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
+                       h: int, w: int, native: bool = None) -> np.ndarray:
+    """Decode one checkerboard latent layer; returns (h, w, M) float32."""
+    if card.family != 1:
+        raise ValueError("card is not a checkerboard-family card")
+    if native is None:
+        native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+    if native:
+        p_acc = card.psi_precompute(psi_fix, native=True)
+        return _native_coder(card).decode_cb(data, p_acc, h, w)
+    return _py_cb_decode(card, data, psi_fix, h, w)
+
+
+def _py_cb_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
+                  h: int, w: int) -> np.ndarray:
+    M = card.M
+    am, pix_a, pix_n = _cb_plan(card, h, w)
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
+    y_out = np.zeros((h, w, M), np.int64)
+    y_pad = np.zeros((h + 4, w + 4, M), np.int64)
+    dec = PyDecoder(data)
+
+    def _decode_block(h3, pix, fill_pad: bool):
+        for p in range(pix.shape[0]):
+            mu, bins, wfix = card.channel_models(h3[p])
+            i, j = int(pix[p, 0]), int(pix[p, 1])
+            for m in range(M):
+                c, R, cum = build_symbol_model(card, mu[m], bins[m], wfix[m])
+                cf = dec.peek()
+                jj = _cdf_find(cum, cf)
+                dec.advance(int(cum[jj]), int(cum[jj + 1] - cum[jj]))
+                if jj == 2 * R + 1:
+                    hi = dec.get_raw16()
+                    lo = dec.get_raw16()
+                    v = ((hi << 16) | lo) - 0x80000000
+                    if abs(v) > Y_ABS_MAX:  # mirror of kYAbsMax in C++
+                        raise ValueError(
+                            "corrupt portable AR stream (escape out of spec)")
+                else:
+                    v = c + (jj - R)
+                y_out[i, j, m] = v
+            if fill_pad:
+                y_pad[i + 2, j + 2] = y_out[i, j] << F_BITS
+
+    _decode_block(_cb_pass_params(card, p_acc, w, pix_a), pix_a, True)
+    _decode_block(_cb_pass_params(card, p_acc, w, pix_n, y_pad), pix_n, False)
     if not dec.ok():
         raise ValueError("corrupt or truncated portable AR stream")
     return y_out.astype(np.float32)

@@ -407,8 +407,9 @@ struct PScratch {
   std::vector<int> wave_i, wave_j;
   double t_gemm = 0;  // wave_params seconds (NIC_ARPORT_PROFILE)
 
-  PScratch(const PortNets& n, int h, int w) : net(n), H(h), W(w) {
-    nmax = std::min((W + 2) / 3, H);
+  PScratch(const PortNets& n, int h, int w, int nmax_override = 0)
+      : net(n), H(h), W(w) {
+    nmax = nmax_override > 0 ? nmax_override : std::min((W + 2) / 3, H);
     nmax_pad = (nmax + 3) & ~3;
     y_pad.assign(static_cast<size_t>(H + 4) * (W + 4) * net.M, 0);
     A.resize(static_cast<size_t>(nmax_pad) * 12 * net.M);
@@ -475,6 +476,12 @@ struct PScratch {
                   net.hidden * sizeof(int64_t));
     gemm_exact(phi.data(), n_pad, net.ep1_phi, nullptr, a_scr.data(),
                rowsum_scr.data(), h1.data());
+    ep_tail(n_pad);
+    if (prof_on()) t_gemm += now_s() - t0;
+  }
+
+  // Shared MLP tail: layer-1 accumulators in h1 -> raw h3 (F_BITS).
+  void ep_tail(int n_pad) {
     for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.hidden; ++i)
       h1[i] = lrelu1(rsr(h1[i], net.ep1_phi.sw));
     gemm_exact(h1.data(), n_pad, net.ep2, net.ep2.b.data(), a_scr.data(),
@@ -485,6 +492,58 @@ struct PScratch {
                rowsum_scr.data(), h3.data());
     for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.out_dim; ++i)
       h3[i] = rsr(h3[i], net.ep3.sw);
+  }
+
+  void load_pacc(int n, const int64_t* p_acc) {
+    const int n_pad = (n + 3) & ~3;
+    for (int p = 0; p < n; ++p)
+      std::memcpy(&h1[static_cast<size_t>(p) * net.hidden],
+                  p_acc + (static_cast<size_t>(wave_i[p]) * W + wave_j[p]) *
+                              net.hidden,
+                  net.hidden * sizeof(int64_t));
+    for (int p = n; p < n_pad; ++p)
+      std::memset(&h1[static_cast<size_t>(p) * net.hidden], 0,
+                  net.hidden * sizeof(int64_t));
+  }
+
+  // Checkerboard ANCHOR pass: context is exactly zero, so h1 = p_acc
+  // (adding a zero phi product is a no-op in exact integer arithmetic —
+  // see portable.py params_from_acc).
+  void cb_anchor_params(int n, const int64_t* p_acc) {
+    const double t0 = prof_on() ? now_s() : 0;
+    load_pacc(n, p_acc);
+    ep_tail((n + 3) & ~3);
+    if (prof_on()) t_gemm += now_s() - t0;
+  }
+
+  // Checkerboard NON-ANCHOR pass: gather the 12 odd-parity taps (all
+  // anchors) from the anchor-filled pad, then the same GEMM stack as the
+  // wavefront. Tap order = models/checkerboard.py CB_CTX_POSITIONS.
+  void cb_nonanchor_params(int n, const int64_t* p_acc) {
+    static const int kCbTaps[12][2] = {{0, 1}, {0, 3}, {1, 0}, {1, 2},
+                                       {1, 4}, {2, 1}, {2, 3}, {3, 0},
+                                       {3, 2}, {3, 4}, {4, 1}, {4, 3}};
+    const double t0 = prof_on() ? now_s() : 0;
+    const int M = net.M;
+    const int n_pad = (n + 3) & ~3;
+    for (int p = 0; p < n; ++p) {
+      int64_t* dst = &A[static_cast<size_t>(p) * 12 * M];
+      const int i = wave_i[p], j = wave_j[p];
+      for (int t = 0; t < 12; ++t)
+        std::memcpy(dst + t * M, pad_at(i + kCbTaps[t][0], j + kCbTaps[t][1]),
+                    M * sizeof(int64_t));
+    }
+    for (int p = n; p < n_pad; ++p)
+      std::memset(&A[static_cast<size_t>(p) * 12 * M], 0,
+                  12 * M * sizeof(int64_t));
+    gemm_exact(A.data(), n_pad, net.ctx, net.ctx.b.data(), a_scr.data(),
+               rowsum_scr.data(), phi.data());
+    for (size_t i = 0; i < static_cast<size_t>(n_pad) * net.phi_dim; ++i)
+      phi[i] = rsr(phi[i], net.ctx.sw);
+    load_pacc(n, p_acc);
+    gemm_exact(phi.data(), n_pad, net.ep1_phi, nullptr, a_scr.data(),
+               rowsum_scr.data(), h1.data());
+    ep_tail(n_pad);
     if (prof_on()) t_gemm += now_s() - t0;
   }
 
@@ -937,6 +996,152 @@ int arport_decode(void* handle, const uint8_t* buf, int len,
   if (prof_on())
     std::fprintf(stderr, "[arport_decode] wave_params %.1f ms\n",
                  sc.t_gemm * 1e3);
+  return dec.ok() ? 0 : -1;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Checkerboard two-pass portable codec (mirror of portable.py
+// portable_cb_encode / portable_cb_decode): anchors ((i+j) even, row-major)
+// code from the hyperprior alone (context exactly zero); non-anchors from
+// the 12-tap integer context GEMM over the decoded anchors. Same symbol
+// model, escape and rANS conventions as the wavefront functions above.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kCbBlock = 256;  // pixels per GEMM block (scratch bound)
+
+// Row-major (i, j) lists for one parity. parity 0 = anchors.
+int cb_collect(int H, int W, int parity, int start, int count, int* out_i,
+               int* out_j) {
+  // start counts pixels of this parity already consumed.
+  int n = 0, seen = 0;
+  for (int i = 0; i < H && n < count; ++i) {
+    int j0 = ((i % 2) == parity) ? 0 : 1;
+    for (int j = j0; j < W && n < count; j += 2) {
+      if (seen++ < start) continue;
+      out_i[n] = i;
+      out_j[n] = j;
+      ++n;
+    }
+  }
+  return n;
+}
+
+inline int cb_count(int H, int W, int parity) {
+  const int total = H * W;
+  return parity == 0 ? (total + 1) / 2 : total / 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// y_q: (H, W, M) int32 latents; p_acc: (H*W, hidden). Returns stream
+// length, or -1 on overflow.
+int arport_encode_cb(void* handle, const int32_t* y_q, const int64_t* p_acc,
+                     int H, int W, uint8_t* out, int cap) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W, kCbBlock);
+  // the pad holds ANCHOR values only — decode-side parity (it never knows
+  // non-anchors when pass-2 params are derived)
+  for (int i = 0; i < H; ++i)
+    for (int j = (i % 2 == 0) ? 0 : 1; j < W; j += 2) {
+      int64_t* dst = sc.pad_at(i + 2, j + 2);
+      const int32_t* src = y_q + (static_cast<size_t>(i) * W + j) * M;
+      for (int m = 0; m < M; ++m)
+        dst[m] = static_cast<int64_t>(src[m]) << kF;
+    }
+
+  const size_t n_sym = static_cast<size_t>(H) * W * M;
+  std::vector<int32_t> sym(n_sym);
+  std::vector<int64_t> mu(n_sym * K), bins(n_sym * K), wfix(n_sym * K);
+  size_t s = 0;
+  for (int parity = 0; parity < 2; ++parity) {
+    const int total = cb_count(H, W, parity);
+    for (int start = 0; start < total; start += kCbBlock) {
+      const int n = cb_collect(H, W, parity, start,
+                               std::min(kCbBlock, total - start),
+                               sc.wave_i.data(), sc.wave_j.data());
+      if (parity == 0)
+        sc.cb_anchor_params(n, p_acc);
+      else
+        sc.cb_nonanchor_params(n, p_acc);
+      for (int p = 0; p < n; ++p) {
+        sc.pixel_models(p, &mu[s * K], &bins[s * K], &wfix[s * K]);
+        const int32_t* yrow =
+            y_q + (static_cast<size_t>(sc.wave_i[p]) * W + sc.wave_j[p]) * M;
+        for (int m = 0; m < M; ++m) sym[s + m] = yrow[m];
+        s += M;
+      }
+    }
+  }
+
+  Encoder enc;
+  enc.bytes.reserve(n_sym * 2 + 16);
+  SymModel sm;
+  for (int64_t i = static_cast<int64_t>(n_sym) - 1; i >= 0; --i) {
+    build_model(net, &mu[i * K], &bins[i * K], &wfix[i * K], &sm);
+    const int d = sym[i] - sm.c;
+    if (d >= -sm.R && d <= sm.R) {
+      const int j = d + sm.R;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    } else {
+      nic::put_escape_value(enc, sym[i]);
+      const int j = sm.nsym - 1;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    }
+  }
+  return enc.flush(out, cap);
+}
+
+// Returns 0, or -1 on corrupt/truncated stream.
+int arport_decode_cb(void* handle, const uint8_t* buf, int len,
+                     const int64_t* p_acc, int H, int W, int32_t* y_out) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W, kCbBlock);
+  Decoder dec;
+  dec.init(buf, len);
+  std::vector<int64_t> mu(static_cast<size_t>(M) * K),
+      bins(static_cast<size_t>(M) * K), wfix(static_cast<size_t>(M) * K);
+  SymModel sm;
+  for (int parity = 0; parity < 2; ++parity) {
+    const int total = cb_count(H, W, parity);
+    for (int start = 0; start < total; start += kCbBlock) {
+      const int n = cb_collect(H, W, parity, start,
+                               std::min(kCbBlock, total - start),
+                               sc.wave_i.data(), sc.wave_j.data());
+      if (parity == 0)
+        sc.cb_anchor_params(n, p_acc);
+      else
+        sc.cb_nonanchor_params(n, p_acc);
+      for (int p = 0; p < n; ++p) {
+        const int i = sc.wave_i[p], j = sc.wave_j[p];
+        int32_t* dst = y_out + (static_cast<size_t>(i) * W + j) * M;
+        int64_t* pad = sc.pad_at(i + 2, j + 2);
+        sc.pixel_models(p, mu.data(), bins.data(), wfix.data());
+        for (int m = 0; m < M; ++m) {
+          build_model(net, &mu[m * K], &bins[m * K], &wfix[m * K], &sm);
+          const uint32_t cf = dec.peek();
+          const int jj = cdf_find(sm.cum, sm.nsym, cf);
+          dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
+          int32_t v;
+          if (jj == sm.nsym - 1) {
+            v = nic::get_escape_value(dec);
+            if (v > kYAbsMax || v < -kYAbsMax) return -1;
+          } else {
+            v = sm.c + (jj - sm.R);
+          }
+          dst[m] = v;
+          if (parity == 0) pad[m] = static_cast<int64_t>(v) << kF;
+        }
+      }
+    }
+  }
   return dec.ok() ? 0 : -1;
 }
 

@@ -49,7 +49,17 @@ from neural_image_compression_tpu.models.parameters import EntropyParameters
 from neural_image_compression_tpu.ops.conv import Conv2d
 
 __all__ = ["CheckerboardHierarchical", "CheckerboardContext",
-           "checkerboard_mask"]
+           "checkerboard_mask", "CB_CTX_POSITIONS"]
+
+# The 12 live taps of the 5x5 context conv at a NON-ANCHOR center, in kernel
+# coordinates (center = (2, 2)): exactly the taps with (r + c) odd — those
+# land on anchor cells; the even-parity taps read the zeroed non-anchors and
+# contribute nothing. Canonical gather order for the portable integer coder:
+# coding/portable.py (_cb_gather, card build) and rans/ar_portable.cc
+# (kCbTaps) both follow this row-major enumeration.
+CB_CTX_POSITIONS = tuple((r, c) for r in range(5) for c in range(5)
+                         if (r + c) % 2 == 1)
+assert len(CB_CTX_POSITIONS) == 12
 
 _TRANSFORMS = {
     "conv5x5": (Encoder5x5, Decoder5x5, HyperEncoder5x5, HyperDecoder5x5),

@@ -214,6 +214,70 @@ def test_codec_truncation_raises(cb_k1):
         codec.decode_latents(data[:-3])
 
 
+@pytest.mark.parametrize("fixture,n", [("cb_k1", 2), ("cb_k1", 4),
+                                       ("cb_k3", 3)])
+def test_codec_interleaved_streams_roundtrip(fixture, n, request):
+    """n_streams lanes are a pure partition of each pass: exact round-trip,
+    rate-neutral up to the ~8-byte/lane framing."""
+    model, params = request.getfixturevalue(fixture)
+    codec = CheckerboardCodec(model, {"params": params})
+    x = jax.random.uniform(jax.random.PRNGKey(16), (1, 64, 128, 3))
+    base = codec.compress(np.asarray(x))
+    data = codec.compress(np.asarray(x), n_streams=n)
+    # rate-neutral: framing only (4-byte length word + <=4-byte rANS tail
+    # per extra lane, small constant slack)
+    assert len(data) <= len(base) + 8 * n + 16
+    y1, z1 = codec.decode_latents(base)
+    yn, zn = codec.decode_latents(data)
+    np.testing.assert_array_equal(y1, yn)
+    np.testing.assert_array_equal(z1, zn)
+
+
+def test_codec_interleaved_truncation_raises(cb_k1):
+    model, params = cb_k1
+    codec = CheckerboardCodec(model, {"params": params})
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(17), (1, 64, 64, 3)),
+                   np.float32)
+    data = codec.compress(x, n_streams=3)
+    with pytest.raises(ValueError):
+        codec.decode_latents(data[:-3])
+
+
+def test_codec_batch_matches_single(cb_k3):
+    """compress_batch streams are byte-identical to per-image compress();
+    decompress_batch reconstructions equal per-image decompress()."""
+    model, params = cb_k3
+    codec = CheckerboardCodec(model, {"params": params})
+    xs = np.asarray(jax.random.uniform(jax.random.PRNGKey(18),
+                                       (3, 64, 64, 3)), np.float32)
+    streams = codec.compress_batch(xs)
+    for b in range(3):
+        assert streams[b] == codec.compress(xs[b:b + 1])
+    recon = codec.decompress_batch(streams)
+    for b in range(3):
+        np.testing.assert_array_equal(recon[b:b + 1],
+                                      codec.decompress(streams[b]))
+    u8 = codec.decompress_batch(streams, as_uint8=True)
+    assert u8.dtype == np.uint8 and u8.shape == (3, 64, 64, 3)
+    for b in range(3):
+        np.testing.assert_array_equal(
+            u8[b:b + 1], codec.decompress(streams[b], as_uint8=True))
+
+
+def test_codec_batch_interleaved(cb_k1):
+    model, params = cb_k1
+    codec = CheckerboardCodec(model, {"params": params})
+    xs = np.asarray(jax.random.uniform(jax.random.PRNGKey(19),
+                                       (2, 64, 64, 3)), np.float32)
+    streams = codec.compress_batch(xs, n_streams=2)
+    for b in range(2):
+        assert streams[b] == codec.compress(xs[b:b + 1], n_streams=2)
+    recon = codec.decompress_batch(streams)
+    for b in range(2):
+        np.testing.assert_array_equal(recon[b:b + 1],
+                                      codec.decompress(streams[b]))
+
+
 def test_codec_wrong_model_stream_raises(cb_k1, cb_k3):
     model1, params1 = cb_k1
     model3, params3 = cb_k3
