@@ -223,6 +223,13 @@ def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int) -> str:
     grids when the batch supplies enough rows to tile (10.8 -> 3.8 ms at
     48x(32x48)); at batch 1 everything is dispatch-bound and the dilated
     form's simpler graph wins elsewhere."""
+    import os
+
+    force = os.environ.get("NIC_DECONV_LOWERING")
+    if force in ("subpel", "dilated"):
+        # benchmark hook (tools/ab_deconv_*): force one lowering globally.
+        # Read at TRACE time — set it before the jit builds a program.
+        return force
     if cout < 32:
         return "subpel"
     if not isinstance(batch, int):

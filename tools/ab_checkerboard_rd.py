@@ -1,0 +1,184 @@
+"""Converged RD A/B: checkerboard context model vs the serial wavefront AR
+model (VERDICT r2 item 2).
+
+Trains BOTH families (M=128, K=3, bf16 transforms) with the reference's
+full 100k-step schedule (Main.ipynb; ~25 min/run on one v5e) at two lambda
+points on the same synthetic corpus, then evaluates on held-out Kodak-size
+images: analytic RD, REAL measured bitstream bpp, and warm decode latency.
+The output answers "when should a user pick CheckerboardHierarchical over
+JointAutoregressiveHierarchical": the checkerboard family trades a small
+rate penalty (He et al. CVPR 2021 report ~2-4% vs serial AR; reference
+anchor /root/reference/ContextModels.py:3-36) for a device-parallel decode.
+
+Writes eval_results/ab_checkerboard_rd.json + prints a table.
+
+Run detached on the chip (one TPU process at a time — CLAUDE.md):
+  PYTHONPATH=.:/root/.axon_site nohup python -u tools/ab_checkerboard_rd.py &
+"""
+
+import json
+import os
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+M, K = 128, 3
+STEPS = int(os.environ.get("NIC_AB_STEPS", "100000"))
+BATCH = 16
+LAMBDAS = (0.005, 0.02)
+STATE = os.environ.get("NIC_AB_STATE", "/tmp/nic_ab_cb")
+
+
+def _data_pool():
+    import sys
+
+    sys.path.insert(0, REPO)
+    from tools.train_at_scale import make_synthetic_dataset
+
+    from neural_image_compression_tpu.data import ImageFolderDataset
+
+    tr_dir, va_dir = make_synthetic_dataset("/tmp/nic_scale/data")
+    ds = nicds = ImageFolderDataset(tr_dir, cache=True)
+    rng = np.random.RandomState(0)
+    pool = []
+    for b in range(12):
+        idx = rng.randint(0, len(nicds), BATCH)
+        pool.append(jnp.asarray(np.stack([ds[int(i)] for i in idx])))
+    val = ImageFolderDataset(va_dir, cache=True)
+    vals = [np.asarray(val[i])[None] for i in range(len(val))]
+    return pool, vals
+
+
+def _train(model, pool, lam, tag):
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(lambda k, x: model.init(
+        {"params": k, "noise": k}, x, training=True))(key, pool[0])["params"]
+    tx = optax.adam(1e-4)
+    opt = tx.init(params)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(p, o, x, rng):
+        def loss_fn(q):
+            out = model.apply({"params": q}, x, training=True,
+                              rngs={"noise": rng})
+            m = rd_loss(out, x, lam)
+            return m["loss"], m
+
+        (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, m
+
+    t0 = time.time()
+    for i in range(STEPS):
+        params, opt, m = step(params, opt, pool[i % len(pool)],
+                              jax.random.PRNGKey(i))
+        if i % 10_000 == 0:
+            print(f"  [{tag}] step {i} loss {float(m['loss']):.3f} "
+                  f"({(i + 1) / (time.time() - t0):.0f} steps/s)", flush=True)
+    print(f"  [{tag}] done in {(time.time() - t0) / 60:.1f} min", flush=True)
+    return params
+
+
+def _eval(model, params, codec, vals, lam):
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
+    rows = []
+    enc_ms, dec_ms = [], []
+    for v in vals:
+        x = jnp.asarray(v)
+        out = fwd(params, x)
+        m = rd_loss(out, x, lam)
+        u8 = (v * 255).astype(np.uint8)
+        data = codec.compress(u8)           # warm path below times it
+        t0 = time.perf_counter()
+        data = codec.compress(u8)
+        enc_ms.append((time.perf_counter() - t0) * 1e3)
+        codec.decompress(data, as_uint8=True)
+        t0 = time.perf_counter()
+        codec.decompress(data, as_uint8=True)
+        dec_ms.append((time.perf_counter() - t0) * 1e3)
+        h, w = v.shape[1:3]
+        rows.append({
+            "analytic_bpp": float(m["bpp_total"]),
+            "measured_bpp": len(data) * 8 / (h * w),
+            "psnr": float(m["psnr"]),
+        })
+    mean = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    mean["enc_ms"] = float(np.median(enc_ms))
+    mean["dec_ms"] = float(np.median(dec_ms))
+    mean["stream_vs_analytic_pct"] = 100.0 * (
+        mean["measured_bpp"] / mean["analytic_bpp"] - 1.0)
+    return mean
+
+
+def main():
+    from neural_image_compression_tpu.coding.codec import (
+        CheckerboardCodec, JointARCodec,
+    )
+    from neural_image_compression_tpu.models import (
+        CheckerboardHierarchical, JointAutoregressiveHierarchical,
+    )
+
+    os.makedirs(STATE, exist_ok=True)
+    pool, vals = _data_pool()
+    out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
+                      "lambdas": list(LAMBDAS), "image": "768x512 synthetic"}}
+    curves = {"joint_ar": [], "checkerboard": []}
+
+    for lam in LAMBDAS:
+        for fam, Model, Codec in (
+                ("joint_ar", JointAutoregressiveHierarchical, JointARCodec),
+                ("checkerboard", CheckerboardHierarchical, CheckerboardCodec)):
+            tag = f"{fam}@{lam}"
+            ck = os.path.join(STATE, f"{fam}_{lam}.npz.ok")
+            model = Model(latent_channels=M, K=K, dtype=jnp.bfloat16)
+            import pickle
+
+            pk = os.path.join(STATE, f"{fam}_{lam}.pkl")
+            if os.path.exists(ck):
+                print(f"[{tag}] cached params", flush=True)
+                with open(pk, "rb") as f:
+                    params = pickle.load(f)
+                params = jax.tree.map(jnp.asarray, params)
+            else:
+                print(f"[{tag}] training {STEPS} steps ...", flush=True)
+                params = _train(model, pool, lam, tag)
+                with open(pk, "wb") as f:
+                    pickle.dump(jax.device_get(params), f)
+                open(ck, "w").write("ok")
+            codec = Codec(model, {"params": params})
+            res = _eval(model, params, codec, vals, lam)
+            res["lam"] = lam
+            curves[fam].append(res)
+            print(f"[{tag}] {json.dumps(res)}", flush=True)
+
+    # BD-rate of checkerboard vs joint_ar over the two-point curves
+    # (PCHIP degenerates to the standard log-rate interpolation at 2 points)
+    try:
+        from neural_image_compression_tpu.evaluation.bdrate import bd_rate
+
+        out["bd_rate_checkerboard_vs_joint_pct"] = bd_rate(
+            [(r["measured_bpp"], r["psnr"]) for r in curves["joint_ar"]],
+            [(r["measured_bpp"], r["psnr"]) for r in curves["checkerboard"]])
+    except ValueError as e:
+        out["bd_rate_checkerboard_vs_joint_pct"] = f"n/a ({e})"
+    out["curves"] = curves
+    path = os.path.join(REPO, "eval_results", "ab_checkerboard_rd.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({k: v for k, v in out.items() if k != "curves"},
+                     indent=1))
+    print(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()

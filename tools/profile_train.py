@@ -91,6 +91,56 @@ def main():
     t_noise = t_prog(noise, rng)
     t_eval = t_prog(eval_fwd, params, x)
 
+    # --- per-component fwd+bwd split: grad of a scalar through each
+    # sub-network alone (inputs at that component's real shapes). The sum
+    # exceeds t_fb slightly (each program repeats its input prep) but the
+    # RATIOS locate the backward sinks the way profile_layers located the
+    # eval ones.
+    h = SIDE // 16
+    y0 = jax.random.normal(jax.random.PRNGKey(11), (BATCH, h, h, M),
+                           jnp.float32)
+    z0 = jax.random.normal(jax.random.PRNGKey(12), (BATCH, h // 4, h // 4, M),
+                           jnp.float32)
+    comps = {
+        "encoder": (lambda p, v: model.apply(
+            {"params": p}, v, method=lambda m, v: m.encoder(v)
+        ).astype(jnp.float32).sum(), x),
+        "decoder": (lambda p, v: model.apply(
+            {"params": p}, v, method=lambda m, v: m.decoder(v)
+        ).astype(jnp.float32).sum(), y0),
+        "hyper_enc": (lambda p, v: model.apply(
+            {"params": p}, v, method=lambda m, v: m.hyper_encoder(v)
+        ).astype(jnp.float32).sum(), y0),
+        "hyper_dec": (lambda p, v: model.apply(
+            {"params": p}, v, method=lambda m, v: m.hyper_decoder(v)
+        ).astype(jnp.float32).sum(), z0),
+        "context": (lambda p, v: model.apply(
+            {"params": p}, v, method=lambda m, v: m.context_model(v)
+        ).astype(jnp.float32).sum(), y0),
+        "entropy_params+lik": (lambda p, v: _ep_lik(p, v), y0),
+    }
+
+    def _ep_lik(p, y_in):
+        def body(m, y_in):
+            psi = m.hyper_decoder(jnp.round(m.hyper_encoder(y_in)))
+            phi = m.context_model(y_in)
+            pt = m.entropy_parameters(jnp.concatenate([phi, psi], axis=-1))
+            from neural_image_compression_tpu.entropy.gaussian import (
+                mixture_likelihood,
+            )
+            w, mus, sig = pt
+            return jnp.log(mixture_likelihood(y_in, w, mus, sig)).sum()
+        return model.apply({"params": p}, y_in, method=body)
+
+    comp_times = {}
+    for name, (fn, v) in comps.items():
+        fb = jax.jit(lambda p, v, fn=fn: (
+            fn(p, v) + sum(jnp.sum(t.astype(jnp.float32))
+                           for t in jax.tree.leaves(jax.grad(fn)(p, v)))))
+        fwd_only = jax.jit(lambda p, v, fn=fn: fn(p, v))
+        comp_times[name] = (t_prog(fwd_only, params, v),
+                            t_prog(fb, params, v))
+
     # full step donates: rebuild state each call is wrong; time a chain
     p, o = params, opt
     p, o, _ = full_step(p, o, x, rng)
@@ -118,6 +168,10 @@ def main():
           f"(3x-fwd FLOP convention)")
     print(f"bwd/fwd ratio       {(t_fb-t_fwd)/t_fwd:7.2f}")
     print(f"opt overhead        {(t_full-t_fb)*1e3:7.1f} ms")
+    print("-- per-component fwd / fwd+bwd (isolated programs) --")
+    for name, (tf, tb) in comp_times.items():
+        print(f"{name:20s} fwd {tf*1e3:7.1f} ms   fwd+bwd {tb*1e3:7.1f} ms"
+              f"   bwd/fwd {(tb-tf)/max(tf,1e-9):5.2f}")
 
 
 if __name__ == "__main__":

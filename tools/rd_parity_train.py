@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 M, K = 48, 1
-PATCH, BATCH, STEPS = 128, 8, 2500
+PATCH, BATCH, STEPS = 128, 8, 10_000
 N_TRAIN, N_VAL = 256, 3
 LAMBDAS = (0.005, 0.02)
 WORK = os.environ.get("RD_PARITY_DIR", "/tmp/nic_rd_parity")
@@ -269,9 +269,17 @@ def cmd_report(args):
         if not tv or len(jv) < 2:
             continue
         ent = {}
-        for k in ("bpp_total", "psnr"):
-            jvals = np.asarray([r["val_mean"][k] for r in jv])
-            tvals = np.asarray([r["val_mean"][k] for r in tv])
+        # final_train_loss is the tightest dynamics signal (the val set is
+        # 3 off-distribution 768x512 images, so val bpp carries heavy-tailed
+        # generalization noise across seeds at this scale)
+        getters = {
+            "bpp_total": lambda r: r["val_mean"]["bpp_total"],
+            "psnr": lambda r: r["val_mean"]["psnr"],
+            "final_train_loss": lambda r: r["final_train_loss"],
+        }
+        for k, get in getters.items():
+            jvals = np.asarray([get(r) for r in jv])
+            tvals = np.asarray([get(r) for r in tv])
             spread = float(jvals.max() - jvals.min())
             gap = float(abs(tvals.mean() - jvals.mean()))
             ent[k] = {"torch": float(tvals.mean()),
