@@ -60,8 +60,13 @@ def main():
     dtype = jnp.bfloat16 if dtype_name == "bf16" else None
     iters = int(os.environ.get("NIC_BENCH_ITERS", "96"))
     batch = int(os.environ.get("NIC_BENCH_BATCH", "48"))
+    # model-size stretch knobs (VERDICT r3 item 8): M=192 is the reference's
+    # constructor default (Models.py latent_channels=192)
+    M = int(os.environ.get("NIC_BENCH_M", "128"))
+    KMIX = int(os.environ.get("NIC_BENCH_K", "3"))
 
-    model = JointAutoregressiveHierarchical(latent_channels=128, K=3, dtype=dtype)
+    model = JointAutoregressiveHierarchical(latent_channels=M, K=KMIX,
+                                            dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, 512, 768, 3), jnp.float32)
     params = jax.jit(lambda k, x: model.init({"params": k, "noise": k}, x,
@@ -106,19 +111,70 @@ def main():
 
     # MFU: analytic eval-forward FLOPs over the chip's bf16 peak
     # (NIC_PEAK_TFLOPS overrides; default v5e = 197).
-    from neural_image_compression_tpu.utils.flops import joint_ar_eval_flops, mfu
+    from neural_image_compression_tpu.utils.flops import (
+        joint_ar_eval_flops, mfu, train_step_flops,
+    )
 
-    flops_img = joint_ar_eval_flops(128, 3, 512, 768)["total"]
+    flops_img = joint_ar_eval_flops(M, KMIX, 512, 768)["total"]
     peak = float(os.environ.get("NIC_PEAK_TFLOPS", "197"))
 
-    print(json.dumps({
-        "metric": f"kodak_768x512_encdec_images_per_sec_per_chip_batch{batch}",
+    result = {
+        "metric": ("kodak_768x512_encdec_images_per_sec_per_chip"
+                   f"_batch{batch}" + (f"_M{M}K{KMIX}" if (M, KMIX) != (128, 3)
+                                      else "")),
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "flops_per_image": flops_img,
         "mfu": round(mfu(img_per_sec, flops_img, peak), 4),
-    }))
+    }
+
+    # Training-step throughput + MFU (the reference's hot loop,
+    # Trainer.py:76-86): jitted donated train step, batch 16 of 256^2
+    # patches, data on device. NIC_BENCH_TRAIN=0 skips.
+    if os.environ.get("NIC_BENCH_TRAIN", "1") != "0":
+        import optax
+
+        tb = int(os.environ.get("NIC_BENCH_TRAIN_BATCH", "16"))
+        titers = int(os.environ.get("NIC_BENCH_TRAIN_ITERS", "300"))
+        xt = jax.random.uniform(jax.random.PRNGKey(7), (tb, 256, 256, 3),
+                                jnp.float32)
+        tparams = jax.jit(lambda k, x: model.init(
+            {"params": k, "noise": k}, x, training=True))(key, xt)["params"]
+        tx = optax.adam(1e-4)
+        opt = tx.init(tparams)
+
+        from functools import partial
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(p, opt, x, rng):
+            def loss_fn(q):
+                out = model.apply({"params": q}, x, training=True,
+                                  rngs={"noise": rng})
+                m = rd_loss(out, x, 0.005)
+                return m["loss"], m
+
+            (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+            u, opt = tx.update(g, opt, p)
+            return optax.apply_updates(p, u), opt, m
+
+        rngs = [jax.random.PRNGKey(100 + i) for i in range(4)]
+        tparams, opt, m = train_step(tparams, opt, xt, rngs[0])
+        float(m["loss"])  # compile + completion barrier
+        t0 = time.perf_counter()
+        for i in range(titers):
+            tparams, opt, m = train_step(tparams, opt, xt, rngs[i % 4])
+        float(m["loss"])
+        tdt = time.perf_counter() - t0
+        steps_per_sec = titers / tdt
+        tflops_img = train_step_flops(
+            joint_ar_eval_flops(M, KMIX, 256, 256)["total"])
+        result["train_steps_per_sec"] = round(steps_per_sec, 2)
+        result["train_batch"] = tb
+        result["train_mfu"] = round(
+            mfu(steps_per_sec * tb, tflops_img, peak), 4)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
