@@ -166,11 +166,12 @@ class CheckerboardHierarchical(nn.Module):
         return tuple(self.entropy_parameters(
             jnp.concatenate([ctx, psi], axis=-1)))
 
-    def entropy_params_from_latents(self, y_in: jax.Array, z_in: jax.Array):
+    def entropy_params_from_latents(self, y_in: jax.Array, z_in: jax.Array,
+                                    training: bool = False):
         """One-pass training/eval form: context from anchors only, zeroed at
         anchor positions. Pointwise-equal to anchor_pass at anchors and to
         nonanchor_pass at non-anchors (EP is 1x1 convs)."""
-        psi = self.hyper_decoder(z_in)
+        psi = self.hyper_decoder(z_in, training)
         am = _anchor_mask_f(y_in.shape[1], y_in.shape[2], y_in.dtype)
         ctx = self.context_model(y_in * am)
         ctx = ctx * (1.0 - am).astype(ctx.dtype)
@@ -194,7 +195,7 @@ class CheckerboardHierarchical(nn.Module):
             z_in = round_quantize(z.astype(jnp.float32))
             y_in = round_quantize(y.astype(jnp.float32))
 
-        params_t = self.entropy_params_from_latents(y_in, z_in)
+        params_t = self.entropy_params_from_latents(y_in, z_in, training)
         if self.K == 1:
             mu, sigma = params_t
             params = {"mu": mu, "sigma": sigma}
@@ -205,7 +206,7 @@ class CheckerboardHierarchical(nn.Module):
             p_y = mixture_likelihood(y_in, weights, mus, sigmas)
 
         p_z = self.factorized_entropy_model(z_in)
-        x_hat = self.decoder(y_in).astype(jnp.float32)
+        x_hat = self.decoder(y_in, training).astype(jnp.float32)
 
         out = {
             "x_hat": x_hat, "y": y, "y_in": y_in, "z": z, "z_in": z_in,

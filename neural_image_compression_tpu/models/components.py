@@ -44,12 +44,12 @@ class Decoder5x5(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, y: jax.Array) -> jax.Array:
+    def __call__(self, y: jax.Array, training: bool = False) -> jax.Array:
         m = self.latent_channels
         for _ in range(3):
-            y = Deconv2d(m, 5, 2, 2, 1, dtype=self.dtype)(y)
+            y = Deconv2d(m, 5, 2, 2, 1, dtype=self.dtype)(y, training)
             y = GDN(inverse=True, dtype=self.dtype)(y)
-        return Deconv2d(3, 5, 2, 2, 1, dtype=self.dtype)(y)
+        return Deconv2d(3, 5, 2, 2, 1, dtype=self.dtype)(y, training)
 
 
 class Encoder3x3(nn.Module):
@@ -74,13 +74,13 @@ class Decoder3x3(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, y: jax.Array) -> jax.Array:
+    def __call__(self, y: jax.Array, training: bool = False) -> jax.Array:
         m = self.latent_channels
         for _ in range(3):
             y = ResidualBlock(m, dtype=self.dtype)(y)
-            y = ResidualBlockUpsample(m, 2, dtype=self.dtype)(y)
+            y = ResidualBlockUpsample(m, 2, dtype=self.dtype)(y, training)
         y = ResidualBlock(m, dtype=self.dtype)(y)
-        return TransposedDeconv3x3(3, 2, dtype=self.dtype)(y)
+        return TransposedDeconv3x3(3, 2, dtype=self.dtype)(y, training)
 
 
 class HyperEncoder5x5(nn.Module):
@@ -126,11 +126,11 @@ class HyperDecoder5x5(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array, training: bool = False) -> jax.Array:
         m = self.latent_channels
-        z = Deconv2d(m, 5, 2, 2, 1, dtype=self.dtype)(z)
+        z = Deconv2d(m, 5, 2, 2, 1, dtype=self.dtype)(z, training)
         z = leaky_relu(z)
-        z = Deconv2d(int(1.5 * m), 5, 2, 2, 1, dtype=self.dtype)(z)
+        z = Deconv2d(int(1.5 * m), 5, 2, 2, 1, dtype=self.dtype)(z, training)
         z = leaky_relu(z)
         return Conv2d(2 * m, 3, 1, 1, dtype=self.dtype)(z)
 
@@ -142,15 +142,15 @@ class HyperDecoder3x3(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, z: jax.Array) -> jax.Array:
+    def __call__(self, z: jax.Array, training: bool = False) -> jax.Array:
         m = self.latent_channels
         z = Conv2d(m, 3, 1, 1, dtype=self.dtype)(z)
         z = leaky_relu(z)
-        z = TransposedDeconv3x3(m, 2, dtype=self.dtype)(z)
+        z = TransposedDeconv3x3(m, 2, dtype=self.dtype)(z, training)
         z = leaky_relu(z)
         z = Conv2d(int(1.5 * m), 3, 1, 1, dtype=self.dtype)(z)
         z = leaky_relu(z)
-        z = TransposedDeconv3x3(int(1.5 * m), 2, dtype=self.dtype)(z)
+        z = TransposedDeconv3x3(int(1.5 * m), 2, dtype=self.dtype)(z, training)
         z = leaky_relu(z)
         return Conv2d(2 * m, 3, 1, 1, dtype=self.dtype)(z)
 
@@ -164,12 +164,12 @@ class LatentSpaceTransform(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         m = self.latent_channels
         ups = list(self.upsampling_factors)
         for u in ups[:3]:
             x = ResidualBlock(m, dtype=self.dtype)(x)
-            x = ResidualBlockUpsample(m, u, dtype=self.dtype)(x)
+            x = ResidualBlockUpsample(m, u, dtype=self.dtype)(x, training)
             m *= u
         x = ResidualBlock(m, dtype=self.dtype)(x)
         return Conv2d(m * ups[3], 3, 1, 1, dtype=self.dtype)(x)

@@ -52,7 +52,7 @@ class FactorizedPrior(nn.Module):
 
         p_y = self.factorized_entropy_model(y_in)
         logp_y = jnp.log(p_y)
-        x_hat = self.decoder(y_in).astype(jnp.float32)
+        x_hat = self.decoder(y_in, training).astype(jnp.float32)
 
         # Zero-rate z placeholders keep the rd_loss bpp_y/bpp_z split valid.
         ones = jnp.ones((x.shape[0], 1, 1, 1), jnp.float32)

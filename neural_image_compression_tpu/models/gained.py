@@ -140,7 +140,7 @@ class GainedJointAR(nn.Module):
 
         # inverse gains sit in front of the decoders only; the context model
         # and both entropy models operate in the gained (coded) domain
-        psi = self.hyper_decoder(z_in * ig_z)
+        psi = self.hyper_decoder(z_in * ig_z, training)
         phi = self.context_model(y_in)
         combined = jnp.concatenate([phi, psi], axis=-1)
         params_t = self.entropy_parameters(combined)
@@ -154,7 +154,7 @@ class GainedJointAR(nn.Module):
             p_y = mixture_likelihood(y_in, weights, mus, sigmas)
 
         p_z = self.factorized_entropy_model(z_in)
-        x_hat = self.decoder(y_in * ig_y).astype(jnp.float32)
+        x_hat = self.decoder(y_in * ig_y, training).astype(jnp.float32)
 
         out = {
             "x_hat": x_hat, "y": y, "y_in": y_in, "z": z, "z_in": z_in,

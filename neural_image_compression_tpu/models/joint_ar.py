@@ -87,13 +87,16 @@ class JointAutoregressiveHierarchical(nn.Module):
     def distribution(self) -> str:
         return "Mean-Scale Gaussian" if self.K == 1 else "Mixture of Gaussians"
 
-    def entropy_params_from_latents(self, y_in: jax.Array, z_in: jax.Array):
+    def entropy_params_from_latents(self, y_in: jax.Array, z_in: jax.Array,
+                                    training: bool = False):
         """psi = hyperdec(z_in), phi = context(y_in) -> conditional params.
 
         Exposed separately so the real codec can reuse it (encode side) and so
         the wavefront decoder can call hyper/context pieces independently.
+        (`training` only steers the deconv lowering choice — the math is
+        identical either way.)
         """
-        psi = self.hyper_decoder(z_in)
+        psi = self.hyper_decoder(z_in, training)
         phi = self.context_model(y_in)
         combined = jnp.concatenate([phi, psi], axis=-1)
         return self.entropy_parameters(combined)
@@ -116,7 +119,7 @@ class JointAutoregressiveHierarchical(nn.Module):
             z_in = round_quantize(z.astype(jnp.float32))
             y_in = round_quantize(y.astype(jnp.float32))
 
-        params_t = self.entropy_params_from_latents(y_in, z_in)
+        params_t = self.entropy_params_from_latents(y_in, z_in, training)
         if self.K == 1:
             mu, sigma = params_t
             params = {"mu": mu, "sigma": sigma}
@@ -130,7 +133,7 @@ class JointAutoregressiveHierarchical(nn.Module):
         logp_z = jnp.log(p_z)
         logp_y = jnp.log(p_y)
 
-        x_hat = self.decoder(y_in).astype(jnp.float32)
+        x_hat = self.decoder(y_in, training).astype(jnp.float32)
 
         out = {
             "x_hat": x_hat,

@@ -91,7 +91,7 @@ class ScalableImageCoding(nn.Module):
         y1 = y_in[..., : self.M1]
         y2 = y_in[..., self.M1:]
 
-        psi = self.hyper_decoder(z_in)
+        psi = self.hyper_decoder(z_in, training)
         phi1 = self.context_model_1(y1)
         phi2 = self.context_model_2(y2)
         combined1 = jnp.concatenate([phi1, psi], axis=-1)
@@ -114,8 +114,8 @@ class ScalableImageCoding(nn.Module):
 
         p_z = self.factorized_entropy_model(z_in)
 
-        x_hat = self.decoder(y_in).astype(jnp.float32)
-        f_tilde = self.LST(y1).astype(jnp.float32)
+        x_hat = self.decoder(y_in, training).astype(jnp.float32)
+        f_tilde = self.LST(y1, training).astype(jnp.float32)
 
         out = {
             "x_hat": x_hat,

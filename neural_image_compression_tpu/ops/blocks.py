@@ -46,12 +46,14 @@ class ResidualBlockUpsample(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        out = TransposedDeconv3x3(self.features, self.upsample, dtype=self.dtype)(x)
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        out = TransposedDeconv3x3(self.features, self.upsample,
+                                  dtype=self.dtype)(x, training)
         out = leaky_relu(out)
         out = Conv2d(self.features, 3, 1, 1, dtype=self.dtype)(out)
         out = GDN(inverse=True, dtype=self.dtype)(out)
-        identity = TransposedDeconv3x3(self.features, self.upsample, dtype=self.dtype)(x)
+        identity = TransposedDeconv3x3(self.features, self.upsample,
+                                       dtype=self.dtype)(x, training)
         return out + identity
 
 

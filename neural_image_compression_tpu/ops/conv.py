@@ -215,14 +215,22 @@ class Conv2d(nn.Module):
         return conv2d(x, kernel, bias, self.stride, self.padding)
 
 
-def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int) -> str:
+def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int,
+                          training: bool = False) -> str:
     """Pick the faster stride-2 deconv lowering (v5e A/B at batch 48 and
     batch 1, tools notes): the subpel form wins on tiny output channels at
     ANY batch (4x the MXU lane utilization — the final M->3 RGB layer:
     14.9 -> 8.9 ms at batch 48, 1.6 -> 0.9 ms at batch 1) and on small
     grids when the batch supplies enough rows to tile (10.8 -> 3.8 ms at
     48x(32x48)); at batch 1 everything is dispatch-bound and the dilated
-    form's simpler graph wins elsewhere."""
+    form's simpler graph wins elsewhere.
+
+    Under autodiff the economics invert: the subpel form's backward pays
+    for the scatter-assembled combined kernel (gather-grads) and the
+    interleave transpose over the layer's largest tensor, and the flagship
+    train step measures all-dilated fastest (tools/ab_deconv_train.py,
+    batch 16 @256^2: dilated 9.15 ms/step, eval-auto mix 9.89, all-subpel
+    11.02) — so training programs always take the dilated form."""
     import os
 
     force = os.environ.get("NIC_DECONV_LOWERING")
@@ -230,6 +238,8 @@ def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int) -> str:
         # benchmark hook (tools/ab_deconv_*): force one lowering globally.
         # Read at TRACE time — set it before the jit builds a program.
         return force
+    if training:
+        return "dilated"
     if cout < 32:
         return "subpel"
     if not isinstance(batch, int):
@@ -260,7 +270,7 @@ class Deconv2d(nn.Module):
     lowering: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
         k = self.kernel_size
         # torch ConvTranspose2d init: BOTH kernel and bias bounds use
@@ -288,7 +298,8 @@ class Deconv2d(nn.Module):
                 f"p={self.padding}, op={self.output_padding})")
         if lowering is None and subpel_ok:
             lowering = _deconv_lowering_auto(x.shape[0], x.shape[1],
-                                            x.shape[2], self.features)
+                                            x.shape[2], self.features,
+                                            training)
         if lowering == "subpel":
             return deconv2d_subpel(x, kernel, bias, self.padding, 1)
         return deconv2d(x, kernel, bias, self.stride, self.padding, self.output_padding)
@@ -326,6 +337,7 @@ class TransposedDeconv3x3(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         return Deconv2d(self.features, 3, stride=self.upsample, padding=1,
-                        output_padding=self.upsample - 1, dtype=self.dtype)(x)
+                        output_padding=self.upsample - 1,
+                        dtype=self.dtype)(x, training)
