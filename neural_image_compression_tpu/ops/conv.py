@@ -59,15 +59,93 @@ def torch_deconv_kernel_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
-           stride: int = 1, padding: int = 0) -> jax.Array:
-    """Plain strided conv, torch-style symmetric integer padding."""
-    out = jax.lax.conv_general_dilated(
+def _conv2d_raw(x: jax.Array, kernel: jax.Array,
+                stride: int, padding: int) -> jax.Array:
+    return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMENSION_NUMBERS,
     )
+
+
+from functools import partial as _partial  # noqa: E402  (local import group)
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv2d_subpel_dx(x: jax.Array, kernel: jax.Array,
+                      stride: int, padding: int) -> jax.Array:
+    """Stride-2 conv whose VJP computes the INPUT gradient with the subpel
+    deconv lowering.
+
+    The input-grad of a stride-2 conv is exactly a stride-2 transposed conv
+    of the cotangent (flipped kernel, I/O swapped) — the same computation as
+    the decoder's fwd deconvs, where the subpel form measured several-x
+    faster on small grids (see deconv2d_subpel). XLA's own transpose rule
+    always takes the lhs_dilation form; this custom rule applies the
+    per-shape A/B'd choice instead. Kernel grads keep XLA's standard
+    lowering (taken via jax.vjp of the plain conv). Forward is bit-identical
+    to conv2d; only selected when _deconv_lowering_auto picks subpel for the
+    cotangent's shape (decided at trace time in conv2d below).
+    """
+    return _conv2d_raw(x, kernel, stride, padding)
+
+
+def _conv2d_subpel_dx_fwd(x, kernel, stride, padding):
+    return _conv2d_raw(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv2d_subpel_dx_bwd(stride, padding, res, g):
+    x, kernel = res
+    # dw: XLA's standard kernel-grad lowering via vjp of the plain conv
+    _, vjp_k = jax.vjp(lambda k: _conv2d_raw(x, k, stride, padding), kernel)
+    (dk,) = vjp_k(g)
+    # dx: transposed conv of the cotangent — flip kernel spatially, swap I/O
+    kt = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+    dx = deconv2d_subpel(g, kt, None, padding=padding, output_padding=1)
+    return dx, dk
+
+
+_conv2d_subpel_dx.defvjp(_conv2d_subpel_dx_fwd, _conv2d_subpel_dx_bwd)
+
+
+def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
+           stride: int = 1, padding: int = 0) -> jax.Array:
+    """Plain strided conv, torch-style symmetric integer padding.
+
+    NEGATIVE RESULT, kept as an opt-in benchmark hook: for stride-2 convs
+    whose geometry admits it (k == 2p+1, even H/W — the encoder /
+    hyper-encoder downsamplers) a custom-VJP twin can compute the backward
+    input-grad with the subpel deconv lowering instead of XLA's stock
+    lhs-dilation transpose rule. Measured on the real v5e flagship train
+    step (tools/ab_conv_dx_train.py, 2026-08-19): stock 9.10 ms/step,
+    per-shape heuristic mix 9.38, subpel everywhere 10.68 — the subpel
+    cotangent convs don't fuse into the backward the way the stock rule
+    does, the same integrated-vs-isolated inversion as the eval-side
+    pallas/s2d hooks (DESIGN.md). Default is therefore the stock rule;
+    NIC_CONV_DX=subpel forces the custom rule where legal, NIC_CONV_DX=auto
+    applies the per-shape eval heuristic (both read at trace time)."""
+    k = kernel.shape[0]
+    h, w = x.shape[1], x.shape[2]
+    if (stride == 2 and k == 2 * padding + 1
+            and isinstance(h, int) and isinstance(w, int)
+            and h % 2 == 0 and w % 2 == 0):
+        import os
+        force = os.environ.get("NIC_CONV_DX")
+        if force == "subpel":
+            use_custom = True
+        elif force == "auto":
+            # the cotangent has the OUTPUT's grid and cin output-channels
+            use_custom = _deconv_lowering_auto(
+                x.shape[0], h // 2, w // 2, x.shape[-1]) == "subpel"
+        else:
+            use_custom = False
+        if use_custom:
+            out = _conv2d_subpel_dx(x, kernel, stride, padding)
+            if bias is not None:
+                out = out + bias
+            return out
+    out = _conv2d_raw(x, kernel, stride, padding)
     if bias is not None:
         out = out + bias
     return out

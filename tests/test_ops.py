@@ -217,3 +217,47 @@ class TestDeconvLowerings:
         p = m1.init(key, x)["params"]
         np.testing.assert_allclose(m1.apply({"params": p}, x),
                                    m2.apply({"params": p}, x), atol=1e-5)
+
+
+class TestConvCustomDx:
+    """conv2d's custom-VJP twin (subpel input-grad) must be a pure lowering
+    change: identical forward, identical gradients (f32 tolerance) vs the
+    stock XLA transpose rule, for every stride-2 geometry the encoders use."""
+
+    @pytest.mark.parametrize("k,p", [(5, 2), (3, 1)])
+    @pytest.mark.parametrize("cin,cout", [(8, 16), (3, 8)])
+    def test_grads_match_stock_rule(self, k, p, cin, cout, monkeypatch):
+        from neural_image_compression_tpu.ops import conv as C
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 16, 24, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, k, cin, cout)) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+        cot = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 12, cout))
+
+        def run(mode):
+            monkeypatch.setenv("NIC_CONV_DX", mode)
+
+            def f(x, w, b):
+                return jnp.sum(C.conv2d(x, w, b, 2, p) * cot)
+
+            out = C.conv2d(x, w, b, 2, p)
+            return out, jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+
+        out_c, g_c = run("subpel")
+        out_s, g_s = run("dilated")
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_s))
+        for u, v in zip(g_c, g_s):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_odd_grids_take_plain_path(self, monkeypatch):
+        # odd H/W can't express dx as an op=1 deconv; the router must fall
+        # back to the stock rule even when forced
+        from neural_image_compression_tpu.ops import conv as C
+
+        monkeypatch.setenv("NIC_CONV_DX", "subpel")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 15, 15, 4))
+        w = jax.random.normal(jax.random.PRNGKey(1), (5, 5, 4, 8)) * 0.1
+        g = jax.grad(lambda x: C.conv2d(x, w, None, 2, 2).sum())(x)
+        assert g.shape == x.shape and bool(jnp.isfinite(g).all())
