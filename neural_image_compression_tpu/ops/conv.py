@@ -327,6 +327,19 @@ def _deconv_lowering_auto(batch: int, in_h: int, in_w: int, cout: int,
         return "dilated"
     if batch >= 8 and in_h * in_w <= 2048:
         return "subpel"
+    if (cout % 128 != 0 and batch >= 8 and in_h * in_w >= 4096
+            and os.environ.get("NIC_DECONV_CHANNEL_AWARE") == "1"):
+        # Lane-unaligned cout (e.g. M=192 = 1.5 MXU tiles): ISOLATED, the
+        # dilated form wastes the partial lane tile on every output pixel
+        # and the subpel form's 4*cout phase channels re-align the lanes
+        # (tools/ab_deconv_m192.py: c=160/192 subpel wins all grids
+        # >= 64x96 at batch >= 8; c=192 @128x192 b48: 20.8 vs 23.9 ms).
+        # IN-MODEL the win does not survive: bench M=192 alternating A/B
+        # (3 reps each) measures 296.3 img/s with this rule vs 302.4
+        # without (+-0.02 run variance) — the interleave transpose breaks
+        # XLA's deconv+IGDN fusion. Same lesson as the pallas and
+        # custom-dx probes; opt-in only.
+        return "subpel"
     return "dilated"
 
 

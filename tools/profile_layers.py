@@ -39,7 +39,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-M = 128
+M = int(os.environ.get("NIC_PROFILE_M", "128"))  # model width knob
 DTYPE = jnp.bfloat16
 
 
@@ -80,7 +80,7 @@ def main():
     xg = jax.random.uniform(key, (batch, 256, 384, M), DTYPE)
     gv = gdn.init(key, xg)
     timeit(lambda v, a: gdn.apply(v, a), gv, xg,
-           label="GDN M=128 @256x384",
+           label=f"GDN M={M} @256x384",
            flops=batch * 256 * 384 * M * M * 2.0)
 
     # Decoder chain: deconv5x5 s2, both lowerings per layer.
@@ -98,7 +98,8 @@ def main():
                label=f"dec subpel  {cin}->{cout} @{h}x{w}", flops=fl)
 
     # Hyper decoder deconvs (z grid 8x12 for Kodak).
-    for cin, cout, hh, ww_ in [(M, 192, 8, 12), (192, 288, 16, 24)]:
+    for cin, cout, hh, ww_ in [(M, M * 3 // 2, 8, 12),
+                               (M * 3 // 2, 2 * M, 16, 24)]:
         w_k = jax.random.normal(key, (5, 5, cin, cout), DTYPE) * 0.03
         xin = jax.random.uniform(key, (batch, hh, ww_, cin), DTYPE)
         fl = batch * hh * ww_ * cin * cout * 25 * 2.0
