@@ -10,6 +10,18 @@ parallelism model is TPU-native: a `jax.sharding.Mesh` over all chips with
   * 'spatial' — optional image-tile axis for large-image encode/eval (the
                 sequence-parallel analogue for a fully-convolutional model;
                 XLA handles conv halo exchange automatically).
+  * 'model'   — optional tensor-parallel axis: conv/GDN/entropy parameters
+                are sharded over channels (see parallel/tp.py) and GSPMD
+                inserts the channel all-gathers/psums over ICI. Useful when
+                a model is too wide for one chip's HBM or when batch alone
+                can't fill the mesh; for the ~10-40M-param families here it
+                is a capability (and a template for wider models), not a
+                speedup at Kodak scale.
+
+Pipeline ('pp') and expert ('ep') axes are deliberately absent: the model
+families are 4-10 conv layers deep with no MoE routing — a pipeline stage
+would hold <10 ms of work (collective latency dominates) and there are no
+experts to shard. dp x sp x tp is the full useful mesh for this workload.
 
 Multi-host/multi-slice scaling uses the same mesh abstraction: call
 `jax.distributed.initialize()` before building the mesh and the axes span
@@ -54,19 +66,32 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(n_devices: Optional[int] = None, spatial: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data mesh by default; optional 2-D (data, spatial) mesh."""
+              model: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data mesh by default; optional (data, spatial, model) mesh.
+
+    'model' is innermost (fastest-varying) so tensor-parallel collectives
+    ride the closest ICI neighbors; 'data' is outermost so gradient
+    all-reduces tolerate the slowest links (DCN across slices)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    inner = spatial * model
+    if n % inner:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"spatial={spatial} * model={model}")
+    shape, names = [n // inner], ["data"]
     if spatial > 1:
-        if n % spatial:
-            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
-        arr = np.asarray(devices).reshape(n // spatial, spatial)
-        return Mesh(arr, axis_names=("data", "spatial"))
-    return Mesh(np.asarray(devices), axis_names=("data",))
+        shape.append(spatial)
+        names.append("spatial")
+    if model > 1:
+        shape.append(model)
+        names.append("model")
+    if len(shape) == 1:
+        return Mesh(np.asarray(devices), axis_names=("data",))
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -88,6 +88,16 @@ def make_train_step(model, tx: optax.GradientTransformation, rd_loss: Callable,
 
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
+    if "model" in mesh.axis_names:
+        # tensor-parallel: the caller device_puts state with parallel.tp
+        # channel shardings; `None` in_shardings tell jit to take each
+        # argument's sharding as-is (and donation keeps it across steps),
+        # so one step function serves any dp x tp layout.
+        return jax.jit(
+            step,
+            in_shardings=(None,) * n_state + (bsh, rep),
+            donate_argnums=donate_argnums,
+        )
     return jax.jit(
         step,
         in_shardings=(rep,) * n_state + (bsh, rep),
@@ -105,9 +115,11 @@ def make_eval_step(model, mesh=None, spatial: bool = False):
 
     if mesh is None:
         return jax.jit(forward)
-    rep = replicated(mesh)
     xsh = spatial_sharding(mesh) if spatial else batch_sharding(mesh)
-    return jax.jit(forward, in_shardings=(rep, xsh))
+    if "model" in mesh.axis_names:
+        # params arrive tensor-parallel-sharded (parallel.tp.shard_params)
+        return jax.jit(forward, in_shardings=(None, xsh))
+    return jax.jit(forward, in_shardings=(replicated(mesh), xsh))
 
 
 def shard_batch(batch, mesh):

@@ -86,6 +86,73 @@ def test_init_distributed_noop():
     init_distributed()
 
 
+def test_tp_mesh():
+    mesh = make_mesh(8, model=4)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (2, 4)
+    mesh3 = make_mesh(8, spatial=2, model=2)
+    assert mesh3.axis_names == ("data", "spatial", "model")
+    assert mesh3.devices.shape == (2, 2, 2)
+
+
+def test_tp_params_actually_sharded():
+    from neural_image_compression_tpu.parallel import shard_params
+
+    mesh, model, tx, params, opt_state, batch = _setup()
+    p_tp = shard_params(params, mesh)  # no 'model' axis -> replicated
+    k = p_tp["encoder"]["Conv2d_1"]["kernel"]
+    assert k.sharding.is_fully_replicated
+
+    mesh_tp = make_mesh(8, model=4)
+    p_tp = shard_params(params, mesh_tp)
+    k = p_tp["encoder"]["Conv2d_1"]["kernel"]  # (5,5,8,8): cout sharded
+    assert {s.data.shape for s in k.addressable_shards} == {(5, 5, 8, 2)}
+    rgb = p_tp["decoder"]["Deconv2d_3"]["kernel"]  # cout=3: replicated
+    assert rgb.sharding.is_fully_replicated
+    fb = p_tp["factorized_entropy_model"]["matrix_1"]  # channel axis 0
+    assert {s.data.shape for s in fb.addressable_shards} == {(2, 3, 3)}
+    # optimizer state follows the same rule (scalars replicated)
+    o_tp = shard_params(opt_state, mesh_tp)
+    mu = o_tp[0].mu["encoder"]["Conv2d_1"]["kernel"]
+    assert {s.data.shape for s in mu.addressable_shards} == {(5, 5, 8, 2)}
+
+
+def test_tp_eval_matches_unsharded():
+    from neural_image_compression_tpu.parallel import shard_params
+
+    mesh = make_mesh(8, model=4)
+    _, model, tx, params, opt_state, batch = _setup()
+    fwd = make_eval_step(model, mesh=mesh)
+    out = fwd(shard_params(params, mesh), shard_batch(batch, mesh))
+    ref = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))(
+        params, batch)
+    for k in ("x_hat", "y_in", "z_in", "logp_y", "logp_z"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+
+
+def test_tp_train_step_matches_single_device():
+    from neural_image_compression_tpu.parallel import shard_params
+
+    mesh = make_mesh(8, spatial=1, model=2)  # (data 4, model 2)
+    _, model, tx, params, opt_state, batch = _setup()
+    step_tp = make_train_step(model, tx, rd_loss, 0.005, mesh=mesh,
+                              donate=False)
+    p1, _, m1 = step_tp(shard_params(params, mesh),
+                        shard_params(opt_state, mesh),
+                        shard_batch(batch, mesh), jax.random.PRNGKey(1))
+    step_1 = make_train_step(model, tx, rd_loss, 0.005, mesh=None,
+                             donate=False)
+    p2, _, m2 = step_1(params, opt_state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+    # params keep their tp sharding across the step (donation-stable)
+    k1 = p1["encoder"]["Conv2d_1"]["kernel"]
+    assert not k1.sharding.is_fully_replicated
+
+
 def test_spatial_sharded_eval():
     from neural_image_compression_tpu.parallel import make_eval_step, replicate
     from jax.sharding import NamedSharding, PartitionSpec as P
