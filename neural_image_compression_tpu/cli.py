@@ -106,9 +106,19 @@ def cmd_train(args):
         cfg.train.max_steps = args.max_steps
     if getattr(args, "backbone", None):
         cfg.train.backbone = args.backbone
+    if getattr(args, "loss", None):
+        cfg.train.loss = args.loss
+    if cfg.train.loss not in ("mse", "msssim"):
+        raise SystemExit(f"unknown train loss {cfg.train.loss!r} "
+                         "(expected 'mse' or 'msssim')")
+    if cfg.train.loss == "msssim" and cfg.model.name == "scalable":
+        raise SystemExit("loss='msssim' is not supported for the scalable "
+                         "model (it trains with vision_rd_loss)")
 
     from neural_image_compression_tpu.data import BatchLoader, ImageFolderDataset
-    from neural_image_compression_tpu.train import Trainer, rd_loss, vision_rd_loss
+    from neural_image_compression_tpu.train import (
+        Trainer, msssim_rd_loss, rd_loss, vision_rd_loss,
+    )
 
     model = build_model(cfg.model)
     train_loader = BatchLoader(ImageFolderDataset(cfg.data.train_dir),
@@ -123,7 +133,7 @@ def cmd_train(args):
 
         mesh = make_mesh()
 
-    loss_fn = rd_loss
+    loss_fn = msssim_rd_loss if cfg.train.loss == "msssim" else rd_loss
     if cfg.model.name == "scalable":
         import functools
 
@@ -480,6 +490,9 @@ def main(argv=None):
     sp.add_argument("--train_dir", default=None)
     sp.add_argument("--val_dir", default=None)
     sp.add_argument("--max_steps", type=int, default=None)
+    sp.add_argument("--loss", default=None, choices=("mse", "msssim"),
+                    help="training distortion: 'mse' (reference objective) or "
+                         "'msssim' (bpp + lambda*(1-MS-SSIM))")
     sp.add_argument("--backbone", default=None,
                     help="saved backbone .npz for scalable vision "
                          "distillation (models.save_backbone)")

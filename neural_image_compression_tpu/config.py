@@ -38,6 +38,10 @@ class DataConfig:
 @dataclass
 class TrainConfig:
     lambda_rd: float = 0.005
+    loss: str = "mse"                    # 'mse' (rd_loss, reference objective)
+                                         # | 'msssim' (bpp + lambda*(1-MS-SSIM);
+                                         #   lambda scales differ — see
+                                         #   train.loss.msssim_rd_loss)
     learning_rate: float = 1e-4
     max_steps: int = 100000
     scheduler: Optional[str] = None      # None | 'cosine' | 'plateau'

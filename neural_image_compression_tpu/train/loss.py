@@ -17,7 +17,7 @@ Semantics preserved exactly:
 """
 
 import math
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,68 @@ def rd_loss(model_out: Dict[str, jax.Array], x: jax.Array, lambda_rd: float) -> 
         "bpp_total": bpp_total,
         "mse": mse,
         "psnr": psnr,
+        "mse_per_image": jax.lax.stop_gradient(mse_per_image),
+        "psnr_per_image": jax.lax.stop_gradient(psnr_per_image),
+        "bits_y": jnp.mean(bits_y),
+        "bits_z": jnp.mean(bits_z),
+        "bits_total": jnp.mean(bits_y + bits_z),
+    }
+
+
+def msssim_rd_loss(model_out: Dict[str, jax.Array], x: jax.Array, lambda_rd: float,
+                   weights: Optional[Tuple[float, ...]] = None) -> Dict[str, jax.Array]:
+    """MS-SSIM rate-distortion objective (beyond-reference training mode).
+
+    The reference trains MSE-only (RateDistortionLoss.py:34) and only
+    *evaluates* MS-SSIM (Evaluator.py:38-45). Optimizing the perceptual
+    metric directly is the standard second operating mode of this model
+    family (CompressAI's ``--metric ms-ssim``): distortion is
+    ``1 - MS-SSIM(x_hat, x)`` and ``loss = bpp_total + lambda * distortion``.
+    MS-SSIM is already normalized to [0, 1], so there is no 255^2 scale and
+    lambda values are NOT comparable with `rd_loss` (typical range 2-120 vs
+    rd_loss's 0.001-0.05).
+
+    weights: optional per-level MS-SSIM weights; fewer levels lower the
+    minimum image size (the default 5 levels need >= 161 px per side,
+    fine for the reference's 256^2 training patches).
+
+    MSE/PSNR are still reported (gradient-stopped) so runs trained under
+    either objective log a comparable metric catalogue.
+    """
+    from neural_image_compression_tpu.evaluation.msssim import ms_ssim
+
+    logp_y = model_out["logp_y"]
+    logp_z = model_out["logp_z"]
+
+    bits_y = -_sum_nonbatch(logp_y) / _LN2  # [B]
+    bits_z = -_sum_nonbatch(logp_z) / _LN2  # [B]
+    num_pixels = _num_pixels(x)
+    bpp_y = jnp.mean(bits_y / num_pixels)
+    bpp_z = jnp.mean(bits_z / num_pixels)
+    bpp_total = bpp_y + bpp_z
+
+    kwargs = {} if weights is None else {"weights": tuple(weights)}
+    msssim_per_image = ms_ssim(model_out["x_hat"], x, data_range=1.0,
+                               size_average=False, **kwargs)  # [B]
+    msssim = jnp.mean(msssim_per_image)
+
+    mse_per_image = jnp.mean((model_out["x_hat"] - x) ** 2,
+                             axis=tuple(range(1, x.ndim)))
+    mse = jnp.mean(mse_per_image)
+    psnr = -10.0 * jnp.log10(mse + _EPS)
+    psnr_per_image = -10.0 * jnp.log10(mse_per_image + _EPS)
+
+    loss = bpp_total + lambda_rd * (1.0 - msssim)
+
+    return {
+        "loss": loss,
+        "bpp_y": bpp_y,
+        "bpp_z": bpp_z,
+        "bpp_total": bpp_total,
+        "msssim": msssim,
+        "msssim_per_image": jax.lax.stop_gradient(msssim_per_image),
+        "mse": jax.lax.stop_gradient(mse),
+        "psnr": jax.lax.stop_gradient(psnr),
         "mse_per_image": jax.lax.stop_gradient(mse_per_image),
         "psnr_per_image": jax.lax.stop_gradient(psnr_per_image),
         "bits_y": jnp.mean(bits_y),
