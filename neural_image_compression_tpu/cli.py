@@ -220,12 +220,17 @@ def cmd_eval(args):
 
 def _make_codec(cfg: Config, model, params, card_path=None):
     from neural_image_compression_tpu.coding import (
-        CheckerboardCodec, FactorizedPriorCodec, JointARCodec, ScalableCodec,
+        CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
+        MeanScaleHyperpriorCodec, ScalableCodec,
     )
 
     cls = {"factorized": FactorizedPriorCodec,
            "scalable": ScalableCodec,
+           "hyperprior": MeanScaleHyperpriorCodec,
            "checkerboard": CheckerboardCodec}.get(cfg.model.name, JointARCodec)
+    if card_path and cls is MeanScaleHyperpriorCodec:
+        raise SystemExit("portable streams are not implemented for the "
+                         "hyperprior family yet; drop --card/--portable")
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
@@ -249,8 +254,8 @@ def _auto_streams(args, cfg) -> int:
         return n
     if cfg.model.name in ("factorized", "scalable"):
         return 1
-    if cfg.model.name == "checkerboard":
-        # lanes are a pure partition of each pass (no context approximation)
+    if cfg.model.name in ("checkerboard", "hyperprior"):
+        # lanes are a pure partition of each block (no context approximation)
         return min(16, os.cpu_count() or 1)
     from neural_image_compression_tpu.coding.codec import NATIVE_AR
 
@@ -285,6 +290,9 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
+    if portable and cfg.model.name == "hyperprior":
+        sys.exit("portable streams are not implemented for the hyperprior "
+                 "family yet; drop --card/--portable")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1

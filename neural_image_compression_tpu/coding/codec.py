@@ -49,6 +49,7 @@ _KIND_FACTORIZED_PORTABLE = 5
 _KIND_SCALABLE_PORTABLE = 6
 _KIND_CHECKERBOARD = 7         # two-pass parallel decode (models/checkerboard.py)
 _KIND_CHECKERBOARD_PORTABLE = 8
+_KIND_HYPERPRIOR = 9           # one-pass parallel decode (models/hyperprior.py)
 
 LEAKY_SLOPE = 0.01
 
@@ -1327,6 +1328,272 @@ class CheckerboardCodec:
             list(ex.map(_pass2, range(B)))
 
         # --- one batched synthesis over the whole batch -------------------
+        y_dev = _latents_to_device(np.stack(y_hats))
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
+
+class MeanScaleHyperpriorCodec:
+    """One-pass parallel codec for models.MeanScaleHyperprior.
+
+    The context-free family's entropy parameters depend only on z, so BOTH
+    directions are a single jitted device program (hyper-decoder + EP net)
+    plus one rANS call over the whole latent grid: no wavefront (JointAR),
+    no anchor/non-anchor feedback (Checkerboard) — the lowest-latency decode
+    in the codec ladder.
+
+    Determinism contract (same as CheckerboardCodec): encode and decode
+    derive all entropy parameters through the SAME jitted program on the
+    SAME integer z_q, so the f32 parameters are bit-identical on both
+    sides. Streams are self-consistent per device/build.
+
+    Stream layout: common header (kind 9) + z stream (factorized tables,
+    identical to JointARCodec) + ONE y stream in row-major position order,
+    channel fastest (K>1 grids pre-transposed on device to the coder's
+    (n*M, K) row layout).
+    """
+
+    def __init__(self, model, variables, portable_card=None):
+        if portable_card is not None:
+            raise NotImplementedError(
+                "portable (cross-machine) streams are not implemented for "
+                "the hyperprior family yet")
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self.K = model.K
+        self._z_cache = {}
+        self._analysis_q = _make_analysis(model, with_hyper=True)
+        self._analysis_f32 = None
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
+
+        K, M = self.K, self.M
+
+        def _params_body(mdl, zq):
+            params = mdl.entropy_params_from_hyper(zq)
+
+            def rows(p):
+                # (1, h, w, [K,] M) -> (h*w, [K,] M), batch is always 1
+                flat = p.astype(jnp.float32).reshape((-1,) + p.shape[3:])
+                if K == 1:                       # (n, M) -> (n*M,)
+                    return flat.reshape(-1)
+                # (n, K, M) -> (n, M, K) -> (n*M, K)
+                return jnp.swapaxes(flat, 1, 2).reshape(-1, K)
+            return tuple(rows(p) for p in params)
+
+        # jit caches one executable per z shape; no per-shape host state
+        # is needed because there is no mask gather — every position codes.
+        self._params_prog = jax.jit(
+            lambda v, zq: model.apply(v, zq, method=_params_body))
+
+    # lane helpers shared with the checkerboard family (pure staticmethods,
+    # re-wrapped so they stay static here; the "block" is the whole grid, so
+    # _encode_lanes is called with n_a = len(sym) and the second block empty)
+    _encode_lanes = staticmethod(CheckerboardCodec._encode_lanes)
+    _open_lanes = staticmethod(CheckerboardCodec._open_lanes)
+    _decode_block_lanes = staticmethod(CheckerboardCodec._decode_block_lanes)
+    _open_y = CheckerboardCodec._open_y  # regular method (takes self)
+
+    # -- helpers ----------------------------------------------------------
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=True)
+        return self._analysis_f32
+
+    def _z_tables(self, zmin: int, zmax: int):
+        key = (zmin, zmax)
+        if key not in self._z_cache:
+            self._z_cache[key] = factorized_tables(self.model, self.variables,
+                                                   zmin, zmax)
+        return self._z_cache[key]
+
+    def _coder_rows(self, rows_t):
+        """Downloaded row tensors -> (mus, sigmas, weights) coder args."""
+        if self.K == 1:
+            mu, sigma = rows_t
+            return np.asarray(mu), np.asarray(sigma), None
+        w, mus, sig = rows_t
+        return np.asarray(mus), np.asarray(sig), np.asarray(w)
+
+    def _encode_one(self, y_q, z_q, rows_t, img_h, img_w,
+                    n_streams: int) -> bytes:
+        zmin, zmax = int(z_q.min()), int(z_q.max())
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         cdfs, offsets, sizes)
+
+        sym = y_q.astype(np.int32).reshape(-1)  # row-major, channel fastest
+        mus, sigmas, weights = self._coder_rows(rows_t)
+        if n_streams == 1:
+            y_bytes = backend.encode_gaussian(sym, mus, sigmas, weights)
+            layout = 0
+        else:
+            y_bytes = self._encode_lanes(sym, mus, sigmas, weights,
+                                         len(sym), n_streams)
+            layout = 0x8000 | n_streams
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_HYPERPRIOR,
+                             self.K, self.M, img_h, img_w, layout, zmin, zmax,
+                             len(z_bytes), len(y_bytes))
+        return header + z_bytes + y_bytes
+
+    # -- encode -----------------------------------------------------------
+    def compress(self, x: np.ndarray, n_streams: int = 1) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded to
+        multiples of 64, cropped back at decompress).
+
+        n_streams=N (N>1): N-way INTERLEAVED rANS lanes (symbol s -> lane
+        s % N) with unchanged entropy params — a pure partition of the one
+        fully-parallel block, rate-neutral up to the ~8-byte/lane framing.
+        """
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        assert 1 <= n_streams <= 255
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+
+        outs = self._analysis_q(self.variables, x)
+        # enqueue the params program on the DEVICE z_q before any host
+        # fetch: it pipelines with the y/z downloads over the link
+        rows_t = self._params_prog(self.variables, outs[1])
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
+        z_q = np.asarray(outs[1])[0]
+        backend._require_integral_latents(y_q)
+        return self._encode_one(y_q, z_q, rows_t, img_h, img_w, n_streams)
+
+    def compress_batch(self, xs: np.ndarray, workers: int = None,
+                       n_streams: int = 1) -> list:
+        """Encode B images with every device program enqueued before the
+        first host fetch and the host rANS threaded per image. Streams are
+        byte-identical to per-image compress() (batch-1 device programs —
+        same contract as the other codecs' batch APIs)."""
+        assert xs.ndim == 4
+        assert 1 <= n_streams <= 255
+        img_h, img_w = xs.shape[1], xs.shape[2]
+        xp = _pad_input(xs, 64)
+        B = xp.shape[0]
+        outs = [self._analysis_q(self.variables, jnp.asarray(xp[b:b + 1]))
+                for b in range(B)]
+        rows_ts = [self._params_prog(self.variables, o[1]) for o in outs]
+        y_qs, z_qs = [], []
+        for b in range(B):
+            y_q = _fetch_y16(outs[b][0], lambda b=b: np.asarray(
+                self._analysis_full()(self.variables,
+                                      jnp.asarray(xp[b:b + 1]))[0]))[0]
+            backend._require_integral_latents(y_q)
+            y_qs.append(y_q)
+            z_qs.append(np.asarray(outs[b][1])[0])
+        # warm the z-table cache serially (it's a jitted device call)
+        for z_q in z_qs:
+            self._z_tables(int(z_q.min()), int(z_q.max()))
+
+        def _one(b):
+            return self._encode_one(y_qs[b], z_qs[b], rows_ts[b],
+                                    img_h, img_w, n_streams)
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            return list(ex.map(_one, range(B)))
+
+    # -- decode -----------------------------------------------------------
+    def _parse_header(self, data: bytes):
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        magic, kind, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if magic != _MAGIC or kind != _KIND_HYPERPRIOR:
+            raise ValueError("not a hyperprior bitstream")
+        if K != self.K or M != self.M:
+            raise ValueError(f"stream is K={K} M={M}, codec model is "
+                             f"K={self.K} M={self.M}")
+        return hs, img_h, img_w, layout, zmin, zmax, len_z, len_y
+
+    def _decode_z(self, z_bytes: bytes, zmin: int, zmax: int, hz: int,
+                  wz: int) -> np.ndarray:
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
+        return z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode (y_q, z_q) from a hyperprior bitstream."""
+        hs, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
+            self._parse_header(data)
+        z_bytes = data[hs:hs + len_z]
+        y_payload = data[hs + len_z:hs + len_z + len_y]
+
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+
+        z_q = self._decode_z(z_bytes, zmin, zmax, hz, wz)
+        rows_t = self._params_prog(self.variables, jnp.asarray(z_q)[None])
+        mus, sigmas, weights = self._coder_rows(rows_t)
+        decs = self._open_y(y_payload, layout)
+        vals = self._decode_block_lanes(decs, mus, sigmas, weights)
+        for dec in decs:
+            dec.finish()  # truncated/corrupt stream -> error, not garbage
+        return vals.reshape(h, w, self.M).astype(np.float32), z_q
+
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
+        """Reconstruct (1, H, W, 3); as_uint8 downloads uint8 pixels (4x
+        less link traffic — the serving output)."""
+        y_hat, _ = self.decode_latents(data)
+        img_h, img_w = _stream_size(data)
+        y_dev = _latents_to_device(y_hat[None])
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
+    def decompress_batch(self, datas: list, workers: int = None,
+                         as_uint8: bool = False) -> np.ndarray:
+        """Decode B same-shape bitstreams as ONE pipelined wave: all params
+        programs are enqueued before any host fetch (the link round-trips
+        overlap across images), the rANS decodes run in parallel threads,
+        and ONE batched synthesis program reconstructs the whole batch.
+        Returns (B, H, W, 3)."""
+        parsed = [self._parse_header(d) for d in datas]
+        img_h, img_w = parsed[0][1], parsed[0][2]
+        assert all(p[1] == img_h and p[2] == img_w for p in parsed), \
+            "decompress_batch requires same-shape bitstreams"
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        B = len(datas)
+
+        # z decode (serial — warms/uses the jitted z-table cache safely)
+        z_all = [self._decode_z(datas[b][parsed[b][0]:
+                                         parsed[b][0] + parsed[b][6]],
+                                parsed[b][4], parsed[b][5], hz, wz)
+                 for b in range(B)]
+        rows_ts = [self._params_prog(self.variables, jnp.asarray(z)[None])
+                   for z in z_all]
+        y_hats = [None] * B
+
+        def _one(b):
+            hs, _, _, layout, _, _, len_z, len_y = parsed[b]
+            payload = datas[b][hs + len_z:hs + len_z + len_y]
+            decs = self._open_y(payload, layout)
+            mus, sigmas, weights = self._coder_rows(rows_ts[b])
+            vals = self._decode_block_lanes(decs, mus, sigmas, weights,
+                                            workers=1)
+            for dec in decs:
+                dec.finish()
+            y_hats[b] = vals.reshape(h, w, self.M).astype(np.float32)
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            list(ex.map(_one, range(B)))
+
         y_dev = _latents_to_device(np.stack(y_hats))
         if as_uint8:
             (x_u8,) = self._synthesis_u8(self.variables, y_dev)

@@ -16,8 +16,8 @@ from typing import Optional
 
 @dataclass
 class ModelConfig:
-    name: str = "joint_ar"  # joint_ar | residual | factorized | scalable
-                            # | gained | checkerboard
+    name: str = "joint_ar"  # joint_ar | residual | factorized | hyperprior
+                            # | scalable | gained | checkerboard
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
@@ -98,7 +98,7 @@ def build_model(cfg: ModelConfig):
     from neural_image_compression_tpu.models import (
         CheckerboardHierarchical, FactorizedPrior, GainedJointAR,
         HierarchicalMixtureResidual, JointAutoregressiveHierarchical,
-        ScalableImageCoding,
+        MeanScaleHyperprior, ScalableImageCoding,
     )
 
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else None
@@ -117,6 +117,9 @@ def build_model(cfg: ModelConfig):
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
     if cfg.name == "factorized":
         return FactorizedPrior(latent_channels=cfg.latent_channels, dtype=dtype)
+    if cfg.name == "hyperprior":
+        return MeanScaleHyperprior(
+            latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
     if cfg.name == "scalable":
         return ScalableImageCoding(latent_channels=cfg.latent_channels,
                                    base_channels=cfg.base_channels,

@@ -9,6 +9,7 @@ from neural_image_compression_tpu.models.joint_ar import (
     noise_quantize, round_quantize, quantize,
 )
 from neural_image_compression_tpu.models.factorized_prior import FactorizedPrior
+from neural_image_compression_tpu.models.hyperprior import MeanScaleHyperprior
 from neural_image_compression_tpu.models.checkerboard import (
     CheckerboardContext, CheckerboardHierarchical, checkerboard_mask,
 )
@@ -29,7 +30,7 @@ __all__ = [
     "HyperEncoder5x5", "HyperDecoder5x5", "HyperEncoder3x3", "HyperDecoder3x3",
     "LatentSpaceTransform", "EntropyParameters",
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
-    "FactorizedPrior", "ScalableImageCoding",
+    "FactorizedPrior", "MeanScaleHyperprior", "ScalableImageCoding",
     "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
     "GainedJointAR", "fold_gains", "folded_model", "interp_gain",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",

@@ -32,6 +32,12 @@ class EntropyParameters(nn.Module):
     K: int = 1
     hidden: int = 640
     dtype: Optional[Any] = None
+    # Declared input width override. The default (None) is the reference's
+    # context+hyper concat, 2M + 2H (ParametersModels.py:22). Context-free
+    # assemblies (models/hyperprior.py) pass 2*hyper_latent_channels: the
+    # first GEMM then contracts over 2M lanes instead of feeding a zeroed
+    # context half through 4M.
+    input_channels: Optional[int] = None
 
     @property
     def distribution(self) -> str:
@@ -44,12 +50,16 @@ class EntropyParameters(nn.Module):
         # (ParametersModels.py:22); make it load-bearing by validating the
         # declared input width (phi 2M + psi 2H) instead of silently
         # accepting whatever arrives
-        expected = 2 * m + 2 * self.hyper_latent_channels
+        if self.input_channels is not None:
+            expected = self.input_channels
+            detail = "declared input_channels"
+        else:
+            expected = 2 * m + 2 * self.hyper_latent_channels
+            detail = (f"2*{m} context + 2*{self.hyper_latent_channels} hyper")
         if combined.shape[-1] != expected:
             raise ValueError(
                 f"EntropyParameters expected {expected} input channels "
-                f"(2*{m} context + 2*{self.hyper_latent_channels} hyper), "
-                f"got {combined.shape[-1]}")
+                f"({detail}), got {combined.shape[-1]}")
         out_ch = 2 * m if k == 1 else 3 * k * m
         h = Conv2d(self.hidden, 1, dtype=self.dtype)(combined)
         h = leaky_relu(h)
