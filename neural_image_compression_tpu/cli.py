@@ -228,9 +228,6 @@ def _make_codec(cfg: Config, model, params, card_path=None):
            "scalable": ScalableCodec,
            "hyperprior": MeanScaleHyperpriorCodec,
            "checkerboard": CheckerboardCodec}.get(cfg.model.name, JointARCodec)
-    if card_path and cls is MeanScaleHyperpriorCodec:
-        raise SystemExit("portable streams are not implemented for the "
-                         "hyperprior family yet; drop --card/--portable")
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
@@ -290,9 +287,6 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
-    if portable and cfg.model.name == "hyperprior":
-        sys.exit("portable streams are not implemented for the hyperprior "
-                 "family yet; drop --card/--portable")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1

@@ -140,6 +140,13 @@ def get_lib() -> ctypes.CDLL:
     lib.arport_decode_cb.restype = ctypes.c_int
     lib.arport_decode_cb.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int,
                                      i64p, ctypes.c_int, ctypes.c_int, i32p]
+    lib.arport_encode_hp.restype = ctypes.c_int
+    lib.arport_encode_hp.argtypes = [ctypes.c_void_p, i32p, i64p,
+                                     ctypes.c_int, ctypes.c_int, i8p,
+                                     ctypes.c_int]
+    lib.arport_decode_hp.restype = ctypes.c_int
+    lib.arport_decode_hp.argtypes = [ctypes.c_void_p, i8p, ctypes.c_int,
+                                     i64p, ctypes.c_int, ctypes.c_int, i32p]
     lib.arport_psi.argtypes = [i16p, i64p, ctypes.c_int, ctypes.c_int, i64p,
                                ctypes.c_int, i64p]
     lib.arport_hyper_create.restype = ctypes.c_void_p
@@ -540,6 +547,33 @@ class ArPortableCoder:
         p_acc = np.ascontiguousarray(p_acc, np.int64)
         y_out = np.empty((h, w, self.M), np.int32)
         rc = self._lib.arport_decode_cb(
+            self._handle, _ptr(buf, ctypes.c_uint8), len(data),
+            _ptr(p_acc, ctypes.c_int64), h, w, _ptr(y_out, ctypes.c_int32))
+        if rc != 0:
+            raise ValueError("corrupt or truncated portable AR stream")
+        return y_out.astype(np.float32)
+
+    def encode_hp(self, y_q: np.ndarray, p_acc: np.ndarray) -> bytes:
+        """Hyperprior one-pass encode (cards with family=2)."""
+        y = np.ascontiguousarray(y_q, np.int32)
+        p_acc = np.ascontiguousarray(p_acc, np.int64)
+        h, w = y.shape[:2]
+        cap = max(1024, h * w * self.M * 8 + 64)
+        out = np.empty(cap, np.uint8)
+        ln = self._lib.arport_encode_hp(
+            self._handle, _ptr(y, ctypes.c_int32),
+            _ptr(p_acc, ctypes.c_int64), h, w, _ptr(out, ctypes.c_uint8),
+            cap)
+        if ln < 0:
+            raise RuntimeError("rANS encode overflow")
+        return out[:ln].tobytes()
+
+    def decode_hp(self, data: bytes, p_acc: np.ndarray, h: int, w: int
+                  ) -> np.ndarray:
+        buf = np.frombuffer(data, np.uint8)
+        p_acc = np.ascontiguousarray(p_acc, np.int64)
+        y_out = np.empty((h, w, self.M), np.int32)
+        rc = self._lib.arport_decode_hp(
             self._handle, _ptr(buf, ctypes.c_uint8), len(data),
             _ptr(p_acc, ctypes.c_int64), h, w, _ptr(y_out, ctypes.c_int32))
         if rc != 0:

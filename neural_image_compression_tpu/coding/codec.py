@@ -50,6 +50,7 @@ _KIND_SCALABLE_PORTABLE = 6
 _KIND_CHECKERBOARD = 7         # two-pass parallel decode (models/checkerboard.py)
 _KIND_CHECKERBOARD_PORTABLE = 8
 _KIND_HYPERPRIOR = 9           # one-pass parallel decode (models/hyperprior.py)
+_KIND_HYPERPRIOR_PORTABLE = 10
 
 LEAKY_SLOPE = 0.01
 
@@ -207,6 +208,21 @@ class _HostParamNets:
         self.positions = pos
         self.ctx_w = np.concatenate([kernel[r, c] for (r, c) in pos], axis=0)
         # (12*M, 2M)
+        self._init_ep(ep_params, M, K)
+
+    @classmethod
+    def ep_only(cls, ep_params: Dict, M: int, K: int) -> "_HostParamNets":
+        """Context-free variant (hyperprior family): no ctx conv at all;
+        the EP layer-1 weight consumes psi alone, so ctx_w is empty and
+        phi_dim (= ctx_w.shape[1]) is 0."""
+        self = cls.__new__(cls)
+        self.positions = ()
+        self.ctx_w = np.zeros((0, 0), cls.DTYPE)
+        self.ctx_bias = np.zeros((0,), cls.DTYPE)
+        self._init_ep(ep_params, M, K)
+        return self
+
+    def _init_ep(self, ep_params: Dict, M: int, K: int) -> None:
         ep = ep_params
         self.ep = []
         for name in ("Conv2d_0", "Conv2d_1", "Conv2d_2"):
@@ -1357,15 +1373,12 @@ class MeanScaleHyperpriorCodec:
     """
 
     def __init__(self, model, variables, portable_card=None):
-        if portable_card is not None:
-            raise NotImplementedError(
-                "portable (cross-machine) streams are not implemented for "
-                "the hyperprior family yet")
         self.model = model
         self.variables = variables
         self.M = model.latent_channels
         self.K = model.K
         self._z_cache = {}
+        self._portable_card = portable_card
         self._analysis_q = _make_analysis(model, with_hyper=True)
         self._analysis_f32 = None
         self._synthesis = jax.jit(lambda v, yq: model.apply(
@@ -1421,6 +1434,80 @@ class MeanScaleHyperpriorCodec:
             return np.asarray(mu), np.asarray(sigma), None
         w, mus, sig = rows_t
         return np.asarray(mus), np.asarray(sig), np.asarray(w)
+
+    # -- portable mode ------------------------------------------------------
+    def portable_card(self):
+        """The deterministic codec artifact for cross-machine hyperprior
+        streams (family=2: no context at all — the EP layer-1 weight
+        consumes psi alone, and every position's parameters come from the
+        integer hyper-decoder + EP MLP). Built lazily; ship with
+        .save(path)."""
+        if self._portable_card is None:
+            from neural_image_compression_tpu.coding.portable import PortableCard
+
+            self._portable_card = PortableCard.build(self.model, self.variables,
+                                                     family="hyperprior")
+        return self._portable_card
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        """Encode with the cross-machine deterministic integer path: decode
+        is one integer GEMM pass on ANY machine/implementation holding the
+        same card — no device in the loop at all (unlike compress(), whose
+        params program is per-build jitted device code)."""
+        from neural_image_compression_tpu.coding import portable as P
+
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        card = self.portable_card()
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+        outs = self._analysis_q(self.variables, x)
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
+
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         card.z_cdfs, card.z_offsets,
+                                         card.z_sizes)
+        psi_fix = card.hyper_forward(z_q)
+        y_payload = P.portable_hp_encode(card, y_q, psi_fix)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC,
+                             _KIND_HYPERPRIOR_PORTABLE, self.K, self.M,
+                             img_h, img_w, 0, card.zmin, card.zmax,
+                             len(z_bytes), len(y_payload))
+        return header + card.hash + z_bytes + y_payload
+
+    def _decode_latents_portable(self, data: bytes
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        _, _, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if data[hs:hs + 8] != card.hash:
+            raise ValueError(
+                "portable stream was encoded with a different card — load "
+                "the encoder's card file (PortableCard.load) and pass it "
+                "via MeanScaleHyperpriorCodec(portable_card=...)")
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        z_bytes = data[hs + 8:hs + 8 + len_z]
+        y_payload = data[hs + 8 + len_z:hs + 8 + len_z + len_y]
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(
+            z_bytes, z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        psi_fix = card.hyper_forward(z_q)
+        y_hat = P.portable_hp_decode(card, y_payload, psi_fix, h, w)
+        return y_hat, z_q
+
+    @staticmethod
+    def _is_portable(data: bytes) -> bool:
+        return len(data) > 5 and data[4] == _KIND_HYPERPRIOR_PORTABLE
 
     def _encode_one(self, y_q, z_q, rows_t, img_h, img_w,
                     n_streams: int) -> bytes:
@@ -1508,7 +1595,8 @@ class MeanScaleHyperpriorCodec:
         hs = struct.calcsize(fmt)
         magic, kind, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
             struct.unpack(fmt, data[:hs])
-        if magic != _MAGIC or kind != _KIND_HYPERPRIOR:
+        if magic != _MAGIC or kind not in (_KIND_HYPERPRIOR,
+                                           _KIND_HYPERPRIOR_PORTABLE):
             raise ValueError("not a hyperprior bitstream")
         if K != self.K or M != self.M:
             raise ValueError(f"stream is K={K} M={M}, codec model is "
@@ -1524,7 +1612,11 @@ class MeanScaleHyperpriorCodec:
         return z_sym.reshape(hz, wz, self.M).astype(np.float32)
 
     def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode (y_q, z_q) from a hyperprior bitstream."""
+        """Decode (y_q, z_q) from a hyperprior bitstream (float or portable
+        kind)."""
+        if self._is_portable(data):
+            self._parse_header(data)  # magic/K/M validation
+            return self._decode_latents_portable(data)
         hs, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
             self._parse_header(data)
         z_bytes = data[hs:hs + len_z]
@@ -1562,6 +1654,10 @@ class MeanScaleHyperpriorCodec:
         overlap across images), the rANS decodes run in parallel threads,
         and ONE batched synthesis program reconstructs the whole batch.
         Returns (B, H, W, 3)."""
+        if any(self._is_portable(d) for d in datas):
+            # portable decode has no device pass to pipeline; keep it simple
+            return np.concatenate([self.decompress(d, as_uint8=as_uint8)
+                                   for d in datas])
         parsed = [self._parse_header(d) for d in datas]
         img_h, img_w = parsed[0][1], parsed[0][2]
         assert all(p[1] == img_h and p[2] == img_w for p in parsed), \

@@ -102,7 +102,7 @@ class QuantLayer:
         sw = 15 if mx == 0 else int(math.floor(math.log2(32767.0 / mx)))
         sw = max(0, min(24, sw))
         wq = np.round(np.asarray(w, np.float64) * (1 << sw)).astype(np.int64)
-        assert np.abs(wq).max() <= 32767, "weight quantization overflow"
+        assert np.abs(wq).max(initial=0) <= 32767, "weight quantization overflow"
         bq = np.round(np.asarray(b, np.float64)
                       * (1 << (F_BITS + sw))).astype(np.int64)
         return cls(wq.astype(np.int16), bq, sw)
@@ -241,11 +241,12 @@ class PortableCard:
         if sigma_R.size and not (0 <= int(sigma_R.min())
                                  and int(sigma_R.max()) <= 254):
             raise ValueError("corrupt card: sigma_R outside [0, 254]")
-        if family not in (0, 1):
+        if family not in (0, 1, 2):
             raise ValueError(f"unknown card family {family}")
         self.M = M
         self.K = K
-        self.family = family        # 0 = wavefront (causal ctx), 1 = checkerboard
+        self.family = family        # 0 = wavefront (causal ctx),
+                                    # 1 = checkerboard, 2 = hyperprior (no ctx)
         self.hyper = hyper          # [(kind, layer, geometry), ...]
         self.ctx = ctx
         self.ep1_phi = ep1_phi
@@ -355,15 +356,20 @@ class PortableCard:
         12 CTX_POSITIONS taps); 'checkerboard' quantizes the checkerboard
         model's plain 5x5 context conv restricted to its 12 live
         (odd-parity) taps, CB_CTX_POSITIONS order — the integer GEMM stack
-        downstream is identical for both."""
+        downstream is identical for both. 'hyperprior' has NO context at
+        all (models/hyperprior.py): the EP layer-1 weight consumes psi
+        alone (2M input lanes), so the card carries an empty ctx/ep1_phi
+        and every position's parameters come from params_from_acc."""
         from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
         from neural_image_compression_tpu.coding.codec import _HostParamNets
 
-        fam = {"wavefront": 0, "checkerboard": 1}[family]
+        fam = {"wavefront": 0, "checkerboard": 1, "hyperprior": 2}[family]
         p = variables["params"]
         M = model.latent_channels if M is None else M
         K = model.K if K is None else K
-        if fam == 1:
+        if fam == 2:
+            nets = _HostParamNets.ep_only(p[ep_name], M, K)
+        elif fam == 1:
             from neural_image_compression_tpu.models.checkerboard import (
                 CB_CTX_POSITIONS,
             )
@@ -408,9 +414,10 @@ class PortableCard:
         phi_dim = nets.ctx_w.shape[1]
         ep1_phi = QuantLayer.quantize(w1[:phi_dim], np.zeros(w1.shape[1]))
         # psi half carries the layer-1 bias; shifts must match so the two
-        # accumulators add at the same scale
+        # accumulators add at the same scale (a context-free card has an
+        # empty phi half — its sw must not drag the psi scale down)
         ep1_psi = QuantLayer.quantize(w1[phi_dim:], b1)
-        sw = min(ep1_phi.sw, ep1_psi.sw)
+        sw = min(ep1_phi.sw, ep1_psi.sw) if phi_dim else ep1_psi.sw
         for lay, half, bias in ((ep1_phi, w1[:phi_dim], np.zeros(w1.shape[1])),
                                 (ep1_psi, w1[phi_dim:], b1)):
             lay.sw = sw
@@ -949,6 +956,106 @@ def _py_cb_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
     if not dec.ok():
         raise ValueError("corrupt or truncated portable AR stream")
     return y_out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Hyperprior one-pass encode/decode (numpy reference implementation)
+# ---------------------------------------------------------------------------
+
+def portable_hp_encode(card: PortableCard, y_q: np.ndarray,
+                       psi_fix: np.ndarray, native: bool = None) -> bytes:
+    """Encode one hyperprior latent grid with the integer parameter path.
+    Same stream <-> symbol conventions as portable_ar_encode; every
+    position's parameters come from the hyperprior alone (params_from_acc),
+    in row-major position order, channel fastest — the float
+    MeanScaleHyperpriorCodec's symbol order."""
+    if card.family != 2:
+        raise ValueError("card is not a hyperprior-family card")
+    if native is None:
+        native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+    if not (np.abs(np.asarray(y_q)).max(initial=0) <= Y_ABS_MAX):
+        raise ValueError(f"latent magnitude exceeds the portable-spec bound "
+                         f"(|y| <= {Y_ABS_MAX}) or is non-finite")
+    if native:
+        p_acc = card.psi_precompute(psi_fix, native=True)
+        return _native_coder(card).encode_hp(
+            np.asarray(y_q).astype(np.int32), p_acc)
+    return _py_hp_encode(card, y_q, psi_fix)
+
+
+def _py_hp_encode(card: PortableCard, y_q: np.ndarray,
+                  psi_fix: np.ndarray) -> bytes:
+    h, w = y_q.shape[:2]
+    M = card.M
+    y_int = np.asarray(y_q).astype(np.int64)
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
+    h3 = card.params_from_acc(p_acc)           # (h*w, out_dim), all positions
+
+    syms: List[int] = []
+    models: List[Tuple] = []
+    y_flat = y_int.reshape(h * w, M)
+    for p in range(h * w):
+        mu, bins, wfix = card.channel_models(h3[p])
+        yrow = y_flat[p]
+        for m in range(M):
+            syms.append(int(yrow[m]))
+            models.append((mu[m], bins[m], wfix[m]))
+    enc = PyEncoder()
+    for i in range(len(syms) - 1, -1, -1):
+        c, R, cum = build_symbol_model(card, *models[i])
+        d = syms[i] - c
+        if -R <= d <= R:
+            j = d + R
+            enc.put(int(cum[j]), int(cum[j + 1] - cum[j]))
+        else:
+            v = (syms[i] + 0x80000000) & 0xFFFFFFFF
+            enc.put_raw16(v & 0xFFFF)
+            enc.put_raw16((v >> 16) & 0xFFFF)
+            j = 2 * R + 1
+            enc.put(int(cum[j]), int(cum[j + 1] - cum[j]))
+    return enc.flush()
+
+
+def portable_hp_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
+                       h: int, w: int, native: bool = None) -> np.ndarray:
+    """Decode one hyperprior latent layer; returns (h, w, M) float32."""
+    if card.family != 2:
+        raise ValueError("card is not a hyperprior-family card")
+    if native is None:
+        native = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
+    if native:
+        p_acc = card.psi_precompute(psi_fix, native=True)
+        return _native_coder(card).decode_hp(data, p_acc, h, w)
+    return _py_hp_decode(card, data, psi_fix, h, w)
+
+
+def _py_hp_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
+                  h: int, w: int) -> np.ndarray:
+    M = card.M
+    p_acc = card.psi_precompute(psi_fix, native=False).reshape(h * w, -1)
+    h3 = card.params_from_acc(p_acc)
+    y_out = np.zeros((h * w, M), np.int64)
+    dec = PyDecoder(data)
+    for p in range(h * w):
+        mu, bins, wfix = card.channel_models(h3[p])
+        for m in range(M):
+            c, R, cum = build_symbol_model(card, mu[m], bins[m], wfix[m])
+            cf = dec.peek()
+            jj = _cdf_find(cum, cf)
+            dec.advance(int(cum[jj]), int(cum[jj + 1] - cum[jj]))
+            if jj == 2 * R + 1:
+                hi = dec.get_raw16()
+                lo = dec.get_raw16()
+                v = ((hi << 16) | lo) - 0x80000000
+                if abs(v) > Y_ABS_MAX:  # mirror of kYAbsMax in C++
+                    raise ValueError(
+                        "corrupt portable AR stream (escape out of spec)")
+            else:
+                v = c + (jj - R)
+            y_out[p, m] = v
+    if not dec.ok():
+        raise ValueError("corrupt or truncated portable AR stream")
+    return y_out.reshape(h, w, M).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

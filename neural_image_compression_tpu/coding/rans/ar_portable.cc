@@ -1146,3 +1146,103 @@ int arport_decode_cb(void* handle, const uint8_t* buf, int len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Hyperprior one-pass portable codec (mirror of portable.py
+// portable_hp_encode / portable_hp_decode): the family has NO context model
+// (models/hyperprior.py), so every position's parameters come from the
+// hyperprior accumulators alone (the checkerboard anchor-pass math applied
+// to the whole grid) in row-major position order. Same symbol model, escape
+// and rANS conventions as the wavefront/checkerboard functions above.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// y_q: (H, W, M) int32 latents; p_acc: (H*W, hidden). Returns stream
+// length, or -1 on overflow.
+int arport_encode_hp(void* handle, const int32_t* y_q, const int64_t* p_acc,
+                     int H, int W, uint8_t* out, int cap) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W, kCbBlock);
+
+  const int total = H * W;
+  const size_t n_sym = static_cast<size_t>(total) * M;
+  std::vector<int32_t> sym(n_sym);
+  std::vector<int64_t> mu(n_sym * K), bins(n_sym * K), wfix(n_sym * K);
+  size_t s = 0;
+  for (int start = 0; start < total; start += kCbBlock) {
+    const int n = std::min(kCbBlock, total - start);
+    for (int p = 0; p < n; ++p) {
+      sc.wave_i[p] = (start + p) / W;
+      sc.wave_j[p] = (start + p) % W;
+    }
+    sc.cb_anchor_params(n, p_acc);  // context-free params for the block
+    for (int p = 0; p < n; ++p) {
+      sc.pixel_models(p, &mu[s * K], &bins[s * K], &wfix[s * K]);
+      const int32_t* yrow = y_q + static_cast<size_t>(start + p) * M;
+      for (int m = 0; m < M; ++m) sym[s + m] = yrow[m];
+      s += M;
+    }
+  }
+
+  Encoder enc;
+  enc.bytes.reserve(n_sym * 2 + 16);
+  SymModel sm;
+  for (int64_t i = static_cast<int64_t>(n_sym) - 1; i >= 0; --i) {
+    build_model(net, &mu[i * K], &bins[i * K], &wfix[i * K], &sm);
+    const int d = sym[i] - sm.c;
+    if (d >= -sm.R && d <= sm.R) {
+      const int j = d + sm.R;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    } else {
+      nic::put_escape_value(enc, sym[i]);
+      const int j = sm.nsym - 1;
+      enc.put(sm.cum[j], sm.cum[j + 1] - sm.cum[j]);
+    }
+  }
+  return enc.flush(out, cap);
+}
+
+// Returns 0, or -1 on corrupt/truncated stream.
+int arport_decode_hp(void* handle, const uint8_t* buf, int len,
+                     const int64_t* p_acc, int H, int W, int32_t* y_out) {
+  const PortNets& net = *static_cast<PortNets*>(handle);
+  const int M = net.M, K = net.K;
+  PScratch sc(net, H, W, kCbBlock);
+  Decoder dec;
+  dec.init(buf, len);
+  std::vector<int64_t> mu(static_cast<size_t>(M) * K),
+      bins(static_cast<size_t>(M) * K), wfix(static_cast<size_t>(M) * K);
+  SymModel sm;
+  const int total = H * W;
+  for (int start = 0; start < total; start += kCbBlock) {
+    const int n = std::min(kCbBlock, total - start);
+    for (int p = 0; p < n; ++p) {
+      sc.wave_i[p] = (start + p) / W;
+      sc.wave_j[p] = (start + p) % W;
+    }
+    sc.cb_anchor_params(n, p_acc);
+    for (int p = 0; p < n; ++p) {
+      int32_t* dst = y_out + static_cast<size_t>(start + p) * M;
+      sc.pixel_models(p, mu.data(), bins.data(), wfix.data());
+      for (int m = 0; m < M; ++m) {
+        build_model(net, &mu[m * K], &bins[m * K], &wfix[m * K], &sm);
+        const uint32_t cf = dec.peek();
+        const int jj = cdf_find(sm.cum, sm.nsym, cf);
+        dec.advance(sm.cum[jj], sm.cum[jj + 1] - sm.cum[jj]);
+        int32_t v;
+        if (jj == sm.nsym - 1) {
+          v = nic::get_escape_value(dec);
+          if (v > kYAbsMax || v < -kYAbsMax) return -1;
+        } else {
+          v = sm.c + (jj - sm.R);
+        }
+        dst[m] = v;
+      }
+    }
+  }
+  return dec.ok() ? 0 : -1;
+}
+
+}  // extern "C"

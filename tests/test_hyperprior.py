@@ -242,13 +242,6 @@ def test_codec_kind_mismatch_raises(hp_k1):
         hp_codec.decode_latents(cb.compress(x))
 
 
-def test_portable_not_implemented(hp_k1):
-    model, params = hp_k1
-    with pytest.raises(NotImplementedError, match="portable"):
-        MeanScaleHyperpriorCodec(model, {"params": params},
-                                 portable_card=object())
-
-
 def test_build_model_and_trainer(tmp_path):
     from neural_image_compression_tpu.config import ModelConfig, build_model
     from neural_image_compression_tpu.train import Trainer
