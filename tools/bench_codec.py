@@ -9,8 +9,10 @@ host CDF work, are realistic):
   * joint_ar     — native AVX-512 wavefront AR codec (host-serial context)
   * checkerboard — two-jitted-device-pass codec (batch APIs pipeline the
                    tunnel round-trips; host work is rANS only)
-  * checkerboard portable — fully integer host pipeline (no device in the
-                   decode loop at all)
+  * hyperprior   — ONE-jitted-device-pass codec (context-free family; the
+                   fastest decode in the ladder)
+  * checkerboard/hyperprior portable — fully integer host pipelines (no
+                   device in the decode loop at all)
 
 Emits one JSON line per (codec, direction) plus writes BENCH_CODEC.json at
 the repo root. Batched paths overlap host rANS with device passes; on this
@@ -84,10 +86,11 @@ def _bench(label, fn, n_imgs):
 
 def main():
     from neural_image_compression_tpu.coding.codec import (
-        CheckerboardCodec, JointARCodec,
+        CheckerboardCodec, JointARCodec, MeanScaleHyperpriorCodec,
     )
     from neural_image_compression_tpu.models import (
         CheckerboardHierarchical, JointAutoregressiveHierarchical,
+        MeanScaleHyperprior,
     )
 
     key = jax.random.PRNGKey(0)
@@ -102,7 +105,8 @@ def main():
 
     for name, Model, Codec in (
             ("joint_ar", JointAutoregressiveHierarchical, JointARCodec),
-            ("checkerboard", CheckerboardHierarchical, CheckerboardCodec)):
+            ("checkerboard", CheckerboardHierarchical, CheckerboardCodec),
+            ("hyperprior", MeanScaleHyperprior, MeanScaleHyperpriorCodec)):
         print(f"[{name}] training ...", flush=True)
         model = Model(latent_channels=M, K=K, dtype=jnp.bfloat16)
         params = _train_briefly(model, key, TRAIN_STEPS)
@@ -124,7 +128,7 @@ def main():
                       lambda: codec.decompress(streams[0], as_uint8=True), 1)
         rows.append(r)
 
-        if name == "checkerboard":
+        if name in ("checkerboard", "hyperprior"):
             print("  building portable card ...", flush=True)
             card = codec.portable_card()
             r, pstreams = _bench(
