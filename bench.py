@@ -14,7 +14,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
 
 Env knobs: NIC_BENCH_DTYPE=bf16|f32 (transform compute dtype; entropy math is
-always f32), NIC_BENCH_ITERS, NIC_BENCH_BATCH.
+always f32), NIC_BENCH_ITERS, NIC_BENCH_BATCH, NIC_BENCH_M, NIC_BENCH_K,
+NIC_BENCH_FAMILY=joint_ar|checkerboard|hyperprior (model family; MFU uses
+the matching analytic FLOP model).
 """
 
 import json
@@ -51,7 +53,10 @@ def _wait_for_backend():
 
 
 def main():
-    from neural_image_compression_tpu.models import JointAutoregressiveHierarchical
+    from neural_image_compression_tpu.models import (
+        CheckerboardHierarchical, JointAutoregressiveHierarchical,
+        MeanScaleHyperprior,
+    )
     from neural_image_compression_tpu.train.loss import rd_loss
 
     _wait_for_backend()
@@ -64,9 +69,12 @@ def main():
     # constructor default (Models.py latent_channels=192)
     M = int(os.environ.get("NIC_BENCH_M", "128"))
     KMIX = int(os.environ.get("NIC_BENCH_K", "3"))
+    family = os.environ.get("NIC_BENCH_FAMILY", "joint_ar")
 
-    model = JointAutoregressiveHierarchical(latent_channels=M, K=KMIX,
-                                            dtype=dtype)
+    Model = {"joint_ar": JointAutoregressiveHierarchical,
+             "checkerboard": CheckerboardHierarchical,
+             "hyperprior": MeanScaleHyperprior}[family]
+    model = Model(latent_channels=M, K=KMIX, dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, 512, 768, 3), jnp.float32)
     params = jax.jit(lambda k, x: model.init({"params": k, "noise": k}, x,
@@ -112,16 +120,22 @@ def main():
     # MFU: analytic eval-forward FLOPs over the chip's bf16 peak
     # (NIC_PEAK_TFLOPS overrides; default v5e = 197).
     from neural_image_compression_tpu.utils.flops import (
-        joint_ar_eval_flops, mfu, train_step_flops,
+        hyperprior_eval_flops, joint_ar_eval_flops, mfu, train_step_flops,
     )
 
-    flops_img = joint_ar_eval_flops(M, KMIX, 512, 768)["total"]
+    # checkerboard's context conv has the same shape as joint_ar's, so the
+    # joint FLOP model applies to both; hyperprior drops the context and
+    # halves the EP input width
+    _flops = (hyperprior_eval_flops if family == "hyperprior"
+              else joint_ar_eval_flops)
+    flops_img = _flops(M, KMIX, 512, 768)["total"]
     peak = float(os.environ.get("NIC_PEAK_TFLOPS", "197"))
 
     result = {
         "metric": ("kodak_768x512_encdec_images_per_sec_per_chip"
                    f"_batch{batch}" + (f"_M{M}K{KMIX}" if (M, KMIX) != (128, 3)
-                                      else "")),
+                                      else "")
+                   + (f"_{family}" if family != "joint_ar" else "")),
         "value": round(img_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
@@ -167,8 +181,7 @@ def main():
         float(m["loss"])
         tdt = time.perf_counter() - t0
         steps_per_sec = titers / tdt
-        tflops_img = train_step_flops(
-            joint_ar_eval_flops(M, KMIX, 256, 256)["total"])
+        tflops_img = train_step_flops(_flops(M, KMIX, 256, 256)["total"])
         result["train_steps_per_sec"] = round(steps_per_sec, 2)
         result["train_batch"] = tb
         result["train_mfu"] = round(

@@ -113,6 +113,24 @@ def joint_ar_eval_flops(M: int, K: int, H: int, W: int,
     return out
 
 
+def hyperprior_eval_flops(M: int, K: int, H: int, W: int,
+                          transform: str = "conv5x5") -> Dict[str, int]:
+    """Per-image eval-forward FLOPs of MeanScaleHyperprior: the joint-AR
+    structure minus the context conv, with the EP net contracting over 2M
+    input lanes (psi only) instead of the 4M context+hyper concat.
+    (CheckerboardHierarchical matches joint_ar_eval_flops exactly — its
+    context conv has the same shape.)"""
+    out = dict(joint_ar_eval_flops(M, K, H, W, transform))
+    h16, w16 = H // 16, W // 16
+    del out["context"]
+    ep_out = 2 * M if K == 1 else 3 * K * M
+    out["entropy_parameters"] = (
+        _conv(h16, w16, 1, 2 * M, 640) + _conv(h16, w16, 1, 640, 640)
+        + _conv(h16, w16, 1, 640, ep_out))
+    out["total"] = sum(v for k, v in out.items() if k != "total")
+    return out
+
+
 def factorized_prior_eval_flops(M: int, H: int, W: int) -> Dict[str, int]:
     out = {}
     out["encoder"] = (

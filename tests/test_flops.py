@@ -3,8 +3,8 @@
 import pytest
 
 from neural_image_compression_tpu.utils.flops import (
-    PEAK_BF16_TFLOPS, factorized_prior_eval_flops, joint_ar_eval_flops, mfu,
-    scalable_eval_flops, train_step_flops,
+    PEAK_BF16_TFLOPS, factorized_prior_eval_flops, hyperprior_eval_flops,
+    joint_ar_eval_flops, mfu, scalable_eval_flops, train_step_flops,
 )
 
 
@@ -35,6 +35,18 @@ def test_variants():
     s = scalable_eval_flops(192, 128, 3, 512, 768)
     assert s["lst"] > 0
     assert s["total"] == sum(v for k, v in s.items() if k != "total")
+
+
+def test_hyperprior_is_joint_minus_context_and_half_ep_input():
+    j = joint_ar_eval_flops(128, 3, 512, 768)
+    h = hyperprior_eval_flops(128, 3, 512, 768)
+    assert "context" not in h
+    # EP saving = the first GEMM's halved input width (4M -> 2M)
+    ep_delta = j["entropy_parameters"] - h["entropy_parameters"]
+    h16w16 = (512 // 16) * (768 // 16)
+    assert ep_delta == 2 * h16w16 * 2 * 128 * 640
+    assert h["total"] == j["total"] - j["context"] - ep_delta
+    assert h["total"] == sum(v for k, v in h.items() if k != "total")
 
 
 def test_mfu_and_train():
