@@ -284,6 +284,21 @@ def cmd_compress(args):
     # which traces the f32 path
     example = pad_to_multiple(imgs[0].astype(np.float32) / 255.0, 64)
     params = _restore_params(model, cfg, example)
+    if getattr(args, "target_bpp", None) is not None:
+        if cfg.model.name != "gained":
+            sys.exit("--target_bpp requires a variable-rate model "
+                     "(config model.name='gained')")
+        if getattr(args, "level", None) is not None:
+            sys.exit("--target_bpp and --level are mutually exclusive "
+                     "(the target search picks the level)")
+        from neural_image_compression_tpu.models import level_for_bpp
+
+        # search on the first image; the chosen level folds once and is
+        # recorded in every stream's metadata (like an explicit --level)
+        lvl, got = level_for_bpp(model, params, example, args.target_bpp)
+        print(f"target {args.target_bpp:.4f} bpp -> level {lvl:.4f} "
+              f"(analytic {got:.4f} bpp on {os.path.basename(args.image[0])})")
+        args.level = lvl
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
@@ -526,8 +541,8 @@ def main(argv=None):
                          "stream per core")
     sp.add_argument("--portable", action="store_true",
                     help="cross-machine deterministic streams (integer "
-                         "codec path; joint-AR, checkerboard, factorized "
-                         "and scalable models)")
+                         "codec path; joint-AR, checkerboard, hyperprior, "
+                         "factorized and scalable models)")
     sp.add_argument("--card", default=None,
                     help="portable-card file: loaded if it exists, else "
                          "built from the model and saved here (implies "
@@ -535,6 +550,11 @@ def main(argv=None):
     sp.add_argument("--level", type=float, default=None,
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
+    sp.add_argument("--target_bpp", type=float, default=None,
+                    help="gained models: bisect the gain ladder for the "
+                         "level matching this analytic bpp on the first "
+                         "image, then compress at that level (mutually "
+                         "exclusive with --level)")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")

@@ -14,7 +14,7 @@ from neural_image_compression_tpu.models.checkerboard import (
     CheckerboardContext, CheckerboardHierarchical, checkerboard_mask,
 )
 from neural_image_compression_tpu.models.gained import (
-    GainedJointAR, fold_gains, folded_model, interp_gain,
+    GainedJointAR, fold_gains, folded_model, interp_gain, level_for_bpp,
 )
 from neural_image_compression_tpu.models.scalable import ScalableImageCoding
 from neural_image_compression_tpu.models.vision import (
@@ -33,6 +33,7 @@ __all__ = [
     "FactorizedPrior", "MeanScaleHyperprior", "ScalableImageCoding",
     "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
     "GainedJointAR", "fold_gains", "folded_model", "interp_gain",
+    "level_for_bpp",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "ConvBNSiLU", "C3", "SPPF", "Concat", "build_yolo_backbone",
     "frozen_activation_from_conv", "save_backbone", "load_backbone",

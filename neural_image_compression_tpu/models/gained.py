@@ -47,7 +47,8 @@ from neural_image_compression_tpu.models.joint_ar import (
 from neural_image_compression_tpu.models.parameters import EntropyParameters
 from neural_image_compression_tpu.ops.masked_conv import ContextModel
 
-__all__ = ["GainedJointAR", "fold_gains", "folded_model", "interp_gain"]
+__all__ = ["GainedJointAR", "fold_gains", "folded_model", "interp_gain",
+           "level_for_bpp"]
 
 _GAIN_KEYS = ("gain_y", "igain_y", "gain_z", "igain_z")
 
@@ -164,6 +165,62 @@ class GainedJointAR(nn.Module):
         }
         out.update(params)
         return out
+
+
+def level_for_bpp(model: GainedJointAR, params, x, target_bpp: float,
+                  tol: float = 0.01, max_iters: int = 16):
+    """Rate control: the continuous level whose EVAL-forward analytic bpp on
+    `x` best matches `target_bpp`. Returns (level, bpp_at_level).
+
+    Bisection over the ladder's continuous range [0, N-1]: rate increases
+    monotonically in level on a trained ladder (`levels` is the ascending
+    lambda ladder — higher lambda trains larger gains, i.e. finer effective
+    quantization, i.e. more bits). Each probe is ONE jitted eval forward;
+    `level` is a traced argument, so every probe shares one executable.
+
+    Out-of-range targets clamp to the nearest ladder edge and return that
+    edge's bpp, so callers can check achievability:
+        level, got = level_for_bpp(model, params, x, 0.25)
+        stream = codec_at(level).compress(x)   # fold_gains(params, level)
+
+    tol: relative bpp tolerance for early exit (the bisection also stops
+    after max_iters, giving a level resolution of (N-1) / 2**max_iters).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim != 4:
+        raise ValueError(f"x must be (B, H, W, 3), got shape {x.shape}")
+    if target_bpp <= 0:
+        raise ValueError(f"target_bpp must be positive, got {target_bpp}")
+    num_pixels = x.shape[1] * x.shape[2]
+
+    @jax.jit
+    def probe(level):
+        out = model.apply({"params": params}, x, training=False, level=level)
+        bits = -(jnp.sum(out["logp_y"]) + jnp.sum(out["logp_z"])) / jnp.log(2.0)
+        return bits / (x.shape[0] * num_pixels)
+
+    n = len(model.levels)
+    lo, hi = 0.0, float(n - 1)
+    b_lo = float(probe(lo))
+    b_hi = float(probe(hi))
+    if target_bpp <= b_lo:
+        return lo, b_lo
+    if target_bpp >= b_hi:
+        return hi, b_hi
+    best = (lo, b_lo) if abs(b_lo - target_bpp) < abs(b_hi - target_bpp) \
+        else (hi, b_hi)
+    for _ in range(max_iters):
+        mid = 0.5 * (lo + hi)
+        b = float(probe(mid))
+        if abs(b - target_bpp) < abs(best[1] - target_bpp):
+            best = (mid, b)
+        if abs(b - target_bpp) <= tol * target_bpp:
+            break
+        if b < target_bpp:
+            lo = mid
+        else:
+            hi = mid
+    return best
 
 
 def folded_model(gained: GainedJointAR) -> JointAutoregressiveHierarchical:

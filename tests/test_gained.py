@@ -70,6 +70,40 @@ def test_levels_change_the_rate(gained_small):
     assert bits[0] != bits[1]
 
 
+def test_level_for_bpp_rate_control(gained_small):
+    """Bisection finds the level matching a reachable target bpp; targets
+    beyond the ladder clamp to the edge and report the edge's bpp."""
+    from neural_image_compression_tpu.models import level_for_bpp
+
+    model, params = gained_small
+    x = jax.random.uniform(jax.random.PRNGKey(4), (1, 64, 64, 3))
+
+    def bpp_at(level):
+        out = model.apply({"params": params}, x, training=False, level=level)
+        return float(rd_loss(out, x, 0.005)["bpp_total"])
+
+    b_lo, b_hi = bpp_at(0.0), bpp_at(2.0)
+    assert b_lo < b_hi  # _randomize_gains makes the ladder monotone
+
+    # reachable target: the bpp at an off-grid level must be recovered
+    target = bpp_at(1.37)
+    lvl, got = level_for_bpp(model, params, x, target, tol=0.005)
+    assert 0.0 < lvl < 2.0
+    assert abs(got - target) <= 0.01 * target
+    assert abs(bpp_at(lvl) - target) <= 0.01 * target
+
+    # unreachable targets clamp to the nearest edge
+    lvl, got = level_for_bpp(model, params, x, b_lo * 0.5)
+    assert lvl == 0.0 and abs(got - b_lo) < 1e-6
+    lvl, got = level_for_bpp(model, params, x, b_hi * 2.0)
+    assert lvl == 2.0 and abs(got - b_hi) < 1e-6
+
+    with pytest.raises(ValueError, match="positive"):
+        level_for_bpp(model, params, x, 0.0)
+    with pytest.raises(ValueError, match="B, H, W"):
+        level_for_bpp(model, params, x[0], 0.5)
+
+
 @pytest.mark.parametrize("level", [0, 1, 2, 1.3])
 def test_fold_matches_gained_forward(gained_small, level):
     """THE core property: folding the gains at any level (incl. fractional)
