@@ -182,6 +182,20 @@ def test_codec_truncation_raises(hp_k1):
         codec.decode_latents(data_n[:-3])
 
 
+def test_truncation_sweep_raises_everywhere(hp_k1):
+    """Every truncation point of a hyperprior bitstream must raise (decoder
+    final-state invariant), never return silently-wrong latents."""
+    model, params = hp_k1
+    codec = MeanScaleHyperpriorCodec(model, {"params": params})
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(21), (1, 64, 64, 3)),
+                   np.float32)
+    data = codec.compress(x)
+    step = max(1, len(data) // 16)
+    for cut in range(len(data) - 1, 26, -step):  # keep the 26-byte header
+        with pytest.raises(ValueError):
+            codec.decompress(data[:cut])
+
+
 @pytest.mark.parametrize("fixture,n", [("hp_k1", 2), ("hp_k1", 4),
                                        ("hp_k3", 3)])
 def test_codec_interleaved_streams_roundtrip(fixture, n, request):
