@@ -18,7 +18,8 @@
 // which learns each pixel's parameters only after decoding its causal context.
 //
 // Symbol model for Gaussian/GMM paths: alphabet centered at the (mixture)
-// mean c = lrint(E[y]), span d in [-R, R] with R = clamp(ceil(6*std)+2, 2, 254),
+// mean c = lrint(E[y]), span d in [-R, R] with
+// R = clamp(ceil(6*std)+2, kRMinWindow=32, 254) (wide floor: see rans_core.h),
 // plus an ESC symbol carrying outliers as two raw 16-bit halves.
 //
 // Core primitives live in rans_core.h (shared with ar_wavefront.cc, the

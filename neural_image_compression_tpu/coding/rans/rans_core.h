@@ -197,6 +197,19 @@ struct SymbolModel {
   uint32_t cum[512];  // nsym + 1 entries used; cum[nsym] == kProbScale
 };
 
+// Minimum alphabet half-span. The 6*std rule alone makes the window as
+// sharp as the model's confidence — and converged models are routinely
+// overconfident (tiny sigma, mu off by several integers), which forced
+// 32-bit raw escapes on exactly the symbols the model mispredicts. A wide
+// floor turns those misses into in-window symbols whose freq>=1 leak
+// prices them at <= 16 bits (cheaper than the analytic 1e-9 floor's 29.9):
+// measured on the converged hyperprior/checkerboard/joint-AR ladder
+// checkpoints this cut y-stream rates 34-45% (tools/diag_rmin_sweep.py).
+// Cost for well-calibrated symbols is only the floor mass (~2R/65536 ~
+// 0.1% => ~0.0015 bits/sym); build cost stays O(sigma-width) thanks to the
+// saturation window below. Spec constant: encode and decode must agree.
+constexpr int kRMinWindow = 32;
+
 // Builds the quantized CDF for a (mixture-of-)Gaussian symbol.
 // mus/sigmas/ws point to K components (K==1: plain Gaussian, ws ignored).
 inline void build_gaussian_model(const float* ws, const float* mus,
@@ -212,7 +225,7 @@ inline void build_gaussian_model(const float* ws, const float* mus,
   double stdd = std::sqrt(var > 1e-12 ? var : 1e-12);
   int c = static_cast<int>(std::lrint(mean));
   int R = static_cast<int>(std::ceil(6.0 * stdd)) + 2;
-  if (R < 2) R = 2;
+  if (R < kRMinWindow) R = kRMinWindow;
   if (R > 254) R = 254;
   int nsym = 2 * R + 2;
 
@@ -229,7 +242,24 @@ inline void build_gaussian_model(const float* ws, const float* mus,
     const float w = (K == 1) ? 1.0f : ws[k];
     const float mu = mus[k];
     const float inv = 1.0f / sigmas[k];
-    for (int e = 0; e < n_edges; ++e)
+    // fast_normal_cdf saturates to exactly 0.0f / 1.0f past ~5.5 sigma in
+    // f32 (poly * e^{-x^2} drops under 2^-25), so only edges within an
+    // 8-sigma window of mu need evaluating — the rest contribute exactly
+    // 0 or w. Keeps build cost O(sigma-width) instead of O(R), which is
+    // what makes the wide kRMinWindow affordable in the wavefront loop.
+    // Bit-identical to evaluating every edge (encode == decode).
+    // clamp in float space BEFORE the int cast (float->int overflow is UB;
+    // sigma can be huge or non-finite on a garbage model)
+    float lo_f = (mu - 8.0f * sigmas[k]) - base;
+    float hi_f = (mu + 8.0f * sigmas[k]) - base;
+    const float ne = static_cast<float>(n_edges);
+    lo_f = (lo_f > 0.0f) ? (lo_f < ne ? lo_f : ne) : 0.0f;    // NaN -> 0
+    hi_f = (hi_f > lo_f) ? (hi_f < ne ? hi_f : ne) : lo_f;
+    int lo = static_cast<int>(lo_f);
+    int hi = static_cast<int>(hi_f) + 1;
+    if (hi > n_edges) hi = n_edges;
+    for (int e = hi; e < n_edges; ++e) edge[e] += w;
+    for (int e = lo; e < hi; ++e)
       edge[e] += w * fast_normal_cdf((base + e - mu) * inv);
   }
   float pmf[512];
