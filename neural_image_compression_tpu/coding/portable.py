@@ -71,8 +71,18 @@ Y_ABS_MAX = 1 << 24         # spec bound on coded latent magnitude. Keeps
 # context GEMMs already overflowed), so rejecting them needs no
 # _CARD_VERSION bump — it formalizes the previously-UB region.
 M_MAX = 330                 # with Y_ABS_MAX: 12*M*2^51 < 2^63 requires M<=341
+PORT_R_MIN = 32             # minimum symbol-window half-span (card v2).
+# Same rationale as rans_core.h kRMinWindow: converged models are routinely
+# overconfident (tiny predicted sigma, mu off by several integers), and the
+# 6-sigma window then forces 32-bit raw escapes on exactly the symbols the
+# model mispredicts. A wide floor turns those into in-window symbols priced
+# by the freq>=1 leak at <= 16 bits (34-45% measured rate cut on converged
+# models). Per-bin CDF tables are NOT widened: edges beyond a table's
+# extent clamp to its endpoints, which is exact saturation. Mirrored in
+# ar_portable.cc (kPortRMin).
 
-_CARD_VERSION = 1
+_CARD_VERSION = 2           # v2: PORT_R_MIN window floor (streams/cards
+# from v1 code are incompatible; loading a v1 card raises)
 
 
 def rshift_round(v, s: int):
@@ -559,7 +569,7 @@ def build_symbol_model(card: PortableCard, mu_fix: np.ndarray,
     K = mu_fix.shape[0]
     if K == 1:
         c = int(rshift_round(int(mu_fix[0]), F_BITS))
-        R = int(card.sigma_R[int(bins[0])])
+        R = max(PORT_R_MIN, int(card.sigma_R[int(bins[0])]))
     else:
         mean_acc = int((wfix * mu_fix).sum())
         mean_fix = rshift_round(mean_acc, 16)                     # F_BITS
@@ -572,7 +582,7 @@ def build_symbol_model(card: PortableCard, mu_fix: np.ndarray,
         std_fix = math.isqrt(int(var_fix))                        # F_BITS
         c = int(rshift_round(mean_fix, F_BITS))
         R = (6 * std_fix + (1 << F_BITS) - 1) >> F_BITS
-        R = min(254, max(2, R + 2))
+        R = min(254, max(PORT_R_MIN, R + 2))
     nsym = 2 * R + 2
 
     n_edges = nsym

@@ -45,6 +45,12 @@ constexpr int64_t kLeakyNum = 41;  // slope = 41 / 4096
 constexpr int kExpShift = 5;  // F=12 -> 1/128 LUT steps
 constexpr uint32_t kWScale = 1u << 16;
 constexpr int32_t kYAbsMax = 1 << 24;  // = portable.py Y_ABS_MAX
+// Minimum symbol-window half-span (= portable.py PORT_R_MIN, card v2 spec).
+// Same rationale as rans_core.h kRMinWindow: overconfident models force
+// escapes on exactly the symbols they mispredict; a wide floor prices the
+// misses at <= 16 bits via the freq>=1 leak. Per-bin tables stay as-is —
+// edges beyond a table's extent clamp to its endpoints (exact saturation).
+constexpr int64_t kPortRMin = 32;
 
 inline int64_t rsr(int64_t v, int s) {  // rshift_round
   // Mirror the numpy spec (portable.py rshift_round) for s <= 0: a plain
@@ -325,7 +331,7 @@ void build_model(const PortNets& net, const int64_t* mu_fix,
   int64_t c, R;
   if (K == 1) {
     c = rsr(mu_fix[0], kF);
-    R = net.sigma_R[bins[0]];
+    R = std::max<int64_t>(kPortRMin, net.sigma_R[bins[0]]);
   } else {
     int64_t mean_acc = 0, m2_acc = 0;
     for (int k = 0; k < K; ++k) {
@@ -340,7 +346,7 @@ void build_model(const PortNets& net, const int64_t* mu_fix,
         static_cast<int64_t>(isqrt_u64(static_cast<uint64_t>(var_fix)));
     c = rsr(mean_fix, kF);
     R = (6 * std_fix + (int64_t{1} << kF) - 1) >> kF;
-    R = std::min<int64_t>(254, std::max<int64_t>(2, R + 2));
+    R = std::min<int64_t>(254, std::max<int64_t>(kPortRMin, R + 2));
   }
   const int nsym = static_cast<int>(2 * R + 2);
   const int n_edges = nsym;
