@@ -364,11 +364,27 @@ void build_model(const PortNets& net, const int64_t* mu_fix,
     const int64_t ext = (tlen - 1) / 2;
     const int64_t w = wfix[k];
     wsum += w;
-    for (int e = 0; e < n_edges; ++e) {
-      int64_t arg = base + (static_cast<int64_t>(e) << kSub) - mu_sub + ext;
-      arg = std::min<int64_t>(std::max<int64_t>(arg, 0), tlen - 1);
-      edge_acc[e] += w * tab[arg];
-    }
+    // arg(e) = (e << kSub) - t increases with e; edges whose arg clamps to
+    // a table endpoint contribute the constant w*tab[0] / w*tab[tlen-1].
+    // Evaluate only the in-table span — with the wide kPortRMin window the
+    // clamped spans dominate for sharp components, and this is exactly
+    // equal to clamping every edge (same adds, same order per edge).
+    const int64_t t = mu_sub - base - ext;
+    // e_lo: first e with arg(e) >= 1  <=>  (e << kSub) >= t + 1
+    int64_t u0 = t + 1;
+    int64_t e_lo = (u0 <= 0) ? 0 : ((u0 + (1 << kSub) - 1) >> kSub);
+    if (e_lo > n_edges) e_lo = n_edges;
+    // e_hi: first e with arg(e) >= tlen - 1  <=>  (e << kSub) >= tlen-1 + t
+    int64_t u1 = tlen - 1 + t;
+    int64_t e_hi = (u1 <= 0) ? 0 : ((u1 + (1 << kSub) - 1) >> kSub);
+    if (e_hi < e_lo) e_hi = e_lo;
+    if (e_hi > n_edges) e_hi = n_edges;
+    const int64_t w_lo = w * tab[0];
+    const int64_t w_hi = w * tab[tlen - 1];
+    for (int64_t e = 0; e < e_lo; ++e) edge_acc[e] += w_lo;
+    for (int64_t e = e_lo; e < e_hi; ++e)
+      edge_acc[e] += w * tab[(e << kSub) - t];
+    for (int64_t e = e_hi; e < n_edges; ++e) edge_acc[e] += w_hi;
   }
   int64_t pmf[512];
   for (int d = 0; d < nsym - 1; ++d) {

@@ -20,6 +20,12 @@ at the reference's published operating point.
 
 Writes eval_results/rd_ladder.json + prints a table.
 
+NIC_LADDER_CORPUS=natural switches to the structured, noise-light corpus
+(tools/synth_natural.py) where RD curves behave like natural-photo curves
+(the default noise corpus saturates PSNR near 26 dB at any rate and swamps
+the context models' rate advantage with incompressible bits); artifact
+then goes to eval_results/rd_ladder_natural.json with its own state dir.
+
 Run detached on the chip (one TPU process at a time — CLAUDE.md):
   PYTHONPATH=.:/root/.axon_site nohup python -u tools/rd_ladder.py &
 """
@@ -41,18 +47,26 @@ M, K = 128, 3
 STEPS = int(os.environ.get("NIC_LADDER_STEPS", "100000"))
 BATCH = 16
 LAM = float(os.environ.get("NIC_LADDER_LAMBDA", "0.005"))
-STATE = os.environ.get("NIC_LADDER_STATE", "/tmp/nic_rd_ladder")
+CORPUS = os.environ.get("NIC_LADDER_CORPUS", "noise")
+_DEFAULT_STATE = ("/tmp/nic_rd_ladder" if CORPUS == "noise"
+                  else f"/tmp/nic_rd_ladder_{CORPUS}")
+STATE = os.environ.get("NIC_LADDER_STATE", _DEFAULT_STATE)
 
 
 def _data_pool():
     import sys
 
     sys.path.insert(0, REPO)
-    from tools.train_at_scale import make_synthetic_dataset
-
     from neural_image_compression_tpu.data import ImageFolderDataset
 
-    tr_dir, va_dir = make_synthetic_dataset("/tmp/nic_scale/data")
+    if CORPUS == "natural":
+        from tools.synth_natural import make_natural_dataset
+
+        tr_dir, va_dir = make_natural_dataset("/tmp/nic_natural/data")
+    else:
+        from tools.train_at_scale import make_synthetic_dataset
+
+        tr_dir, va_dir = make_synthetic_dataset("/tmp/nic_scale/data")
     ds = ImageFolderDataset(tr_dir, cache=True)
     rng = np.random.RandomState(0)
     pool = []
@@ -142,7 +156,8 @@ def main():
     os.makedirs(STATE, exist_ok=True)
     pool, vals = _data_pool()
     out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
-                      "lambda": LAM, "image": "768x512 synthetic"}}
+                      "lambda": LAM, "corpus": CORPUS,
+                      "image": "768x512 synthetic"}}
     ladder = {}
 
     families = (
@@ -178,7 +193,9 @@ def main():
         print(f"[{tag}] {json.dumps(res)}", flush=True)
 
     out["ladder"] = ladder
-    path = os.path.join(REPO, "eval_results", "rd_ladder.json")
+    name = ("rd_ladder.json" if CORPUS == "noise"
+            else f"rd_ladder_{CORPUS}.json")
+    path = os.path.join(REPO, "eval_results", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"{'family':14s} {'analytic':>9s} {'measured':>9s} {'psnr':>6s} "
