@@ -60,13 +60,13 @@ def _restore_params(model, cfg: Config, example):
 
 
 def _materialize_level(cfg, model, params, args):
-    """Variable-rate (gained) configs: fold the gain vectors at --level into
-    the boundary convolutions and continue with the fixed-rate joint-AR model
+    """Variable-rate (gained*) configs: fold the gain vectors at --level into
+    the boundary convolutions and continue with the matching fixed-rate model
     — the codec, evaluator, and serving export all run unchanged on it.
     Returns (model, params, level) — level is None for fixed-rate models so
     callers can record it in stream metadata (decompress at a different fold
     level would desync the rANS decode into garbage)."""
-    if cfg.model.name != "gained":
+    if not cfg.model.name.startswith("gained"):
         return model, params, None
     from neural_image_compression_tpu.models import fold_gains, folded_model
 
@@ -227,7 +227,10 @@ def _make_codec(cfg: Config, model, params, card_path=None):
     cls = {"factorized": FactorizedPriorCodec,
            "scalable": ScalableCodec,
            "hyperprior": MeanScaleHyperpriorCodec,
-           "checkerboard": CheckerboardCodec}.get(cfg.model.name, JointARCodec)
+           "gained_hyperprior": MeanScaleHyperpriorCodec,
+           "checkerboard": CheckerboardCodec,
+           "gained_checkerboard": CheckerboardCodec,
+           }.get(cfg.model.name, JointARCodec)
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
@@ -285,9 +288,10 @@ def cmd_compress(args):
     example = pad_to_multiple(imgs[0].astype(np.float32) / 255.0, 64)
     params = _restore_params(model, cfg, example)
     if getattr(args, "target_bpp", None) is not None:
-        if cfg.model.name != "gained":
-            sys.exit("--target_bpp requires a variable-rate model "
-                     "(config model.name='gained')")
+        if not cfg.model.name.startswith("gained"):
+            sys.exit("--target_bpp requires a variable-rate model (config "
+                     "model.name='gained'/'gained_hyperprior'/"
+                     "'gained_checkerboard')")
         if getattr(args, "level", None) is not None:
             sys.exit("--target_bpp and --level are mutually exclusive "
                      "(the target search picks the level)")
@@ -370,7 +374,7 @@ def cmd_decompress(args):
             datas.append(f.read())
 
     model = build_model(cfg.model)
-    if cfg.model.name == "gained":
+    if cfg.model.name.startswith("gained"):
         # streams written by cmd_compress record the fold level; decoding at
         # any other level desyncs the rANS decode into garbage, so the
         # recorded level wins and a contradicting --level is a hard error

@@ -17,13 +17,14 @@ from typing import Optional
 @dataclass
 class ModelConfig:
     name: str = "joint_ar"  # joint_ar | residual | factorized | hyperprior
-                            # | scalable | gained | checkerboard
+                            # | scalable | checkerboard | gained
+                            # | gained_hyperprior | gained_checkerboard
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
     dtype: Optional[str] = None    # None (f32) | 'bf16' transform compute
-    levels: Optional[list] = None  # gained only: ascending lambda ladder
-                                   # (None -> GainedJointAR defaults)
+    levels: Optional[list] = None  # gained* only: ascending lambda
+                                   # ladder (None -> family defaults)
 
 
 @dataclass
@@ -96,16 +97,20 @@ def build_model(cfg: ModelConfig):
     import jax.numpy as jnp
 
     from neural_image_compression_tpu.models import (
-        CheckerboardHierarchical, FactorizedPrior, GainedJointAR,
-        HierarchicalMixtureResidual, JointAutoregressiveHierarchical,
-        MeanScaleHyperprior, ScalableImageCoding,
+        CheckerboardHierarchical, FactorizedPrior, GainedCheckerboard,
+        GainedHyperprior, GainedJointAR, HierarchicalMixtureResidual,
+        JointAutoregressiveHierarchical, MeanScaleHyperprior,
+        ScalableImageCoding,
     )
 
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else None
-    if cfg.name == "gained":
+    if cfg.name in ("gained", "gained_hyperprior", "gained_checkerboard"):
         kwargs = {"levels": tuple(cfg.levels)} if cfg.levels else {}
-        return GainedJointAR(latent_channels=cfg.latent_channels, K=cfg.K,
-                             dtype=dtype, **kwargs)
+        cls = {"gained": GainedJointAR,
+               "gained_hyperprior": GainedHyperprior,
+               "gained_checkerboard": GainedCheckerboard}[cfg.name]
+        return cls(latent_channels=cfg.latent_channels, K=cfg.K,
+                   dtype=dtype, **kwargs)
     if cfg.name == "joint_ar":
         return JointAutoregressiveHierarchical(
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)

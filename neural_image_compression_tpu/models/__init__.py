@@ -14,7 +14,8 @@ from neural_image_compression_tpu.models.checkerboard import (
     CheckerboardContext, CheckerboardHierarchical, checkerboard_mask,
 )
 from neural_image_compression_tpu.models.gained import (
-    GainedJointAR, fold_gains, folded_model, interp_gain, level_for_bpp,
+    GainedCheckerboard, GainedHyperprior, GainedJointAR, fold_gains,
+    folded_model, interp_gain, level_for_bpp,
 )
 from neural_image_compression_tpu.models.scalable import ScalableImageCoding
 from neural_image_compression_tpu.models.vision import (
@@ -32,7 +33,8 @@ __all__ = [
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "MeanScaleHyperprior", "ScalableImageCoding",
     "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
-    "GainedJointAR", "fold_gains", "folded_model", "interp_gain",
+    "GainedJointAR", "GainedHyperprior", "GainedCheckerboard",
+    "fold_gains", "folded_model", "interp_gain",
     "level_for_bpp",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",
     "ConvBNSiLU", "C3", "SPPF", "Concat", "build_yolo_backbone",

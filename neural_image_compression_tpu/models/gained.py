@@ -1,4 +1,9 @@
-"""Variable-rate ("gained") joint autoregressive model + exact gain folding.
+"""Variable-rate ("gained") model families + exact gain folding.
+
+Three variable-rate families: GainedJointAR (best rate, host wavefront
+decode), GainedCheckerboard (two device passes), GainedHyperprior (one
+device pass — the lowest-latency variable-rate codec). All fold to their
+fixed-rate counterparts via the shared fold_gains.
 
 The reference trains ONE model per rate point (Main.ipynb cell 6: a single
 lambda per run; its eval artifact is one RD point). Production codecs need
@@ -41,14 +46,18 @@ from neural_image_compression_tpu.entropy.gaussian import (
 from neural_image_compression_tpu.models.components import (
     Decoder5x5, Encoder5x5, HyperDecoder5x5, HyperEncoder5x5,
 )
+from neural_image_compression_tpu.models.checkerboard import (
+    CheckerboardContext, CheckerboardHierarchical, _anchor_mask_f,
+)
+from neural_image_compression_tpu.models.hyperprior import MeanScaleHyperprior
 from neural_image_compression_tpu.models.joint_ar import (
     JointAutoregressiveHierarchical, noise_quantize, round_quantize,
 )
 from neural_image_compression_tpu.models.parameters import EntropyParameters
 from neural_image_compression_tpu.ops.masked_conv import ContextModel
 
-__all__ = ["GainedJointAR", "fold_gains", "folded_model", "interp_gain",
-           "level_for_bpp"]
+__all__ = ["GainedJointAR", "GainedHyperprior", "GainedCheckerboard",
+           "fold_gains", "folded_model", "interp_gain", "level_for_bpp"]
 
 _GAIN_KEYS = ("gain_y", "igain_y", "gain_z", "igain_z")
 
@@ -87,14 +96,7 @@ class GainedJointAR(nn.Module):
     dtype: Optional[Any] = None
 
     def setup(self):
-        if self.latent_channels < 1:
-            raise ValueError(f"latent_channels must be >= 1, got {self.latent_channels}")
-        if self.K < 1:
-            raise ValueError(f"K must be >= 1, got {self.K}")
-        if len(self.levels) < 2:
-            raise ValueError("levels needs >= 2 rate points")
-        if list(self.levels) != sorted(self.levels):
-            raise ValueError(f"levels must be ascending, got {self.levels}")
+        _validate_gained(self)
         m = self.latent_channels
         n = len(self.levels)
         self.encoder = Encoder5x5(latent_channels=m, dtype=self.dtype)
@@ -167,10 +169,199 @@ class GainedJointAR(nn.Module):
         return out
 
 
-def level_for_bpp(model: GainedJointAR, params, x, target_bpp: float,
+def _validate_gained(mdl) -> None:
+    """Shared constructor validation for the gained families."""
+    if mdl.latent_channels < 1:
+        raise ValueError(
+            f"latent_channels must be >= 1, got {mdl.latent_channels}")
+    if mdl.K < 1:
+        raise ValueError(f"K must be >= 1, got {mdl.K}")
+    if len(mdl.levels) < 2:
+        raise ValueError("levels needs >= 2 rate points")
+    if list(mdl.levels) != sorted(mdl.levels):
+        raise ValueError(f"levels must be ascending, got {mdl.levels}")
+
+
+class GainedHyperprior(nn.Module):
+    """MeanScaleHyperprior + per-level gain units (see GainedJointAR).
+
+    The variable-rate form of the context-free family: one model serves the
+    whole RD curve AND decodes with a single parallel device pass — the
+    lowest-latency variable-rate codec in the ladder. fold_gains at any
+    level yields a plain MeanScaleHyperprior tree that runs the existing
+    MeanScaleHyperpriorCodec / serving export / evaluator unchanged.
+    conv5x5 only (folding needs pure convs at the latent boundaries).
+    """
+
+    latent_channels: int = 192
+    K: int = 1
+    levels: Tuple[float, ...] = (0.0015, 0.0035, 0.0075, 0.015, 0.03)
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        _validate_gained(self)
+        m, n = self.latent_channels, len(self.levels)
+        self.encoder = Encoder5x5(latent_channels=m, dtype=self.dtype)
+        self.decoder = Decoder5x5(latent_channels=m, dtype=self.dtype)
+        self.hyper_encoder = HyperEncoder5x5(latent_channels=m, dtype=self.dtype)
+        self.hyper_decoder = HyperDecoder5x5(latent_channels=m, dtype=self.dtype)
+        self.factorized_entropy_model = FactorizedEntropyBottleneck(channels=m)
+        self.entropy_parameters = EntropyParameters(
+            latent_channels=m, hyper_latent_channels=m, K=self.K,
+            input_channels=2 * m, dtype=self.dtype)
+        init = nn.initializers.ones
+        self.gain_y = self.param("gain_y", init, (n, m))
+        self.igain_y = self.param("igain_y", init, (n, m))
+        self.gain_z = self.param("gain_z", init, (n, m))
+        self.igain_z = self.param("igain_z", init, (n, m))
+
+    def gain_vectors(self, level):
+        return tuple(interp_gain(t, level) for t in
+                     (self.gain_y, self.igain_y, self.gain_z, self.igain_z))
+
+    def __call__(self, x: jax.Array, training: bool = True,
+                 level=0) -> Dict[str, jax.Array]:
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                f"H and W must be multiples of 64, got {x.shape[1]}x{x.shape[2]}; "
+                "pad first (data.pad_to_multiple) and crop the output")
+        g_y, ig_y, g_z, ig_z = self.gain_vectors(level)
+
+        y = self.encoder(x)
+        y = y * g_y.astype(y.dtype)
+        z = self.hyper_encoder(y)
+        z = z * g_z.astype(z.dtype)
+
+        if training:
+            rng = self.make_rng("noise")
+            rng_z, rng_y = jax.random.split(rng)
+            z_in = noise_quantize(z.astype(jnp.float32), rng_z)
+            y_in = noise_quantize(y.astype(jnp.float32), rng_y)
+        else:
+            z_in = round_quantize(z.astype(jnp.float32))
+            y_in = round_quantize(y.astype(jnp.float32))
+
+        psi = self.hyper_decoder(z_in * ig_z, training)
+        params_t = self.entropy_parameters(psi)
+        if self.K == 1:
+            mu, sigma = params_t
+            params = {"mu": mu, "sigma": sigma}
+            p_y = gaussian_likelihood(y_in, mu, sigma)
+        else:
+            weights, mus, sigmas = params_t
+            params = {"weights": weights, "mus": mus, "sigmas": sigmas}
+            p_y = mixture_likelihood(y_in, weights, mus, sigmas)
+
+        p_z = self.factorized_entropy_model(z_in)
+        x_hat = self.decoder(y_in * ig_y, training).astype(jnp.float32)
+
+        out = {
+            "x_hat": x_hat, "y": y, "y_in": y_in, "z": z, "z_in": z_in,
+            "p_z": p_z, "logp_z": jnp.log(p_z),
+            "p_y": p_y, "logp_y": jnp.log(p_y),
+            "training": training,
+        }
+        out.update(params)
+        return out
+
+
+class GainedCheckerboard(nn.Module):
+    """CheckerboardHierarchical + per-level gain units (see GainedJointAR).
+
+    Variable-rate two-device-pass decoding: fold_gains at any level yields a
+    plain CheckerboardHierarchical tree for the existing CheckerboardCodec.
+    The checkerboard context conv operates in the gained (coded) domain, so
+    it is copied untouched by the fold — exactly like the joint family's
+    masked conv. conv5x5 only.
+    """
+
+    latent_channels: int = 192
+    K: int = 1
+    levels: Tuple[float, ...] = (0.0015, 0.0035, 0.0075, 0.015, 0.03)
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        _validate_gained(self)
+        m, n = self.latent_channels, len(self.levels)
+        self.encoder = Encoder5x5(latent_channels=m, dtype=self.dtype)
+        self.decoder = Decoder5x5(latent_channels=m, dtype=self.dtype)
+        self.hyper_encoder = HyperEncoder5x5(latent_channels=m, dtype=self.dtype)
+        self.hyper_decoder = HyperDecoder5x5(latent_channels=m, dtype=self.dtype)
+        self.factorized_entropy_model = FactorizedEntropyBottleneck(channels=m)
+        self.context_model = CheckerboardContext(latent_channels=m,
+                                                 dtype=self.dtype)
+        self.entropy_parameters = EntropyParameters(
+            latent_channels=m, hyper_latent_channels=m, K=self.K,
+            dtype=self.dtype)
+        init = nn.initializers.ones
+        self.gain_y = self.param("gain_y", init, (n, m))
+        self.igain_y = self.param("igain_y", init, (n, m))
+        self.gain_z = self.param("gain_z", init, (n, m))
+        self.igain_z = self.param("igain_z", init, (n, m))
+
+    def gain_vectors(self, level):
+        return tuple(interp_gain(t, level) for t in
+                     (self.gain_y, self.igain_y, self.gain_z, self.igain_z))
+
+    def __call__(self, x: jax.Array, training: bool = True,
+                 level=0) -> Dict[str, jax.Array]:
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                f"H and W must be multiples of 64, got {x.shape[1]}x{x.shape[2]}; "
+                "pad first (data.pad_to_multiple) and crop the output")
+        g_y, ig_y, g_z, ig_z = self.gain_vectors(level)
+
+        y = self.encoder(x)
+        y = y * g_y.astype(y.dtype)
+        z = self.hyper_encoder(y)
+        z = z * g_z.astype(z.dtype)
+
+        if training:
+            rng = self.make_rng("noise")
+            rng_z, rng_y = jax.random.split(rng)
+            z_in = noise_quantize(z.astype(jnp.float32), rng_z)
+            y_in = noise_quantize(y.astype(jnp.float32), rng_y)
+        else:
+            z_in = round_quantize(z.astype(jnp.float32))
+            y_in = round_quantize(y.astype(jnp.float32))
+
+        # one-pass form of the two checkerboard passes (cf.
+        # CheckerboardHierarchical.entropy_params_from_latents), in the
+        # gained domain: context from anchors only, zeroed at anchors
+        psi = self.hyper_decoder(z_in * ig_z, training)
+        am = _anchor_mask_f(y_in.shape[1], y_in.shape[2], y_in.dtype)
+        ctx = self.context_model(y_in * am)
+        ctx = ctx * (1.0 - am).astype(ctx.dtype)
+        params_t = self.entropy_parameters(
+            jnp.concatenate([ctx, psi], axis=-1))
+        if self.K == 1:
+            mu, sigma = params_t
+            params = {"mu": mu, "sigma": sigma}
+            p_y = gaussian_likelihood(y_in, mu, sigma)
+        else:
+            weights, mus, sigmas = params_t
+            params = {"weights": weights, "mus": mus, "sigmas": sigmas}
+            p_y = mixture_likelihood(y_in, weights, mus, sigmas)
+
+        p_z = self.factorized_entropy_model(z_in)
+        x_hat = self.decoder(y_in * ig_y, training).astype(jnp.float32)
+
+        out = {
+            "x_hat": x_hat, "y": y, "y_in": y_in, "z": z, "z_in": z_in,
+            "p_z": p_z, "logp_z": jnp.log(p_z),
+            "p_y": p_y, "logp_y": jnp.log(p_y),
+            "training": training,
+        }
+        out.update(params)
+        return out
+
+
+def level_for_bpp(model, params, x, target_bpp: float,
                   tol: float = 0.01, max_iters: int = 16):
     """Rate control: the continuous level whose EVAL-forward analytic bpp on
-    `x` best matches `target_bpp`. Returns (level, bpp_at_level).
+    `x` best matches `target_bpp`. Returns (level, bpp_at_level). Works for
+    every gained family (any model whose apply takes a `level` kwarg and
+    that has a `levels` ladder).
 
     Bisection over the ladder's continuous range [0, N-1]: rate increases
     monotonically in level on a trained ladder (`levels` is the ascending
@@ -223,16 +414,28 @@ def level_for_bpp(model: GainedJointAR, params, x, target_bpp: float,
     return best
 
 
-def folded_model(gained: GainedJointAR) -> JointAutoregressiveHierarchical:
-    """The fixed-rate model a folded param tree belongs to."""
-    return JointAutoregressiveHierarchical(
-        latent_channels=gained.latent_channels, K=gained.K,
-        transform="conv5x5", dtype=gained.dtype)
+def folded_model(gained):
+    """The fixed-rate model a folded param tree belongs to (per family)."""
+    if isinstance(gained, GainedHyperprior):
+        return MeanScaleHyperprior(
+            latent_channels=gained.latent_channels, K=gained.K,
+            transform="conv5x5", dtype=gained.dtype)
+    if isinstance(gained, GainedCheckerboard):
+        return CheckerboardHierarchical(
+            latent_channels=gained.latent_channels, K=gained.K,
+            transform="conv5x5", dtype=gained.dtype)
+    if isinstance(gained, GainedJointAR):
+        return JointAutoregressiveHierarchical(
+            latent_channels=gained.latent_channels, K=gained.K,
+            transform="conv5x5", dtype=gained.dtype)
+    raise TypeError(f"not a gained model: {type(gained).__name__}")
 
 
 def fold_gains(params, level) -> dict:
-    """Fold a GainedJointAR param tree at `level` (int or fractional) into a
-    plain JointAutoregressiveHierarchical tree. Exact up to f32 association:
+    """Fold a gained param tree (any family — the four boundary convolutions
+    share names across GainedJointAR / GainedHyperprior / GainedCheckerboard)
+    at `level` (int or fractional) into the matching fixed-rate tree
+    (folded_model gives the module). Exact up to f32 association:
     the four gain vectors become channel scales on the boundary convolutions
     (sum(w_i*g*x_i) != g*sum(w_i*x_i) bit-for-bit, so a latent sitting on a
     round() tie can flip by one step between the gained and folded forwards;
@@ -252,7 +455,7 @@ def fold_gains(params, level) -> dict:
     """
     for k in _GAIN_KEYS + ("encoder", "decoder", "hyper_encoder", "hyper_decoder"):
         if k not in params:
-            raise ValueError(f"not a GainedJointAR param tree: missing {k!r}")
+            raise ValueError(f"not a gained param tree: missing {k!r}")
     g_y = interp_gain(params["gain_y"], level)
     ig_y = interp_gain(params["igain_y"], level)
     g_z = interp_gain(params["gain_z"], level)

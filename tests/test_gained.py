@@ -243,7 +243,7 @@ def test_fold_rejects_plain_params():
     model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
     params = model.init({"params": KEY, "noise": KEY},
                         jnp.zeros((1, 64, 64, 3)), training=False)["params"]
-    with pytest.raises(ValueError, match="GainedJointAR"):
+    with pytest.raises(ValueError, match="not a gained param tree"):
         fold_gains(params, 0)
 
 
