@@ -102,7 +102,8 @@ def interp_lambda(levels: Sequence[float], level) -> float:
 
 def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
                          steps: int, learning_rate: float = 1e-4,
-                         seed: int = 0, rd_loss=None):
+                         seed: int = 0, rd_loss=None, log_every: int = 0,
+                         log_fn=print):
     """Train one model PER λ simultaneously with a vmapped train step.
 
     TPU-idiomatic sweep: instead of L sequential runs, the step is vmapped
@@ -112,7 +113,8 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
 
     model: a flax module; train_iter: yields (B, H, W, 3) batches shared by
     all replicas. Returns (params_per_lambda: list of pytrees, losses:
-    (L,) final losses).
+    (L,) final losses). log_every > 0 prints per-lambda losses every that
+    many steps (one host sync per report).
     """
     import jax
     import jax.numpy as jnp
@@ -145,7 +147,9 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
         u, o = tx.update(g, o)
         return optax.apply_updates(p, u), o, loss
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1))
     def sweep_step(params, opt_state, batch, rngs):
         if batch.dtype == jnp.uint8:
             batch = batch.astype(jnp.float32) / 255.0
@@ -165,6 +169,9 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
         step_rngs = jax.random.split(sub, L)
         params, opt_state, losses = sweep_step(params, opt_state,
                                                jnp.asarray(batch), step_rngs)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            log_fn(f"  [sweep] step {i} losses "
+                   f"{[round(float(v), 4) for v in losses]}")
 
     per_lambda = [jax.tree.map(lambda a, i=i: a[i], params) for i in range(L)]
     return per_lambda, losses

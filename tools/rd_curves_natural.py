@@ -1,0 +1,194 @@
+"""Full RD curves for all four context-model families on the natural-ish
+corpus, trained with the TPU-idiomatic vmapped lambda sweep, plus BD-rate
+between families.
+
+This is the artifact the single-lambda ladder (rd_ladder.py) cannot give:
+on the structured corpus (tools/synth_natural.py) PSNR is not
+noise-saturated, so the family ordering and the context models' rate
+advantage are measurable as proper curves. Each family trains ALL lambda
+replicas simultaneously via train.sweep.vmapped_lambda_sweep (the L small
+matmuls fuse into fatter MXU programs — round-1 measured 4 replicas at a
+fraction of 4 sequential runs).
+
+Per (family, lambda): analytic bpp, measured-bitstream bpp, PSNR, MS-SSIM.
+Per family: BD-rate vs the joint-AR anchor (negative = fewer bits at equal
+PSNR). Writes eval_results/rd_curves_natural.json.
+
+Run detached on the chip (one TPU process at a time — CLAUDE.md):
+  PYTHONPATH=.:/root/.axon_site nohup python -u tools/rd_curves_natural.py &
+"""
+
+import json
+import os
+import pickle
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+M, K = 128, 3
+STEPS = int(os.environ.get("NIC_CURVES_STEPS", "100000"))
+BATCH = 16
+LAMBDAS = tuple(float(v) for v in os.environ.get(
+    "NIC_CURVES_LAMBDAS", "0.001,0.005,0.02,0.08").split(","))
+STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural")
+
+
+class PoolIter:
+    """Cycles a fixed pool of device-resident batches."""
+
+    def __init__(self, pool):
+        self.pool = pool
+
+    def __iter__(self):
+        i = 0
+        while True:
+            yield self.pool[i % len(self.pool)]
+            i += 1
+
+
+def _data():
+    from tools.synth_natural import make_natural_dataset
+
+    from neural_image_compression_tpu.data import ImageFolderDataset
+
+    tr_dir, va_dir = make_natural_dataset("/tmp/nic_natural/data")
+    ds = ImageFolderDataset(tr_dir, cache=True)
+    rng = np.random.RandomState(0)
+    pool = []
+    for _ in range(12):
+        idx = rng.randint(0, len(ds), BATCH)
+        pool.append(jnp.asarray(np.stack([ds[int(i)] for i in idx])))
+    val = ImageFolderDataset(va_dir, cache=True)
+    vals = [np.asarray(val[i])[None] for i in range(len(val))]
+    return pool, vals
+
+
+def _eval_point(model, params, Codec, vals, lam):
+    from neural_image_compression_tpu.evaluation.msssim import ms_ssim
+    from neural_image_compression_tpu.train.loss import rd_loss
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))
+    mss = jax.jit(lambda a, b: ms_ssim(jnp.clip(a, 0.0, 1.0), b))
+    codec = Codec(model, {"params": params})
+    rows = []
+    for v in vals:
+        x = jnp.asarray(v)
+        out = fwd(params, x)
+        m = rd_loss(out, x, lam)
+        u8 = (v * 255).astype(np.uint8)
+        data = codec.compress(u8)
+        h, w = v.shape[1:3]
+        rows.append({
+            "bpp": float(m["bpp_total"]),
+            "measured_bpp": len(data) * 8 / (h * w),
+            "psnr": float(m["psnr"]),
+            "msssim": float(mss(out["x_hat"], x)),
+        })
+    return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+
+
+def main():
+    from neural_image_compression_tpu.coding.codec import (
+        CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
+        MeanScaleHyperpriorCodec,
+    )
+    from neural_image_compression_tpu.evaluation.bdrate import bd_rate
+    from neural_image_compression_tpu.models import (
+        CheckerboardHierarchical, FactorizedPrior,
+        JointAutoregressiveHierarchical, MeanScaleHyperprior,
+    )
+    from neural_image_compression_tpu.train.sweep import vmapped_lambda_sweep
+
+    os.makedirs(STATE, exist_ok=True)
+    pool, vals = _data()
+
+    families = (
+        ("factorized", lambda: FactorizedPrior(latent_channels=M,
+                                               dtype=jnp.bfloat16),
+         FactorizedPriorCodec),
+        ("hyperprior", lambda: MeanScaleHyperprior(latent_channels=M, K=K,
+                                                   dtype=jnp.bfloat16),
+         MeanScaleHyperpriorCodec),
+        ("checkerboard", lambda: CheckerboardHierarchical(
+            latent_channels=M, K=K, dtype=jnp.bfloat16), CheckerboardCodec),
+        ("joint_ar", lambda: JointAutoregressiveHierarchical(
+            latent_channels=M, K=K, dtype=jnp.bfloat16), JointARCodec),
+    )
+
+    curves = {}
+    for fam, make_model, Codec in families:
+        model = make_model()
+        pk = os.path.join(STATE, f"{fam}.pkl")
+        if os.path.exists(pk + ".ok"):
+            print(f"[{fam}] cached sweep params", flush=True)
+            with open(pk, "rb") as f:
+                per_lambda = [jax.tree.map(jnp.asarray, t)
+                              for t in pickle.load(f)]
+        else:
+            print(f"[{fam}] vmapped sweep: {len(LAMBDAS)} lambdas x "
+                  f"{STEPS} steps ...", flush=True)
+            t0 = time.time()
+            per_lambda, losses = vmapped_lambda_sweep(
+                model, LAMBDAS, PoolIter(pool), steps=STEPS,
+                log_every=10_000)
+            print(f"[{fam}] sweep done in {(time.time() - t0) / 60:.1f} min, "
+                  f"final losses {[round(float(v), 4) for v in losses]}",
+                  flush=True)
+            with open(pk, "wb") as f:
+                pickle.dump([jax.device_get(t) for t in per_lambda], f)
+            open(pk + ".ok", "w").write("ok")
+        pts = []
+        for lam, params in zip(LAMBDAS, per_lambda):
+            res = _eval_point(model, params, Codec, vals, lam)
+            res["lambda"] = lam
+            pts.append(res)
+            print(f"[{fam}@{lam}] {json.dumps(res)}", flush=True)
+        curves[fam] = pts
+
+    # BD-rate vs the joint-AR anchor, on analytic and measured rates
+    bd = {}
+    anchor = curves["joint_ar"]
+    for fam, pts in curves.items():
+        if fam == "joint_ar":
+            continue
+        try:
+            bd[fam] = {
+                "bd_rate_pct_analytic": bd_rate(anchor, pts),
+                "bd_rate_pct_measured": bd_rate(
+                    [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
+                     for p in anchor],
+                    [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
+                     for p in pts]),
+            }
+        except ValueError as e:
+            bd[fam] = {"error": str(e)}
+
+    out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
+                      "lambdas": list(LAMBDAS), "corpus": "natural",
+                      "image": "768x512 synth_natural"},
+           "curves": curves, "bd_rate_vs_joint_ar": bd}
+    path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+
+    print(f"\n{'family':14s} {'lambda':>7s} {'bpp':>8s} {'measured':>9s} "
+          f"{'psnr':>6s} {'msssim':>7s}")
+    for fam, pts in curves.items():
+        for p in pts:
+            print(f"{fam:14s} {p['lambda']:7.3f} {p['bpp']:8.4f} "
+                  f"{p['measured_bpp']:9.4f} {p['psnr']:6.2f} "
+                  f"{p['msssim']:7.4f}")
+    print("\nBD-rate vs joint_ar (negative = that family saves bits):")
+    for fam, v in bd.items():
+        print(f"  {fam}: {v}")
+    print(f"-> {path}")
+
+
+if __name__ == "__main__":
+    main()
