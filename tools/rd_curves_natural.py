@@ -93,6 +93,36 @@ def _eval_point(model, params, Codec, vals, lam):
     return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
 
 
+def _write_artifact(curves, bd_rate):
+    """Write the artifact with whatever curves exist so far (BD-rate vs the
+    joint-AR anchor only once that anchor has run)."""
+    bd = {}
+    anchor = curves.get("joint_ar")
+    if anchor:
+        for fam, pts in curves.items():
+            if fam == "joint_ar":
+                continue
+            try:
+                bd[fam] = {
+                    "bd_rate_pct_analytic": bd_rate(anchor, pts),
+                    "bd_rate_pct_measured": bd_rate(
+                        [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
+                         for p in anchor],
+                        [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
+                         for p in pts]),
+                }
+            except ValueError as e:
+                bd[fam] = {"error": str(e)}
+    out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
+                      "lambdas": list(LAMBDAS), "corpus": "natural",
+                      "image": "768x512 synth_natural"},
+           "curves": curves, "bd_rate_vs_joint_ar": bd}
+    path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return bd
+
+
 def main():
     from neural_image_compression_tpu.coding.codec import (
         CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
@@ -108,18 +138,26 @@ def main():
     os.makedirs(STATE, exist_ok=True)
     pool, vals = _data()
 
+    # Priority order: the gained-vs-fixed BD comparison needs hyperprior,
+    # cross-family BD needs the joint_ar anchor; the artifact is written
+    # after EVERY family so a wall-clock cutoff still leaves a usable file.
+    # NIC_CURVES_FAMILIES=a,b filters.
     families = (
-        ("factorized", lambda: FactorizedPrior(latent_channels=M,
-                                               dtype=jnp.bfloat16),
-         FactorizedPriorCodec),
         ("hyperprior", lambda: MeanScaleHyperprior(latent_channels=M, K=K,
                                                    dtype=jnp.bfloat16),
          MeanScaleHyperpriorCodec),
-        ("checkerboard", lambda: CheckerboardHierarchical(
-            latent_channels=M, K=K, dtype=jnp.bfloat16), CheckerboardCodec),
         ("joint_ar", lambda: JointAutoregressiveHierarchical(
             latent_channels=M, K=K, dtype=jnp.bfloat16), JointARCodec),
+        ("checkerboard", lambda: CheckerboardHierarchical(
+            latent_channels=M, K=K, dtype=jnp.bfloat16), CheckerboardCodec),
+        ("factorized", lambda: FactorizedPrior(latent_channels=M,
+                                               dtype=jnp.bfloat16),
+         FactorizedPriorCodec),
     )
+    only = os.environ.get("NIC_CURVES_FAMILIES")
+    if only:
+        keep = {f.strip() for f in only.split(",")}
+        families = tuple(f for f in families if f[0] in keep)
 
     curves = {}
     for fam, make_model, Codec in families:
@@ -150,32 +188,7 @@ def main():
             pts.append(res)
             print(f"[{fam}@{lam}] {json.dumps(res)}", flush=True)
         curves[fam] = pts
-
-    # BD-rate vs the joint-AR anchor, on analytic and measured rates
-    bd = {}
-    anchor = curves["joint_ar"]
-    for fam, pts in curves.items():
-        if fam == "joint_ar":
-            continue
-        try:
-            bd[fam] = {
-                "bd_rate_pct_analytic": bd_rate(anchor, pts),
-                "bd_rate_pct_measured": bd_rate(
-                    [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
-                     for p in anchor],
-                    [{"bpp": p["measured_bpp"], "psnr": p["psnr"]}
-                     for p in pts]),
-            }
-        except ValueError as e:
-            bd[fam] = {"error": str(e)}
-
-    out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
-                      "lambdas": list(LAMBDAS), "corpus": "natural",
-                      "image": "768x512 synth_natural"},
-           "curves": curves, "bd_rate_vs_joint_ar": bd}
-    path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1)
+        bd = _write_artifact(curves, bd_rate)
 
     print(f"\n{'family':14s} {'lambda':>7s} {'bpp':>8s} {'measured':>9s} "
           f"{'psnr':>6s} {'msssim':>7s}")
@@ -187,7 +200,7 @@ def main():
     print("\nBD-rate vs joint_ar (negative = that family saves bits):")
     for fam, v in bd.items():
         print(f"  {fam}: {v}")
-    print(f"-> {path}")
+    print(f"-> {os.path.join(REPO, 'eval_results', 'rd_curves_natural.json')}")
 
 
 if __name__ == "__main__":
