@@ -25,16 +25,27 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _blur(x: jax.Array, window: jax.Array) -> jax.Array:
-    """Separable depthwise Gaussian blur, VALID padding. x: (B, H, W, C)."""
+    """Separable depthwise Gaussian blur, VALID padding. x: (B, H, W, C).
+
+    precision=HIGHEST is load-bearing: on TPU the default conv precision
+    rounds inputs to bf16 on the MXU, and the moment-form variance
+    blur(x*x) - mu^2 then cancels catastrophically on smooth content
+    (window variance ~1e-4 vs bf16 product error ~1e-3) — measured MS-SSIM
+    swung from 0.99 to 0.60..1.01 on the same tensors. CPU convs are true
+    f32, so the golden-parity tests (which run on CPU) cannot see this;
+    HIGHEST restores f32-accurate convs on TPU (3-pass bf16 decomposition).
+    """
     c = x.shape[-1]
     n = window.shape[0]
     kh = jnp.tile(window.reshape(n, 1, 1, 1), (1, 1, 1, c))   # (n,1,1,C) HWIO depthwise
     kw = jnp.tile(window.reshape(1, n, 1, 1), (1, 1, 1, c))
     dn = ("NHWC", "HWIO", "NHWC")
     x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID",
-                                     dimension_numbers=dn, feature_group_count=c)
+                                     dimension_numbers=dn, feature_group_count=c,
+                                     precision=jax.lax.Precision.HIGHEST)
     return x
 
 

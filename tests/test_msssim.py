@@ -88,3 +88,33 @@ def test_rgb_to_luma():
     assert y.shape == (1, 8, 8, 1)
     expected = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
     np.testing.assert_allclose(np.asarray(y[..., 0]), np.asarray(expected), rtol=1e-5)
+
+
+def test_blur_convs_pin_highest_precision():
+    """The Gaussian-blur convs must carry precision=HIGHEST: on TPU the
+    default conv precision rounds inputs to bf16 on the MXU and the
+    moment-form variance blur(x*x) - mu^2 cancels catastrophically on smooth
+    content (measured MS-SSIM swung 0.99 -> 0.60..1.01 on the same tensors).
+    CPU convs are true f32, so only the jaxpr can witness this here."""
+    import jax
+    from jax import lax
+
+    x = jnp.zeros((1, 192, 192, 1), jnp.float32)
+    jaxpr = jax.make_jaxpr(lambda a, b: ms_ssim(a, b))(x, x)
+
+    def all_eqns(jx):
+        for e in jx.eqns:
+            yield e
+            for v in e.params.values():
+                inner = getattr(v, "jaxpr", None)
+                if inner is not None:
+                    yield from all_eqns(inner)
+
+    convs = [e for e in all_eqns(jaxpr.jaxpr)
+             if e.primitive.name == "conv_general_dilated"]
+    assert convs, "expected conv_general_dilated eqns in ms_ssim"
+    for e in convs:
+        prec = e.params["precision"]
+        assert prec in (lax.Precision.HIGHEST,
+                        (lax.Precision.HIGHEST, lax.Precision.HIGHEST)), (
+            f"blur conv precision {prec!r} is not HIGHEST")
