@@ -154,7 +154,8 @@ def cmd_train(args):
                       log_dir=cfg.train.log_dir,
                       checkpoint_path=cfg.train.checkpoint_path,
                       seed=cfg.train.seed, mesh=mesh,
-                      ema_decay=cfg.train.ema_decay or None)
+                      ema_decay=cfg.train.ema_decay or None,
+                      clip_grad_norm=cfg.train.clip_grad_norm or None)
     trainer.train()
 
 

@@ -63,6 +63,8 @@ class TrainConfig:
     preemption_safe: bool = False        # SIGTERM -> checkpoint + clean exit
     ema_decay: float = 0.0               # >0 enables EMA params (e.g. 0.999);
                                          # checkpointed; eval prefers them
+    clip_grad_norm: float = 0.0          # >0 clips gradients by global norm
+                                         # (stabilizes high-lambda training)
 
 
 @dataclass

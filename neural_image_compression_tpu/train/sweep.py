@@ -103,7 +103,7 @@ def interp_lambda(levels: Sequence[float], level) -> float:
 def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
                          steps: int, learning_rate: float = 1e-4,
                          seed: int = 0, rd_loss=None, log_every: int = 0,
-                         log_fn=print):
+                         log_fn=print, clip_grad_norm=None):
     """Train one model PER λ simultaneously with a vmapped train step.
 
     TPU-idiomatic sweep: instead of L sequential runs, the step is vmapped
@@ -134,7 +134,14 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
                                     training=True)["params"]
     params = jax.jit(jax.vmap(init_one))(keys)  # stacked along axis 0
 
-    tx = optax.adam(learning_rate)
+    # clip_grad_norm: per-replica global-norm clipping. High-lambda replicas
+    # can spike late in training (a diverged replica poisons only itself —
+    # the vmap keeps states independent — but wastes its lane).
+    if clip_grad_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm),
+                         optax.adam(learning_rate))
+    else:
+        tx = optax.adam(learning_rate)
     opt_state = jax.jit(jax.vmap(tx.init))(params)
 
     def one_step(p, o, lam, batch, rng):

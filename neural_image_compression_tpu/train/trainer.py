@@ -45,7 +45,8 @@ class Trainer:
                  scalar_interval: int = 1, preemption_safe: bool = False,
                  log_dir: str = "runs/experiment", checkpoint_path: str = "./checkpoints/checkpoint",
                  seed: int = 0, mesh=None, example_batch=None,
-                 ema_decay: Optional[float] = None):
+                 ema_decay: Optional[float] = None,
+                 clip_grad_norm: Optional[float] = None):
         if rd_loss is None:
             rd_loss = default_rd_loss
         self.model = model
@@ -99,8 +100,29 @@ class Trainer:
         )(init_key, noise_key, example_batch)
         self.params = variables["params"]
 
+        if clip_grad_norm is not None and clip_grad_norm <= 0.0:
+            raise ValueError(
+                f"clip_grad_norm must be > 0, got {clip_grad_norm}")
         if optimizer is None:
-            optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate)
+            # Global-norm gradient clipping (opt-in; the reference trains
+            # unclipped, Trainer.py:76-86, but high-lambda RD objectives can
+            # spike late in training — see STATUS round 3). Clipping lives
+            # INSIDE inject_hyperparams so opt_state.hyperparams keeps the
+            # flat learning_rate the schedulers mutate.
+            if clip_grad_norm is not None:
+                def _make(learning_rate):
+                    return optax.chain(
+                        optax.clip_by_global_norm(clip_grad_norm),
+                        optax.adam(learning_rate))
+                optimizer = optax.inject_hyperparams(_make)(
+                    learning_rate=learning_rate)
+            else:
+                optimizer = optax.inject_hyperparams(optax.adam)(
+                    learning_rate=learning_rate)
+        elif clip_grad_norm is not None:
+            raise ValueError(
+                "pass either a custom optimizer or clip_grad_norm, not both "
+                "(chain optax.clip_by_global_norm into your optimizer)")
         self.tx = optimizer
         self.opt_state = self.tx.init(self.params)
 

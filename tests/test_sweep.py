@@ -51,3 +51,16 @@ def test_vmapped_lambda_sweep():
     x = jnp.asarray(train[0])
     out = model.apply({"params": per_lambda[0]}, x, training=False)
     assert np.isfinite(float(rd_loss(out, x, 0.001)["loss"]))
+
+
+def test_vmapped_lambda_sweep_with_clip():
+    from neural_image_compression_tpu.train import vmapped_lambda_sweep
+
+    rng = np.random.RandomState(0)
+    train = [rng.rand(2, 64, 64, 3).astype(np.float32) for _ in range(2)]
+    model = FactorizedPrior(latent_channels=4)
+    per_lambda, losses = vmapped_lambda_sweep(
+        model, [0.001, 0.05], train, steps=6, learning_rate=1e-3,
+        clip_grad_norm=1.0)
+    assert len(per_lambda) == 2
+    assert np.all(np.isfinite(np.asarray(losses)))

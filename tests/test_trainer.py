@@ -418,3 +418,80 @@ def test_ema_with_mesh(tmp_path, tiny_model):
     trainer.train()
     leaves = jax.tree.leaves(trainer.ema_params)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_clip_grad_norm_trains_and_keeps_scheduler_lr(tmp_path, tiny_model):
+    """Clipping chains inside inject_hyperparams, so the schedulers' mutable
+    learning_rate survives; training still reduces loss."""
+    trainer = Trainer(tiny_model, _loader(), max_steps=10, learning_rate=1e-3,
+                      scheduler="cosine", clip_grad_norm=1.0,
+                      log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    assert trainer.current_lr() == pytest.approx(1e-3)
+    trainer.train()
+    assert trainer.current_lr() < 1e-3  # cosine actually mutated the lr
+    metrics_file = tmp_path / "runs" / "metrics.jsonl"
+    losses = [json.loads(l)["value"] for l in open(metrics_file)
+              if json.loads(l)["tag"] == "losses/loss"]
+    assert losses[-1] < losses[0]
+
+
+def test_clip_grad_norm_noop_above_threshold(tmp_path):
+    """A clip threshold far above the gradient norm leaves the trajectory
+    unchanged (up to jit-graph reassociation noise: the clipped step compiles
+    a different fused program, so bit-identity is NOT guaranteed on CPU)."""
+    def run(clip, tag):
+        model = FactorizedPrior(latent_channels=8)
+        t = Trainer(model, _loader(n=2, batch=2), max_steps=4,
+                    learning_rate=1e-3, clip_grad_norm=clip,
+                    log_dir=str(tmp_path / tag), checkpoint_path=None,
+                    seed=0)
+        t.train()
+        return jax.device_get(t.params)
+
+    base = run(None, "base")
+    noop = run(1e9, "noop")
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(noop)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_clip_grad_norm_transform_wiring(tmp_path):
+    """The Trainer's optimizer actually clips: on a gradient tree with known
+    global norm G > clip, its update equals unclipped adam's update on the
+    pre-scaled gradients g * clip/G. (Adam is gradient-scale-invariant per
+    coordinate, so asserting on the update NORM would be vacuous — the
+    identity with the scaled-gradient run is the real wiring check.)"""
+    import jax.numpy as jnp
+    import optax
+
+    clip = 0.5
+    model = FactorizedPrior(latent_channels=8)
+    t = Trainer(model, _loader(n=1, batch=2), max_steps=1,
+                learning_rate=1e-3, clip_grad_norm=clip,
+                log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+    grads = jax.tree.map(jnp.ones_like, t.params)
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > clip
+    updates, _ = t.tx.update(grads, t.tx.init(t.params), t.params)
+
+    ref_tx = optax.adam(1e-3)
+    scaled = jax.tree.map(lambda g: g * (clip / gnorm), grads)
+    ref_updates, _ = ref_tx.update(scaled, ref_tx.init(t.params), t.params)
+    for a, b in zip(jax.tree.leaves(updates), jax.tree.leaves(ref_updates)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_clip_with_custom_optimizer_raises(tmp_path, tiny_model):
+    import optax
+
+    with pytest.raises(ValueError, match="clip_grad_norm"):
+        Trainer(tiny_model, _loader(), max_steps=1,
+                optimizer=optax.adam(1e-3), clip_grad_norm=1.0,
+                log_dir=str(tmp_path / "runs"), checkpoint_path=None)
+
+
+def test_clip_invalid_value_raises(tmp_path, tiny_model):
+    with pytest.raises(ValueError, match="clip_grad_norm"):
+        Trainer(tiny_model, _loader(), max_steps=1, clip_grad_norm=0.0,
+                log_dir=str(tmp_path / "runs"), checkpoint_path=None)
