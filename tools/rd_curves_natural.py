@@ -37,6 +37,10 @@ BATCH = 16
 LAMBDAS = tuple(float(v) for v in os.environ.get(
     "NIC_CURVES_LAMBDAS", "0.001,0.005,0.02,0.08").split(","))
 STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural")
+# Global-norm gradient clipping for every replica (0 disables). The default
+# is on: unclipped lambda=0.08 replicas spiked late in training (joint-AR
+# diverged outright, hyperprior landed on an RD-inverted point).
+CLIP = float(os.environ.get("NIC_CURVES_CLIP", "1.0")) or None
 
 
 class PoolIter:
@@ -115,6 +119,7 @@ def _write_artifact(curves, bd_rate):
                 bd[fam] = {"error": str(e)}
     out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
                       "lambdas": list(LAMBDAS), "corpus": "natural",
+                      "clip_grad_norm": CLIP,
                       "image": "768x512 synth_natural"},
            "curves": curves, "bd_rate_vs_joint_ar": bd}
     path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
@@ -174,7 +179,7 @@ def main():
             t0 = time.time()
             per_lambda, losses = vmapped_lambda_sweep(
                 model, LAMBDAS, PoolIter(pool), steps=STEPS,
-                log_every=10_000)
+                log_every=10_000, clip_grad_norm=CLIP)
             print(f"[{fam}] sweep done in {(time.time() - t0) / 60:.1f} min, "
                   f"final losses {[round(float(v), 4) for v in losses]}",
                   flush=True)
