@@ -487,6 +487,37 @@ def cmd_bdrate(args):
     print(json.dumps(out))
 
 
+def cmd_anchor_curve(args):
+    import json
+
+    import numpy as np
+
+    from neural_image_compression_tpu.data import ImageFolderDataset
+    from neural_image_compression_tpu.evaluation.anchors import (
+        classical_rd_curve,
+    )
+
+    ds = ImageFolderDataset(args.data_dir)
+    if len(ds) == 0:
+        sys.exit(f"{args.data_dir}: no images found")
+    images = [np.asarray(ds[i]) for i in range(len(ds))]
+    qualities = ([int(q) for q in args.qualities.split(",")]
+                 if args.qualities else None)
+    try:
+        curve = classical_rd_curve(images, args.codec, qualities,
+                                   with_msssim=args.msssim)
+    except ValueError as e:
+        sys.exit(str(e))
+    with open(args.out, "w") as f:
+        json.dump(curve, f, indent=1)
+    for p in curve:
+        extra = f" msssim={p['msssim']:.4f}" if "msssim" in p else ""
+        print(f"{args.codec} q={p['quality']:3d}: bpp={p['bpp']:.4f} "
+              f"psnr={p['psnr']:.2f}{extra}")
+    print(f"-> {args.out} ({len(images)} images); compare with: "
+          f"bdrate {args.out} <model rd_curve.json>")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="neural_image_compression_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -593,6 +624,19 @@ def main(argv=None):
                     help="gained models: rate level to fold at "
                          "(0..N-1, fractional = interpolated)")
     sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("anchor-curve",
+                        help="classical-codec (JPEG/WebP) anchor RD curve "
+                             "over an image folder, for BD-rate comparison")
+    sp.add_argument("--data_dir", required=True)
+    sp.add_argument("--codec", default="jpeg", choices=["jpeg", "webp"])
+    sp.add_argument("--qualities", default=None,
+                    help="comma-separated quality ladder "
+                         "(default: per-codec ladder)")
+    sp.add_argument("--msssim", action="store_true",
+                    help="also compute MS-SSIM per point (slower)")
+    sp.add_argument("--out", default="anchor_curve.json")
+    sp.set_defaults(fn=cmd_anchor_curve)
 
     sp = sub.add_parser("bdrate",
                         help="Bjøntegaard delta between two RD curves "
