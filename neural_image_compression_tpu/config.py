@@ -17,8 +17,9 @@ from typing import Optional
 @dataclass
 class ModelConfig:
     name: str = "joint_ar"  # joint_ar | residual | factorized | hyperprior
-                            # | scalable | checkerboard | gained
-                            # | gained_hyperprior | gained_checkerboard
+                            # | scalable | checkerboard | channel_cb (alias
+                            # elic) | gained | gained_hyperprior
+                            # | gained_checkerboard
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
@@ -118,6 +119,13 @@ def build_model(cfg: ModelConfig):
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
     if cfg.name == "checkerboard":
         return CheckerboardHierarchical(
+            latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
+    if cfg.name in ("channel_cb", "elic"):
+        from neural_image_compression_tpu.models import (
+            ChannelCheckerboardHierarchical,
+        )
+
+        return ChannelCheckerboardHierarchical(
             latent_channels=cfg.latent_channels, K=cfg.K, dtype=dtype)
     if cfg.name == "residual":
         return HierarchicalMixtureResidual(

@@ -13,6 +13,9 @@ from neural_image_compression_tpu.models.hyperprior import MeanScaleHyperprior
 from neural_image_compression_tpu.models.checkerboard import (
     CheckerboardContext, CheckerboardHierarchical, checkerboard_mask,
 )
+from neural_image_compression_tpu.models.channel_cb import (
+    ChannelCheckerboardHierarchical, default_groups,
+)
 from neural_image_compression_tpu.models.gained import (
     GainedCheckerboard, GainedHyperprior, GainedJointAR, fold_gains,
     folded_model, interp_gain, level_for_bpp,
@@ -33,6 +36,7 @@ __all__ = [
     "JointAutoregressiveHierarchical", "HierarchicalMixtureResidual",
     "FactorizedPrior", "MeanScaleHyperprior", "ScalableImageCoding",
     "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
+    "ChannelCheckerboardHierarchical", "default_groups",
     "GainedJointAR", "GainedHyperprior", "GainedCheckerboard",
     "fold_gains", "folded_model", "interp_gain",
     "level_for_bpp",
