@@ -221,8 +221,8 @@ def cmd_eval(args):
 
 def _make_codec(cfg: Config, model, params, card_path=None):
     from neural_image_compression_tpu.coding import (
-        CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
-        MeanScaleHyperpriorCodec, ScalableCodec,
+        ChannelCheckerboardCodec, CheckerboardCodec, FactorizedPriorCodec,
+        JointARCodec, MeanScaleHyperpriorCodec, ScalableCodec,
     )
 
     cls = {"factorized": FactorizedPriorCodec,
@@ -231,10 +231,16 @@ def _make_codec(cfg: Config, model, params, card_path=None):
            "gained_hyperprior": MeanScaleHyperpriorCodec,
            "checkerboard": CheckerboardCodec,
            "gained_checkerboard": CheckerboardCodec,
+           "channel_cb": ChannelCheckerboardCodec,
+           "elic": ChannelCheckerboardCodec,
            }.get(cfg.model.name, JointARCodec)
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
 
+        if cls is ChannelCheckerboardCodec:
+            sys.exit("portable (cross-machine) streams are not supported for "
+                     "the channel_cb family yet — use the checkerboard or "
+                     "hyperprior families for portable cards")
         if cls is FactorizedPriorCodec:
             return cls(model, {"params": params},
                        portable_card=P.FactorizedCard.load(card_path))
@@ -255,7 +261,7 @@ def _auto_streams(args, cfg) -> int:
         return n
     if cfg.model.name in ("factorized", "scalable"):
         return 1
-    if cfg.model.name in ("checkerboard", "hyperprior"):
+    if cfg.model.name in ("checkerboard", "hyperprior", "channel_cb", "elic"):
         # lanes are a pure partition of each block (no context approximation)
         return min(16, os.cpu_count() or 1)
     from neural_image_compression_tpu.coding.codec import NATIVE_AR
@@ -307,6 +313,10 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
+    if portable and cfg.model.name in ("channel_cb", "elic"):
+        sys.exit("portable (cross-machine) streams are not supported for the "
+                 "channel_cb family yet — use the checkerboard or hyperprior "
+                 "families for portable cards")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1

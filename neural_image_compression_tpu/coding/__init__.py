@@ -8,15 +8,16 @@ from neural_image_compression_tpu.coding.portable import (
     PortableCard, portable_ar_decode, portable_ar_encode,
 )
 from neural_image_compression_tpu.coding.codec import (
-    CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
-    MeanScaleHyperpriorCodec, ScalableCodec,
+    ChannelCheckerboardCodec, CheckerboardCodec, FactorizedPriorCodec,
+    JointARCodec, MeanScaleHyperpriorCodec, ScalableCodec,
     bitstream_bpp, stream_size, wavefront_order,
 )
 
 __all__ = [
     "RansDecoder", "encode_gaussian", "encode_indexed",
     "factorized_tables", "quantize_pmf_rows",
-    "CheckerboardCodec", "FactorizedPriorCodec", "JointARCodec",
+    "ChannelCheckerboardCodec", "CheckerboardCodec",
+    "FactorizedPriorCodec", "JointARCodec",
     "MeanScaleHyperpriorCodec", "ScalableCodec", "bitstream_bpp",
     "stream_size", "wavefront_order",
     "PortableCard", "portable_ar_decode", "portable_ar_encode",

@@ -51,6 +51,7 @@ _KIND_CHECKERBOARD = 7         # two-pass parallel decode (models/checkerboard.p
 _KIND_CHECKERBOARD_PORTABLE = 8
 _KIND_HYPERPRIOR = 9           # one-pass parallel decode (models/hyperprior.py)
 _KIND_HYPERPRIOR_PORTABLE = 10
+_KIND_CHANNEL_CB = 11          # 2G-pass group decode (models/channel_cb.py)
 
 LEAKY_SLOPE = 0.01
 
@@ -1344,6 +1345,459 @@ class CheckerboardCodec:
             list(ex.map(_pass2, range(B)))
 
         # --- one batched synthesis over the whole batch -------------------
+        y_dev = _latents_to_device(np.stack(y_hats))
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
+
+class ChannelCheckerboardCodec:
+    """2·G-pass parallel codec for models.ChannelCheckerboardHierarchical
+    (the ELIC-style unevenly-grouped space-channel context family).
+
+    Decode is a short, fixed chain of jitted device programs — per channel
+    group: one pass for the group's ANCHORS (hyper + channel context over
+    the already-decoded groups) and one for its NON-ANCHORS (+ one conv
+    over the group's decoded anchors) — 2·G passes total (G = 4 by
+    default), each a fully-parallel conv/GEMM program. Like
+    CheckerboardCodec there is NO serial host AR stage; unlike it, groups
+    chain sequentially (group i's context needs groups < i decoded), which
+    is the He-2022 rate-for-latency trade in the other direction.
+
+    Determinism contract (same as CheckerboardCodec): encode and decode
+    derive ALL entropy parameters through the SAME jitted programs on the
+    SAME integer inputs — at encode time the "decoded" groups are exactly
+    the quantized latents, so the f32 parameters are bit-identical on both
+    sides. Streams are self-consistent per device/build; there is no
+    portable-card path for this family yet (the card spec would need
+    per-group integer context GEMMs — use the checkerboard or hyperprior
+    families for cross-machine streams).
+
+    Stream layout: common header (kind 11, layout word 0 or 0x8000|lanes)
+    + z stream (factorized tables, identical to JointARCodec) + ONE y
+    payload holding, per group in order, the group's anchors (row-major,
+    channel fastest) then its non-anchors — 2·G blocks. With n_streams=N
+    the blocks are lane-partitioned exactly like CheckerboardCodec
+    (within each block symbol s -> lane s % N): rate-neutral, exact
+    context, N-core parallel decode inside every block.
+    """
+
+    def __init__(self, model, variables):
+        from neural_image_compression_tpu.models.channel_cb import (
+            default_groups,
+        )
+
+        self.model = model
+        self.variables = variables
+        self.M = model.latent_channels
+        self.K = model.K
+        self.groups = (tuple(model.groups) if model.groups is not None
+                       else default_groups(self.M))
+        self._z_cache = {}
+        self._prog_cache = {}
+        self._analysis_q = _make_analysis(model, with_hyper=True)
+        self._analysis_f32 = None
+        self._psi_prog = jax.jit(lambda v, zq: model.apply(
+            v, zq, method=lambda mdl, z: mdl.hyper_features(z)))
+        self._synthesis = jax.jit(lambda v, yq: model.apply(
+            v, yq, method=lambda mdl, y: (
+                mdl.decoder(y.astype(jnp.float32)),)))
+        self._synthesis_u8 = _make_synthesis_u8(model)
+
+    # -- helpers ----------------------------------------------------------
+    def _analysis_full(self):
+        if self._analysis_f32 is None:
+            self._analysis_f32 = _make_analysis_f32(self.model,
+                                                    with_hyper=True)
+        return self._analysis_f32
+
+    def _z_tables(self, zmin: int, zmax: int):
+        key = (zmin, zmax)
+        if key not in self._z_cache:
+            self._z_cache[key] = factorized_tables(self.model, self.variables,
+                                                   zmin, zmax)
+        return self._z_cache[key]
+
+    def _programs(self, h: int, w: int):
+        """Per-latent-shape jitted pass programs, one (anchor, non-anchor)
+        pair per group, with ON-DEVICE row gather (only the coder-needed
+        mask-half rows of the group's params cross the link — the same
+        link-traffic rule as CheckerboardCodec._programs). The group-i
+        anchor program also computes and RETURNS the group's channel-context
+        features so the non-anchor program reuses them without recomputing
+        the context stack."""
+        key = (h, w)
+        if key in self._prog_cache:
+            return self._prog_cache[key]
+        am = checkerboard_mask(h, w)
+        idx_a = np.flatnonzero(am.ravel())
+        idx_n = np.flatnonzero(~am.ravel())
+        model, K = self.model, self.K
+
+        def rows(p, idx):
+            flat = p.astype(jnp.float32).reshape((h * w,) + p.shape[3:])[idx]
+            if K == 1:
+                return flat.reshape(-1)
+            return jnp.swapaxes(flat, 1, 2).reshape(-1, K)
+
+        def make(i):
+            if i == 0:
+                @jax.jit
+                def aprog(v, psi):
+                    params = model.apply(
+                        v, psi, method=lambda mdl, p:
+                        mdl.group_params(0, p, None, None))
+                    return tuple(rows(p, idx_a) for p in params)
+
+                @jax.jit
+                def nprog(v, psi, ya):
+                    params = model.apply(
+                        v, psi, ya.astype(jnp.float32),
+                        method=lambda mdl, p, y:
+                        mdl.group_params(0, p, None, y))
+                    return tuple(rows(p, idx_n) for p in params)
+                return aprog, nprog
+
+            @jax.jit
+            def aprog(v, psi, y_prev):
+                def body(mdl, p, yp):
+                    ch = mdl.group_channel_ctx(i, yp.astype(jnp.float32))
+                    return (ch,) + tuple(mdl.group_params(i, p, ch, None))
+                out = model.apply(v, psi, y_prev, method=body)
+                return (out[0],) + tuple(rows(p, idx_a) for p in out[1:])
+
+            @jax.jit
+            def nprog(v, psi, ch, ya):
+                params = model.apply(
+                    v, psi, ch, ya.astype(jnp.float32),
+                    method=lambda mdl, p, c, y:
+                    mdl.group_params(i, p, c, y))
+                return tuple(rows(p, idx_n) for p in params)
+            return aprog, nprog
+
+        self._prog_cache[key] = tuple(make(i) for i in range(len(self.groups)))
+        return self._prog_cache[key]
+
+    # lane machinery is shared with (and layout-compatible with) the
+    # two-block checkerboard codec; only the encode side generalizes to
+    # 2·G blocks (_encode_lanes_blocks below)
+    _coder_rows = CheckerboardCodec._coder_rows
+    _open_lanes = staticmethod(CheckerboardCodec._open_lanes)
+    _decode_block_lanes = staticmethod(CheckerboardCodec._decode_block_lanes)
+    _open_y = CheckerboardCodec._open_y
+
+    def _encode_lanes_blocks(self, sym, mus, sigmas, weights, bounds,
+                             n: int, workers=None) -> bytes:
+        """N-way interleaved rANS over 2·G blocks: within EACH block symbol
+        s goes to lane s % N, so every pass's decode touches only its own
+        block slice of every lane. Payload: N uint32 lane lengths +
+        concatenated lanes (CheckerboardCodec layout, more blocks)."""
+        def _one(i):
+            pick = np.concatenate([np.arange(b0 + i, b1, n)
+                                   for b0, b1 in zip(bounds[:-1], bounds[1:])])
+            return backend.encode_gaussian(
+                sym[pick], mus[pick], sigmas[pick],
+                None if weights is None else weights[pick])
+        with ThreadPoolExecutor(
+                max_workers=workers or min(n, os.cpu_count() or 1)) as ex:
+            lanes = list(ex.map(_one, range(n)))
+        table = struct.pack(f"<{n}I", *[len(s) for s in lanes])
+        return table + b"".join(lanes)
+
+    def _group_passes_encode(self, y_q: np.ndarray, psi_dev, am: np.ndarray):
+        """Enqueue all 2·G pass programs for one image's exact latents (at
+        encode the 'decoded' groups ARE the quantized latents) and return
+        the per-pass device row tensors in stream order."""
+        h, w = y_q.shape[0], y_q.shape[1]
+        progs = self._programs(h, w)
+        rows_t = []
+        off = 0
+        for i, gi in enumerate(self.groups):
+            y_g = y_q[..., off:off + gi]
+            ya = np.where(am[..., None], y_g, 0.0).astype(np.float32)
+            if i == 0:
+                pa = progs[0][0](self.variables, psi_dev)
+                pna = progs[0][1](self.variables, psi_dev,
+                                  _latents_to_device(ya[None]))
+            else:
+                y_prev = y_q[..., :off].astype(np.float32)
+                out = progs[i][0](self.variables, psi_dev,
+                                  _latents_to_device(y_prev[None]))
+                ch_dev, pa = out[0], out[1:]
+                pna = progs[i][1](self.variables, psi_dev, ch_dev,
+                                  _latents_to_device(ya[None]))
+            rows_t.append((pa, pna))
+            off += gi
+        return rows_t
+
+    def _y_stream(self, y_q: np.ndarray, rows_t, am: np.ndarray,
+                  n_streams: int, workers=None):
+        """Assemble the per-group (anchors || non-anchors) symbol sequence +
+        coder rows and encode it (single stream or N lanes)."""
+        syms, mus_l, sig_l, w_l, bounds = [], [], [], [], [0]
+        off = 0
+        for i, gi in enumerate(self.groups):
+            y_g = y_q[..., off:off + gi]
+            pa, pna = rows_t[i]
+            for sel, p in ((am, pa), (~am, pna)):
+                syms.append(y_g[sel].astype(np.int32).reshape(-1))
+                mu, sig, wts = self._coder_rows(p)
+                mus_l.append(mu)
+                sig_l.append(sig)
+                if wts is not None:
+                    w_l.append(wts)
+                bounds.append(bounds[-1] + syms[-1].size)
+            off += gi
+        sym = np.concatenate(syms)
+        mus = np.concatenate(mus_l)
+        sigmas = np.concatenate(sig_l)
+        weights = None if self.K == 1 else np.concatenate(w_l)
+        if n_streams == 1:
+            return backend.encode_gaussian(sym, mus, sigmas, weights), 0
+        return (self._encode_lanes_blocks(sym, mus, sigmas, weights, bounds,
+                                          n_streams, workers=workers),
+                0x8000 | n_streams)
+
+    # -- encode -----------------------------------------------------------
+    def compress(self, x: np.ndarray, n_streams: int = 1) -> bytes:
+        """x: (1, H, W, 3) float32 in [0,1] OR uint8, any size (padded to
+        multiples of 64, cropped back at decompress)."""
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        assert 1 <= n_streams <= 255
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+
+        outs = self._analysis_q(self.variables, x)
+        psi_dev = self._psi_prog(self.variables, outs[1])
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
+        z_q = np.asarray(outs[1])[0]
+        backend._require_integral_latents(y_q)
+        am = checkerboard_mask(y_q.shape[0], y_q.shape[1])
+        rows_t = self._group_passes_encode(y_q, psi_dev, am)
+
+        zmin, zmax = int(z_q.min()), int(z_q.max())
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         cdfs, offsets, sizes)
+        y_bytes, layout = self._y_stream(y_q, rows_t, am, n_streams)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_CHANNEL_CB,
+                             self.K, self.M, img_h, img_w, layout, zmin, zmax,
+                             len(z_bytes), len(y_bytes))
+        return header + z_bytes + y_bytes
+
+    def compress_batch(self, xs: np.ndarray, workers: int = None,
+                       n_streams: int = 1) -> list:
+        """Encode B images: all analysis programs enqueue before the first
+        host fetch, every image's 2·G pass programs enqueue as soon as its
+        latents land, and the host rANS assembly threads per image. Streams
+        are byte-identical to per-image compress() (batch-1 pass programs —
+        the same determinism contract as CheckerboardCodec.compress_batch)."""
+        assert xs.ndim == 4
+        assert 1 <= n_streams <= 255
+        img_h, img_w = xs.shape[1], xs.shape[2]
+        xp = _pad_input(xs, 64)
+        B = xp.shape[0]
+        outs = [self._analysis_q(self.variables, jnp.asarray(xp[b:b + 1]))
+                for b in range(B)]
+        psis = [self._psi_prog(self.variables, o[1]) for o in outs]
+        h, w = outs[0][0].shape[1], outs[0][0].shape[2]
+        am = checkerboard_mask(h, w)
+        y_qs, z_qs, rows_t = [], [], []
+        for b in range(B):
+            y_q = _fetch_y16(outs[b][0], lambda b=b: np.asarray(
+                self._analysis_full()(self.variables,
+                                      jnp.asarray(xp[b:b + 1]))[0]))[0]
+            backend._require_integral_latents(y_q)
+            y_qs.append(y_q)
+            z_qs.append(np.asarray(outs[b][1])[0])
+            rows_t.append(self._group_passes_encode(y_q, psis[b], am))
+        for z_q in z_qs:  # warm the jitted z-table cache serially
+            self._z_tables(int(z_q.min()), int(z_q.max()))
+
+        def _one(b):
+            y_q, z_q = y_qs[b], z_qs[b]
+            zmin, zmax = int(z_q.min()), int(z_q.max())
+            cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+            z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+            z_index = np.tile(np.arange(self.M, dtype=np.int32),
+                              z_sym.shape[0])
+            z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                             cdfs, offsets, sizes)
+            y_bytes, layout = self._y_stream(y_q, rows_t[b], am, n_streams,
+                                             workers=1)
+            return struct.pack("<4sBBHHHHhhII", _MAGIC, _KIND_CHANNEL_CB,
+                               self.K, self.M, img_h, img_w, layout,
+                               zmin, zmax, len(z_bytes), len(y_bytes)
+                               ) + z_bytes + y_bytes
+        with ThreadPoolExecutor(
+                max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+            return list(ex.map(_one, range(B)))
+
+    # -- decode -----------------------------------------------------------
+    def _parse_header(self, data: bytes):
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        magic, kind, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if magic != _MAGIC or kind != _KIND_CHANNEL_CB:
+            raise ValueError("not a channel-checkerboard bitstream")
+        if K != self.K or M != self.M:
+            raise ValueError(f"stream is K={K} M={M}, codec model is "
+                             f"K={self.K} M={self.M}")
+        return hs, img_h, img_w, layout, zmin, zmax, len_z, len_y
+
+    def _decode_z(self, z_bytes: bytes, zmin: int, zmax: int, hz: int,
+                  wz: int) -> np.ndarray:
+        cdfs, offsets, sizes = self._z_tables(zmin, zmax)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(z_bytes, z_index, cdfs, offsets,
+                                        sizes)
+        return z_sym.reshape(hz, wz, self.M).astype(np.float32)
+
+    def _decode_groups(self, decs, psi_dev, h: int, w: int,
+                       workers=None) -> np.ndarray:
+        """Run the 2·G pass chain against open lane decoders -> (h, w, M)."""
+        am = checkerboard_mask(h, w)
+        progs = self._programs(h, w)
+        y_hat = np.zeros((h, w, self.M), np.float32)
+        off = 0
+        for i, gi in enumerate(self.groups):
+            if i == 0:
+                pa = progs[0][0](self.variables, psi_dev)
+                ch_dev = None
+            else:
+                out = progs[i][0](self.variables, psi_dev,
+                                  _latents_to_device(y_hat[None, ..., :off]))
+                ch_dev, pa = out[0], out[1:]
+            mu_a, sig_a, w_a = self._coder_rows(pa)
+            vals_a = self._decode_block_lanes(decs, mu_a, sig_a, w_a,
+                                              workers=workers)
+            y_hat[am, off:off + gi] = vals_a.reshape(-1, gi)
+
+            ya = np.where(am[..., None], y_hat[..., off:off + gi],
+                          0.0).astype(np.float32)
+            if i == 0:
+                pna = progs[0][1](self.variables, psi_dev,
+                                  _latents_to_device(ya[None]))
+            else:
+                pna = progs[i][1](self.variables, psi_dev, ch_dev,
+                                  _latents_to_device(ya[None]))
+            mu_n, sig_n, w_n = self._coder_rows(pna)
+            vals_n = self._decode_block_lanes(decs, mu_n, sig_n, w_n,
+                                              workers=workers)
+            y_hat[~am, off:off + gi] = vals_n.reshape(-1, gi)
+            off += gi
+        for dec in decs:
+            dec.finish()  # truncated/corrupt stream -> error, not garbage
+        return y_hat
+
+    def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode (y_q, z_q) from a channel-checkerboard bitstream."""
+        hs, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
+            self._parse_header(data)
+        z_bytes = data[hs:hs + len_z]
+        y_payload = data[hs + len_z:hs + len_z + len_y]
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        z_q = self._decode_z(z_bytes, zmin, zmax, hz, wz)
+        psi_dev = self._psi_prog(self.variables, jnp.asarray(z_q)[None])
+        decs = self._open_y(y_payload, layout)
+        y_hat = self._decode_groups(decs, psi_dev, h, w)
+        return y_hat, z_q
+
+    def decompress(self, data: bytes, as_uint8: bool = False) -> np.ndarray:
+        y_hat, _ = self.decode_latents(data)
+        img_h, img_w = _stream_size(data)
+        y_dev = _latents_to_device(y_hat[None])
+        if as_uint8:
+            (x_u8,) = self._synthesis_u8(self.variables, y_dev)
+            return np.asarray(x_u8)[:, :img_h, :img_w]
+        (x_hat,) = self._synthesis(self.variables, y_dev)
+        return np.clip(np.asarray(x_hat), 0.0, 1.0)[:, :img_h, :img_w]
+
+    def decompress_batch(self, datas: list, workers: int = None,
+                         as_uint8: bool = False) -> np.ndarray:
+        """Decode B same-shape bitstreams as 2·G pipelined pass WAVES: within
+        each (group, pass) wave all images' programs enqueue before any host
+        fetch (tunnel round-trips overlap across images) and the rANS block
+        decodes thread per image; ONE batched synthesis program reconstructs
+        the whole batch (the same wave structure as
+        CheckerboardCodec.decompress_batch, G times)."""
+        parsed = [self._parse_header(d) for d in datas]
+        img_h, img_w = parsed[0][1], parsed[0][2]
+        assert all(p[1] == img_h and p[2] == img_w for p in parsed), \
+            "decompress_batch requires same-shape bitstreams"
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        B = len(datas)
+        am = checkerboard_mask(h, w)
+        progs = self._programs(h, w)
+
+        z_all = [self._decode_z(datas[b][parsed[b][0]:
+                                         parsed[b][0] + parsed[b][6]],
+                                parsed[b][4], parsed[b][5], hz, wz)
+                 for b in range(B)]
+        psis = [self._psi_prog(self.variables, jnp.asarray(z)[None])
+                for z in z_all]
+        all_decs = [self._open_y(
+            datas[b][parsed[b][0] + parsed[b][6]:
+                     parsed[b][0] + parsed[b][6] + parsed[b][7]],
+            parsed[b][3]) for b in range(B)]
+        y_hats = [np.zeros((h, w, self.M), np.float32) for _ in range(B)]
+
+        off = 0
+        for i, gi in enumerate(self.groups):
+            if i == 0:
+                pas = [(None, progs[0][0](self.variables, psis[b]))
+                       for b in range(B)]
+            else:
+                outs = [progs[i][0](self.variables, psis[b],
+                                    _latents_to_device(
+                                        y_hats[b][None, ..., :off]))
+                        for b in range(B)]
+                pas = [(o[0], o[1:]) for o in outs]
+
+            def _anchors(b, off=off, gi=gi):
+                mu_a, sig_a, w_a = self._coder_rows(pas[b][1])
+                vals = self._decode_block_lanes(all_decs[b], mu_a, sig_a,
+                                                w_a, workers=1)
+                y_hats[b][am, off:off + gi] = vals.reshape(-1, gi)
+            with ThreadPoolExecutor(
+                    max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+                list(ex.map(_anchors, range(B)))
+
+            pnas = []
+            for b in range(B):
+                ya = np.where(am[..., None], y_hats[b][..., off:off + gi],
+                              0.0).astype(np.float32)
+                if i == 0:
+                    pnas.append(progs[0][1](self.variables, psis[b],
+                                            _latents_to_device(ya[None])))
+                else:
+                    pnas.append(progs[i][1](self.variables, psis[b],
+                                            pas[b][0],
+                                            _latents_to_device(ya[None])))
+
+            def _nonanchors(b, off=off, gi=gi):
+                mu_n, sig_n, w_n = self._coder_rows(pnas[b])
+                vals = self._decode_block_lanes(all_decs[b], mu_n, sig_n,
+                                                w_n, workers=1)
+                y_hats[b][~am, off:off + gi] = vals.reshape(-1, gi)
+            with ThreadPoolExecutor(
+                    max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
+                list(ex.map(_nonanchors, range(B)))
+            off += gi
+        for decs in all_decs:
+            for dec in decs:
+                dec.finish()
+
         y_dev = _latents_to_device(np.stack(y_hats))
         if as_uint8:
             (x_u8,) = self._synthesis_u8(self.variables, y_dev)
