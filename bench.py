@@ -15,8 +15,8 @@ Prints ONE JSON line:
 
 Env knobs: NIC_BENCH_DTYPE=bf16|f32 (transform compute dtype; entropy math is
 always f32), NIC_BENCH_ITERS, NIC_BENCH_BATCH, NIC_BENCH_M, NIC_BENCH_K,
-NIC_BENCH_FAMILY=joint_ar|checkerboard|hyperprior (model family; MFU uses
-the matching analytic FLOP model).
+NIC_BENCH_FAMILY=joint_ar|checkerboard|hyperprior|channel_cb (model family;
+MFU uses the matching analytic FLOP model).
 """
 
 import json
@@ -54,8 +54,8 @@ def _wait_for_backend():
 
 def main():
     from neural_image_compression_tpu.models import (
-        CheckerboardHierarchical, JointAutoregressiveHierarchical,
-        MeanScaleHyperprior,
+        ChannelCheckerboardHierarchical, CheckerboardHierarchical,
+        JointAutoregressiveHierarchical, MeanScaleHyperprior,
     )
     from neural_image_compression_tpu.train.loss import rd_loss
 
@@ -73,7 +73,8 @@ def main():
 
     Model = {"joint_ar": JointAutoregressiveHierarchical,
              "checkerboard": CheckerboardHierarchical,
-             "hyperprior": MeanScaleHyperprior}[family]
+             "hyperprior": MeanScaleHyperprior,
+             "channel_cb": ChannelCheckerboardHierarchical}[family]
     model = Model(latent_channels=M, K=KMIX, dtype=dtype)
     key = jax.random.PRNGKey(0)
     x = jax.random.uniform(key, (batch, 512, 768, 3), jnp.float32)
@@ -120,14 +121,16 @@ def main():
     # MFU: analytic eval-forward FLOPs over the chip's bf16 peak
     # (NIC_PEAK_TFLOPS overrides; default v5e = 197).
     from neural_image_compression_tpu.utils.flops import (
-        hyperprior_eval_flops, joint_ar_eval_flops, mfu, train_step_flops,
+        channel_cb_eval_flops, hyperprior_eval_flops, joint_ar_eval_flops,
+        mfu, train_step_flops,
     )
 
     # checkerboard's context conv has the same shape as joint_ar's, so the
     # joint FLOP model applies to both; hyperprior drops the context and
-    # halves the EP input width
-    _flops = (hyperprior_eval_flops if family == "hyperprior"
-              else joint_ar_eval_flops)
+    # halves the EP input width; channel_cb swaps in per-group ctx/EP nets
+    _flops = {"hyperprior": hyperprior_eval_flops,
+              "channel_cb": channel_cb_eval_flops}.get(family,
+                                                       joint_ar_eval_flops)
     flops_img = _flops(M, KMIX, 512, 768)["total"]
     peak = float(os.environ.get("NIC_PEAK_TFLOPS", "197"))
 

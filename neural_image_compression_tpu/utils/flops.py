@@ -131,6 +131,39 @@ def hyperprior_eval_flops(M: int, K: int, H: int, W: int,
     return out
 
 
+def channel_cb_eval_flops(M: int, K: int, H: int, W: int,
+                          groups=None,
+                          transform: str = "conv5x5") -> Dict[str, int]:
+    """Per-image eval-forward FLOPs of ChannelCheckerboardHierarchical: the
+    joint-AR transforms with the single context conv + EP net replaced by
+    per-group spatial-context convs, channel-context stacks, and EP nets
+    (models/channel_cb.py)."""
+    from neural_image_compression_tpu.models.channel_cb import default_groups
+
+    g = tuple(groups) if groups is not None else default_groups(M)
+    out = dict(joint_ar_eval_flops(M, K, H, W, transform))
+    h16, w16 = H // 16, W // 16
+    del out["context"]
+    spatial = channel = ep = 0
+    off = 0
+    for i, gi in enumerate(g):
+        spatial += _conv(h16, w16, 5, gi, 2 * gi)
+        if i > 0:
+            hidden = max(2 * gi, 64)
+            channel += (_conv(h16, w16, 5, off, hidden)
+                        + _conv(h16, w16, 5, hidden, 2 * gi))
+        ep_out = 2 * gi if K == 1 else 3 * K * gi
+        ep += (_conv(h16, w16, 1, 4 * gi + 2 * M, 640)
+               + _conv(h16, w16, 1, 640, 640)
+               + _conv(h16, w16, 1, 640, ep_out))
+        off += gi
+    out["spatial_ctx"] = spatial
+    out["channel_ctx"] = channel
+    out["entropy_parameters"] = ep
+    out["total"] = sum(v for k, v in out.items() if k != "total")
+    return out
+
+
 def factorized_prior_eval_flops(M: int, H: int, W: int) -> Dict[str, int]:
     out = {}
     out["encoder"] = (

@@ -49,6 +49,25 @@ def test_hyperprior_is_joint_minus_context_and_half_ep_input():
     assert h["total"] == sum(v for k, v in h.items() if k != "total")
 
 
+def test_channel_cb_breakdown():
+    from neural_image_compression_tpu.utils.flops import channel_cb_eval_flops
+
+    j = joint_ar_eval_flops(128, 3, 512, 768)
+    c = channel_cb_eval_flops(128, 3, 512, 768)
+    assert "context" not in c and c["spatial_ctx"] > 0 and c["channel_ctx"] > 0
+    # transforms identical; only the context/EP stage differs
+    for k in ("encoder", "decoder", "hyper_encoder", "hyper_decoder"):
+        assert c[k] == j[k]
+    # per-group spatial convs are strictly cheaper than one full M->2M conv
+    # (sum of g_i^2 < M^2 for any non-trivial split)
+    assert c["spatial_ctx"] < j["context"]
+    assert c["total"] == sum(v for k, v in c.items() if k != "total")
+    # custom groups change the context stage only
+    c2 = channel_cb_eval_flops(128, 3, 512, 768, groups=(64, 64))
+    assert c2["total"] != c["total"]
+    assert c2["encoder"] == c["encoder"]
+
+
 def test_mfu_and_train():
     f = joint_ar_eval_flops(128, 3, 512, 768)["total"]
     u = mfu(1000.0, f, PEAK_BF16_TFLOPS["v5e"])

@@ -100,6 +100,22 @@ def test_hyperprior_family_exports(tmp_path):
     assert float(np.asarray(out["bpp_z"])[0]) > 0.0
 
 
+def test_channel_cb_family_exports(tmp_path):
+    from neural_image_compression_tpu.models import (
+        ChannelCheckerboardHierarchical,
+    )
+
+    model = ChannelCheckerboardHierarchical(latent_channels=16, K=1)
+    params = _init(model)
+    exported = serving.export_model(model, params, 64, 64, batch=1)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 64, 64, 3), jnp.float32)
+    out = exported.call(x)
+    want = serving.make_serving_fn(model, params)(x)
+    np.testing.assert_allclose(np.asarray(out["x_hat"]),
+                               np.asarray(want["x_hat"]), atol=1e-5)
+    assert float(np.asarray(out["bpp_y"])[0]) > 0.0
+
+
 def test_bad_resolution_raises(joint_small):
     model, params = joint_small
     with pytest.raises(ValueError, match="multiples of 64"):
