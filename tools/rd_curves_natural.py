@@ -130,13 +130,13 @@ def _write_artifact(curves, bd_rate):
 
 def main():
     from neural_image_compression_tpu.coding.codec import (
-        CheckerboardCodec, FactorizedPriorCodec, JointARCodec,
-        MeanScaleHyperpriorCodec,
+        ChannelCheckerboardCodec, CheckerboardCodec, FactorizedPriorCodec,
+        JointARCodec, MeanScaleHyperpriorCodec,
     )
     from neural_image_compression_tpu.evaluation.bdrate import bd_rate
     from neural_image_compression_tpu.models import (
-        CheckerboardHierarchical, FactorizedPrior,
-        JointAutoregressiveHierarchical, MeanScaleHyperprior,
+        ChannelCheckerboardHierarchical, CheckerboardHierarchical,
+        FactorizedPrior, JointAutoregressiveHierarchical, MeanScaleHyperprior,
     )
     from neural_image_compression_tpu.train.sweep import vmapped_lambda_sweep
 
@@ -158,13 +158,25 @@ def main():
         ("factorized", lambda: FactorizedPrior(latent_channels=M,
                                                dtype=jnp.bfloat16),
          FactorizedPriorCodec),
+        ("channel_cb", lambda: ChannelCheckerboardHierarchical(
+            latent_channels=M, K=K, dtype=jnp.bfloat16),
+         ChannelCheckerboardCodec),
     )
     only = os.environ.get("NIC_CURVES_FAMILIES")
     if only:
         keep = {f.strip() for f in only.split(",")}
         families = tuple(f for f in families if f[0] in keep)
 
+    # Merge with a previous run's artifact: families NOT selected this run
+    # keep their existing points (lets channel_cb etc. be added to the curve
+    # set without retraining the others — same corpus/seeds by construction).
     curves = {}
+    art = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+    selected = {f[0] for f in families}
+    if os.path.exists(art):
+        with open(art) as f:
+            prior = json.load(f).get("curves", {})
+        curves.update({k: v for k, v in prior.items() if k not in selected})
     for fam, make_model, Codec in families:
         model = make_model()
         pk = os.path.join(STATE, f"{fam}.pkl")
