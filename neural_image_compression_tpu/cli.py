@@ -233,6 +233,7 @@ def _make_codec(cfg: Config, model, params, card_path=None):
            "gained_checkerboard": CheckerboardCodec,
            "channel_cb": ChannelCheckerboardCodec,
            "elic": ChannelCheckerboardCodec,
+           "gained_channel_cb": ChannelCheckerboardCodec,
            }.get(cfg.model.name, JointARCodec)
     if card_path and os.path.exists(card_path):
         from neural_image_compression_tpu.coding import portable as P
@@ -261,7 +262,8 @@ def _auto_streams(args, cfg) -> int:
         return n
     if cfg.model.name in ("factorized", "scalable"):
         return 1
-    if cfg.model.name in ("checkerboard", "hyperprior", "channel_cb", "elic"):
+    if cfg.model.name in ("checkerboard", "hyperprior", "channel_cb", "elic",
+                          "gained_channel_cb"):
         # lanes are a pure partition of each block (no context approximation)
         return min(16, os.cpu_count() or 1)
     from neural_image_compression_tpu.coding.codec import NATIVE_AR
@@ -313,7 +315,8 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
-    if portable and cfg.model.name in ("channel_cb", "elic"):
+    if portable and cfg.model.name in ("channel_cb", "elic",
+                                       "gained_channel_cb"):
         sys.exit("portable (cross-machine) streams are not supported for the "
                  "channel_cb family yet — use the checkerboard or hyperprior "
                  "families for portable cards")

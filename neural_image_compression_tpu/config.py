@@ -19,7 +19,7 @@ class ModelConfig:
     name: str = "joint_ar"  # joint_ar | residual | factorized | hyperprior
                             # | scalable | checkerboard | channel_cb (alias
                             # elic) | gained | gained_hyperprior
-                            # | gained_checkerboard
+                            # | gained_checkerboard | gained_channel_cb
     latent_channels: int = 128
     K: int = 3
     base_channels: int = 96        # scalable only (M1 < M)
@@ -100,18 +100,20 @@ def build_model(cfg: ModelConfig):
     import jax.numpy as jnp
 
     from neural_image_compression_tpu.models import (
-        CheckerboardHierarchical, FactorizedPrior, GainedCheckerboard,
-        GainedHyperprior, GainedJointAR, HierarchicalMixtureResidual,
-        JointAutoregressiveHierarchical, MeanScaleHyperprior,
-        ScalableImageCoding,
+        CheckerboardHierarchical, FactorizedPrior, GainedChannelCheckerboard,
+        GainedCheckerboard, GainedHyperprior, GainedJointAR,
+        HierarchicalMixtureResidual, JointAutoregressiveHierarchical,
+        MeanScaleHyperprior, ScalableImageCoding,
     )
 
     dtype = jnp.bfloat16 if cfg.dtype == "bf16" else None
-    if cfg.name in ("gained", "gained_hyperprior", "gained_checkerboard"):
+    if cfg.name in ("gained", "gained_hyperprior", "gained_checkerboard",
+                    "gained_channel_cb"):
         kwargs = {"levels": tuple(cfg.levels)} if cfg.levels else {}
         cls = {"gained": GainedJointAR,
                "gained_hyperprior": GainedHyperprior,
-               "gained_checkerboard": GainedCheckerboard}[cfg.name]
+               "gained_checkerboard": GainedCheckerboard,
+               "gained_channel_cb": GainedChannelCheckerboard}[cfg.name]
         return cls(latent_channels=cfg.latent_channels, K=cfg.K,
                    dtype=dtype, **kwargs)
     if cfg.name == "joint_ar":

@@ -17,8 +17,8 @@ from neural_image_compression_tpu.models.channel_cb import (
     ChannelCheckerboardHierarchical, default_groups,
 )
 from neural_image_compression_tpu.models.gained import (
-    GainedCheckerboard, GainedHyperprior, GainedJointAR, fold_gains,
-    folded_model, interp_gain, level_for_bpp,
+    GainedChannelCheckerboard, GainedCheckerboard, GainedHyperprior,
+    GainedJointAR, fold_gains, folded_model, interp_gain, level_for_bpp,
 )
 from neural_image_compression_tpu.models.scalable import ScalableImageCoding
 from neural_image_compression_tpu.models.vision import (
@@ -38,6 +38,7 @@ __all__ = [
     "CheckerboardHierarchical", "CheckerboardContext", "checkerboard_mask",
     "ChannelCheckerboardHierarchical", "default_groups",
     "GainedJointAR", "GainedHyperprior", "GainedCheckerboard",
+    "GainedChannelCheckerboard",
     "fold_gains", "folded_model", "interp_gain",
     "level_for_bpp",
     "FirstHalf", "SecondHalf", "GraphBackbone", "FrozenActivationBlock",

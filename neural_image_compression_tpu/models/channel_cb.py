@@ -85,6 +85,31 @@ class _ChannelContext(nn.Module):
         return Conv2d(self.out_channels, 5, padding=2, dtype=self.dtype)(h)
 
 
+def grouped_entropy_params(groups, spatial_ctx, channel_ctx,
+                           entropy_parameters, y_in: jax.Array,
+                           psi: jax.Array):
+    """The one-program (training/eval) form of the 2·G decode passes, shared
+    by the fixed-rate and gained variants: for each group (static unroll),
+    channel context from the full previous groups, spatial context from the
+    group's anchor-masked grid zeroed at anchors — pointwise-equal to the
+    anchor pass at anchors and the non-anchor pass at non-anchors (the EP
+    net is 1x1 convs). Returns params concatenated back to M channels (group
+    order == channel order) for both the K=1 and K>1 layouts."""
+    am = _anchor_mask_f(y_in.shape[1], y_in.shape[2], y_in.dtype)
+    outs = []
+    off = 0
+    for i, gi in enumerate(groups):
+        y_i = y_in[..., off:off + gi]
+        ch = (channel_ctx[i](y_in[..., :off]) if i > 0
+              else jnp.zeros(psi.shape[:3] + (2 * gi,), psi.dtype))
+        sp = spatial_ctx[i](y_i * am)
+        sp = sp * (1.0 - am).astype(sp.dtype)
+        outs.append(entropy_parameters[i](
+            jnp.concatenate([sp, ch, psi], axis=-1)))
+        off += gi
+    return tuple(jnp.concatenate(parts, axis=-1) for parts in zip(*outs))
+
+
 class ChannelCheckerboardHierarchical(nn.Module):
     """Hyperprior + unevenly-grouped space-channel (checkerboard) context.
 
@@ -191,24 +216,9 @@ class ChannelCheckerboardHierarchical(nn.Module):
         (the EP net is 1x1 convs). Returns params concatenated back to M
         channels, in group order == channel order."""
         psi = self.hyper_decoder(z_in, training)
-        am = _anchor_mask_f(y_in.shape[1], y_in.shape[2], y_in.dtype)
-        outs = []
-        off = 0
-        for i, gi in enumerate(self._groups):
-            y_i = y_in[..., off:off + gi]
-            y_prev = y_in[..., :off] if i > 0 else None
-            ch = self.group_channel_ctx(i, y_prev)
-            sp = self.spatial_ctx[i](y_i * am)
-            sp = sp * (1.0 - am).astype(sp.dtype)
-            if ch is None:
-                ch = jnp.zeros(psi.shape[:3] + (2 * gi,), psi.dtype)
-            outs.append(self.entropy_parameters[i](
-                jnp.concatenate([sp, ch, psi], axis=-1)))
-            off += gi
-        # concat per-group params back to M channels (last axis for both the
-        # K=1 (B,H,W,g) and K>1 (B,H,W,K,g) layouts)
-        return tuple(jnp.concatenate(parts, axis=-1)
-                     for parts in zip(*outs))
+        return grouped_entropy_params(self._groups, self.spatial_ctx,
+                                      self.channel_ctx,
+                                      self.entropy_parameters, y_in, psi)
 
     def __call__(self, x: jax.Array, training: bool = True) -> Dict[str, jax.Array]:
         if x.shape[1] % 64 or x.shape[2] % 64:

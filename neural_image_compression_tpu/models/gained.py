@@ -49,6 +49,10 @@ from neural_image_compression_tpu.models.components import (
 from neural_image_compression_tpu.models.checkerboard import (
     CheckerboardContext, CheckerboardHierarchical, _anchor_mask_f,
 )
+from neural_image_compression_tpu.models.channel_cb import (
+    ChannelCheckerboardHierarchical, _ChannelContext, default_groups,
+    grouped_entropy_params,
+)
 from neural_image_compression_tpu.models.hyperprior import MeanScaleHyperprior
 from neural_image_compression_tpu.models.joint_ar import (
     JointAutoregressiveHierarchical, noise_quantize, round_quantize,
@@ -57,6 +61,7 @@ from neural_image_compression_tpu.models.parameters import EntropyParameters
 from neural_image_compression_tpu.ops.masked_conv import ContextModel
 
 __all__ = ["GainedJointAR", "GainedHyperprior", "GainedCheckerboard",
+           "GainedChannelCheckerboard",
            "fold_gains", "folded_model", "interp_gain", "level_for_bpp"]
 
 _GAIN_KEYS = ("gain_y", "igain_y", "gain_z", "igain_z")
@@ -356,6 +361,115 @@ class GainedCheckerboard(nn.Module):
         return out
 
 
+class GainedChannelCheckerboard(nn.Module):
+    """ChannelCheckerboardHierarchical + per-level gain units (see
+    GainedJointAR): variable-rate with the 2·G-pass parallel decode.
+
+    fold_gains at any level yields a plain ChannelCheckerboardHierarchical
+    tree for the existing ChannelCheckerboardCodec — all per-group context
+    and EP nets operate in the gained (coded) domain and are copied
+    untouched by the fold, exactly like the other families' context nets.
+    conv5x5 only.
+    """
+
+    latent_channels: int = 192
+    K: int = 1
+    groups: Optional[Tuple[int, ...]] = None
+    levels: Tuple[float, ...] = (0.0015, 0.0035, 0.0075, 0.015, 0.03)
+    dtype: Optional[Any] = None
+
+    def setup(self):
+        _validate_gained(self)
+        m, n = self.latent_channels, len(self.levels)
+        g = (tuple(self.groups) if self.groups is not None
+             else default_groups(m))
+        if any(v < 1 for v in g) or sum(g) != m:
+            raise ValueError(f"groups must be positive and sum to "
+                             f"latent_channels={m}, got {g}")
+        self._groups = g
+        self.encoder = Encoder5x5(latent_channels=m, dtype=self.dtype)
+        self.decoder = Decoder5x5(latent_channels=m, dtype=self.dtype)
+        self.hyper_encoder = HyperEncoder5x5(latent_channels=m,
+                                             dtype=self.dtype)
+        self.hyper_decoder = HyperDecoder5x5(latent_channels=m,
+                                             dtype=self.dtype)
+        self.factorized_entropy_model = FactorizedEntropyBottleneck(channels=m)
+        from neural_image_compression_tpu.ops.conv import Conv2d
+        sp, ch, ep = [], [], []
+        for i, gi in enumerate(g):
+            sp.append(Conv2d(2 * gi, 5, padding=2, dtype=self.dtype,
+                             name=f"spatial_ctx_{i}"))
+            ch.append(_ChannelContext(out_channels=2 * gi,
+                                      hidden=max(2 * gi, 64),
+                                      dtype=self.dtype,
+                                      name=f"channel_ctx_{i}")
+                      if i > 0 else None)
+            ep.append(EntropyParameters(
+                latent_channels=gi, hyper_latent_channels=m, K=self.K,
+                dtype=self.dtype, input_channels=4 * gi + 2 * m,
+                name=f"entropy_parameters_{i}"))
+        self.spatial_ctx = sp
+        self.channel_ctx = ch
+        self.entropy_parameters = ep
+        init = nn.initializers.ones
+        self.gain_y = self.param("gain_y", init, (n, m))
+        self.igain_y = self.param("igain_y", init, (n, m))
+        self.gain_z = self.param("gain_z", init, (n, m))
+        self.igain_z = self.param("igain_z", init, (n, m))
+
+    def gain_vectors(self, level):
+        return tuple(interp_gain(t, level) for t in
+                     (self.gain_y, self.igain_y, self.gain_z, self.igain_z))
+
+    def __call__(self, x: jax.Array, training: bool = True,
+                 level=0) -> Dict[str, jax.Array]:
+        if x.shape[1] % 64 or x.shape[2] % 64:
+            raise ValueError(
+                f"H and W must be multiples of 64, got {x.shape[1]}x{x.shape[2]}; "
+                "pad first (data.pad_to_multiple) and crop the output")
+        g_y, ig_y, g_z, ig_z = self.gain_vectors(level)
+
+        y = self.encoder(x)
+        y = y * g_y.astype(y.dtype)
+        z = self.hyper_encoder(y)
+        z = z * g_z.astype(z.dtype)
+
+        if training:
+            rng = self.make_rng("noise")
+            rng_z, rng_y = jax.random.split(rng)
+            z_in = noise_quantize(z.astype(jnp.float32), rng_z)
+            y_in = noise_quantize(y.astype(jnp.float32), rng_y)
+        else:
+            z_in = round_quantize(z.astype(jnp.float32))
+            y_in = round_quantize(y.astype(jnp.float32))
+
+        # the one-program form of the 2G decode passes, in the gained domain
+        psi = self.hyper_decoder(z_in * ig_z, training)
+        params_t = grouped_entropy_params(self._groups, self.spatial_ctx,
+                                          self.channel_ctx,
+                                          self.entropy_parameters, y_in, psi)
+        if self.K == 1:
+            mu, sigma = params_t
+            params = {"mu": mu, "sigma": sigma}
+            p_y = gaussian_likelihood(y_in, mu, sigma)
+        else:
+            weights, mus, sigmas = params_t
+            params = {"weights": weights, "mus": mus, "sigmas": sigmas}
+            p_y = mixture_likelihood(y_in, weights, mus, sigmas)
+
+        p_z = self.factorized_entropy_model(z_in)
+        x_hat = self.decoder(y_in * ig_y, training).astype(jnp.float32)
+
+        out = {
+            "x_hat": x_hat, "y": y, "y_in": y_in, "z": z, "z_in": z_in,
+            "p_z": p_z, "logp_z": jnp.log(p_z),
+            "p_y": p_y, "logp_y": jnp.log(p_y),
+            "training": training,
+        }
+        out.update(params)
+        return out
+
+
 def level_for_bpp(model, params, x, target_bpp: float,
                   tol: float = 0.01, max_iters: int = 16):
     """Rate control: the continuous level whose EVAL-forward analytic bpp on
@@ -424,6 +538,10 @@ def folded_model(gained):
         return CheckerboardHierarchical(
             latent_channels=gained.latent_channels, K=gained.K,
             transform="conv5x5", dtype=gained.dtype)
+    if isinstance(gained, GainedChannelCheckerboard):
+        return ChannelCheckerboardHierarchical(
+            latent_channels=gained.latent_channels, K=gained.K,
+            groups=gained.groups, transform="conv5x5", dtype=gained.dtype)
     if isinstance(gained, GainedJointAR):
         return JointAutoregressiveHierarchical(
             latent_channels=gained.latent_channels, K=gained.K,

@@ -11,7 +11,8 @@ import optax
 import pytest
 
 from neural_image_compression_tpu.models import (
-    CheckerboardHierarchical, GainedCheckerboard, GainedHyperprior,
+    ChannelCheckerboardHierarchical, CheckerboardHierarchical,
+    GainedChannelCheckerboard, GainedCheckerboard, GainedHyperprior,
     MeanScaleHyperprior, fold_gains, folded_model,
 )
 from neural_image_compression_tpu.train.loss import rd_loss
@@ -41,10 +42,12 @@ def _randomize_gains(params, seed=1):
     return out
 
 
-@pytest.fixture(scope="module", params=["hyperprior", "checkerboard"])
+@pytest.fixture(scope="module",
+                params=["hyperprior", "checkerboard", "channel_cb"])
 def rig(request):
     cls = {"hyperprior": GainedHyperprior,
-           "checkerboard": GainedCheckerboard}[request.param]
+           "checkerboard": GainedCheckerboard,
+           "channel_cb": GainedChannelCheckerboard}[request.param]
     model = cls(latent_channels=8, K=2, levels=LEVELS)
     return request.param, model, _randomize_gains(_init(model))
 
@@ -75,7 +78,8 @@ def test_folded_model_type(rig):
     name, model, _ = rig
     fm = folded_model(model)
     want = {"hyperprior": MeanScaleHyperprior,
-            "checkerboard": CheckerboardHierarchical}[name]
+            "checkerboard": CheckerboardHierarchical,
+            "channel_cb": ChannelCheckerboardHierarchical}[name]
     assert isinstance(fm, want)
     assert fm.latent_channels == model.latent_channels and fm.K == model.K
 
@@ -119,7 +123,7 @@ def test_codec_roundtrip_on_folded_model(rig):
     """A folded gained model drives its family's real bitstream codec
     unchanged: decoded latents bit-equal the gained eval forward's."""
     from neural_image_compression_tpu.coding import (
-        CheckerboardCodec, MeanScaleHyperpriorCodec,
+        ChannelCheckerboardCodec, CheckerboardCodec, MeanScaleHyperpriorCodec,
     )
 
     name, model, params = rig
@@ -129,7 +133,8 @@ def test_codec_roundtrip_on_folded_model(rig):
     x = jax.random.uniform(jax.random.PRNGKey(5), (1, 64, 64, 3))
 
     codec_cls = {"hyperprior": MeanScaleHyperpriorCodec,
-                 "checkerboard": CheckerboardCodec}[name]
+                 "checkerboard": CheckerboardCodec,
+                 "channel_cb": ChannelCheckerboardCodec}[name]
     codec = codec_cls(fm, {"params": fp})
     data = codec.compress(np.asarray(x))
     out = model.apply({"params": params}, x, training=False, level=level)
@@ -183,3 +188,6 @@ def test_config_builds_the_new_families():
     m = build_model(ModelConfig(name="gained_checkerboard", latent_channels=8,
                                 K=1))
     assert isinstance(m, GainedCheckerboard)
+    m = build_model(ModelConfig(name="gained_channel_cb", latent_channels=8,
+                                K=1))
+    assert isinstance(m, GainedChannelCheckerboard)
