@@ -171,3 +171,30 @@ def test_spatial_sharded_eval():
     ref = jax.jit(lambda p, x: model.apply({"params": p}, x, training=False))(params, batch)
     np.testing.assert_allclose(np.asarray(out["x_hat"]), np.asarray(ref["x_hat"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_sharded_eval_channel_cb():
+    """The group context convs (channel + spatial) halo-exchange correctly
+    under spatial sharding: sharded eval == unsharded for the ELIC-style
+    family too (likelihoods, not just pixels — context flows cross-shard)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neural_image_compression_tpu.models import (
+        ChannelCheckerboardHierarchical,
+    )
+    from neural_image_compression_tpu.parallel import make_eval_step, replicate
+
+    mesh = make_mesh(8, spatial=4)
+    model = ChannelCheckerboardHierarchical(latent_channels=16, K=1)
+    key = jax.random.PRNGKey(0)
+    batch = jax.random.uniform(key, (2, 512, 256, 3))
+    params = model.init({"params": key, "noise": key}, batch[:1],
+                        training=True)["params"]
+    fwd = make_eval_step(model, mesh=mesh, spatial=True)
+    xsh = jax.device_put(batch, NamedSharding(mesh, P("data", "spatial")))
+    out = fwd(replicate(params, mesh), xsh)
+    ref = jax.jit(lambda p, x: model.apply({"params": p}, x,
+                                           training=False))(params, batch)
+    for k in ("x_hat", "y_in", "z_in", "logp_y", "logp_z"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=2e-5, err_msg=k)
