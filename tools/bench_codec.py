@@ -11,6 +11,8 @@ host CDF work, are realistic):
                    tunnel round-trips; host work is rANS only)
   * hyperprior   — ONE-jitted-device-pass codec (context-free family; the
                    fastest decode in the ladder)
+  * channel_cb   — 2·G-jitted-device-pass codec (ELIC-style unevenly
+                   grouped space-channel context; G=4 groups)
   * checkerboard/hyperprior portable — fully integer host pipelines (no
                    device in the decode loop at all)
 
@@ -86,11 +88,12 @@ def _bench(label, fn, n_imgs):
 
 def main():
     from neural_image_compression_tpu.coding.codec import (
-        CheckerboardCodec, JointARCodec, MeanScaleHyperpriorCodec,
+        ChannelCheckerboardCodec, CheckerboardCodec, JointARCodec,
+        MeanScaleHyperpriorCodec,
     )
     from neural_image_compression_tpu.models import (
-        CheckerboardHierarchical, JointAutoregressiveHierarchical,
-        MeanScaleHyperprior,
+        ChannelCheckerboardHierarchical, CheckerboardHierarchical,
+        JointAutoregressiveHierarchical, MeanScaleHyperprior,
     )
 
     key = jax.random.PRNGKey(0)
@@ -106,7 +109,9 @@ def main():
     for name, Model, Codec in (
             ("joint_ar", JointAutoregressiveHierarchical, JointARCodec),
             ("checkerboard", CheckerboardHierarchical, CheckerboardCodec),
-            ("hyperprior", MeanScaleHyperprior, MeanScaleHyperpriorCodec)):
+            ("hyperprior", MeanScaleHyperprior, MeanScaleHyperpriorCodec),
+            ("channel_cb", ChannelCheckerboardHierarchical,
+             ChannelCheckerboardCodec)):
         print(f"[{name}] training ...", flush=True)
         model = Model(latent_channels=M, K=K, dtype=jnp.bfloat16)
         params = _train_briefly(model, key, TRAIN_STEPS)
