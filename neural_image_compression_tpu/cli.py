@@ -239,9 +239,8 @@ def _make_codec(cfg: Config, model, params, card_path=None):
         from neural_image_compression_tpu.coding import portable as P
 
         if cls is ChannelCheckerboardCodec:
-            sys.exit("portable (cross-machine) streams are not supported for "
-                     "the channel_cb family yet — use the checkerboard or "
-                     "hyperprior families for portable cards")
+            return cls(model, {"params": params},
+                       portable_card=P.ChannelCBCards.load(card_path))
         if cls is FactorizedPriorCodec:
             return cls(model, {"params": params},
                        portable_card=P.FactorizedCard.load(card_path))
@@ -315,11 +314,6 @@ def cmd_compress(args):
     model, params, level = _materialize_level(cfg, model, params, args)
     card_path = getattr(args, "card", None)
     portable = getattr(args, "portable", False) or bool(card_path)
-    if portable and cfg.model.name in ("channel_cb", "elic",
-                                       "gained_channel_cb"):
-        sys.exit("portable (cross-machine) streams are not supported for the "
-                 "channel_cb family yet — use the checkerboard or hyperprior "
-                 "families for portable cards")
     codec = _make_codec(cfg, model, params, card_path if portable else None)
 
     multi = len(imgs) > 1
@@ -427,9 +421,9 @@ def cmd_decompress(args):
     if multi:
         os.makedirs(args.out, exist_ok=True)
     same_shape = len({(m["orig_h"], m["orig_w"]) for m in metas}) == 1
-    # kind byte: 4/5/6/8 = joint/factorized/scalable/checkerboard portable
-    # (codec.py _KIND_*)
-    portable = any(len(d) > 4 and d[4] in (4, 5, 6, 8) for d in datas)
+    # kind byte: 4/5/6/8/10/12 = joint/factorized/scalable/checkerboard/
+    # hyperprior/channel_cb portable (codec.py _KIND_*)
+    portable = any(len(d) > 4 and d[4] in (4, 5, 6, 8, 10, 12) for d in datas)
     # as_uint8: clip/round/*255 runs on device and uint8 pixels come off the
     # link (4x less download traffic than f32 reconstructions)
     if multi and same_shape and not portable \

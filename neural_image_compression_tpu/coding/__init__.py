@@ -5,7 +5,8 @@ from neural_image_compression_tpu.coding.cdf_tables import (
     factorized_tables, quantize_pmf_rows,
 )
 from neural_image_compression_tpu.coding.portable import (
-    PortableCard, portable_ar_decode, portable_ar_encode,
+    ChannelCBCards, PortableCard, build_channel_cb_cards,
+    portable_ar_decode, portable_ar_encode,
 )
 from neural_image_compression_tpu.coding.codec import (
     ChannelCheckerboardCodec, CheckerboardCodec, FactorizedPriorCodec,
@@ -20,5 +21,6 @@ __all__ = [
     "FactorizedPriorCodec", "JointARCodec",
     "MeanScaleHyperpriorCodec", "ScalableCodec", "bitstream_bpp",
     "stream_size", "wavefront_order",
-    "PortableCard", "portable_ar_decode", "portable_ar_encode",
+    "ChannelCBCards", "PortableCard", "build_channel_cb_cards",
+    "portable_ar_decode", "portable_ar_encode",
 ]

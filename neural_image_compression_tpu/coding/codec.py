@@ -52,6 +52,7 @@ _KIND_CHECKERBOARD_PORTABLE = 8
 _KIND_HYPERPRIOR = 9           # one-pass parallel decode (models/hyperprior.py)
 _KIND_HYPERPRIOR_PORTABLE = 10
 _KIND_CHANNEL_CB = 11          # 2G-pass group decode (models/channel_cb.py)
+_KIND_CHANNEL_CB_PORTABLE = 12
 
 LEAKY_SLOPE = 0.01
 
@@ -1370,10 +1371,9 @@ class ChannelCheckerboardCodec:
     derive ALL entropy parameters through the SAME jitted programs on the
     SAME integer inputs — at encode time the "decoded" groups are exactly
     the quantized latents, so the f32 parameters are bit-identical on both
-    sides. Streams are self-consistent per device/build; there is no
-    portable-card path for this family yet (the card spec would need
-    per-group integer context GEMMs — use the checkerboard or hyperprior
-    families for cross-machine streams).
+    sides. Streams are self-consistent per device/build; cross-machine
+    streams use the portable card SET (kind 12, coding/portable.py
+    ChannelCBCards — one integer sub-card per group).
 
     Stream layout: common header (kind 11, layout word 0 or 0x8000|lanes)
     + z stream (factorized tables, identical to JointARCodec) + ONE y
@@ -1384,7 +1384,7 @@ class ChannelCheckerboardCodec:
     context, N-core parallel decode inside every block.
     """
 
-    def __init__(self, model, variables):
+    def __init__(self, model, variables, portable_card=None):
         from neural_image_compression_tpu.models.channel_cb import (
             default_groups,
         )
@@ -1395,6 +1395,7 @@ class ChannelCheckerboardCodec:
         self.K = model.K
         self.groups = (tuple(model.groups) if model.groups is not None
                        else default_groups(self.M))
+        self._portable_card = portable_card
         self._z_cache = {}
         self._prog_cache = {}
         self._analysis_q = _make_analysis(model, with_hyper=True)
@@ -1638,13 +1639,98 @@ class ChannelCheckerboardCodec:
                 max_workers=workers or min(B, os.cpu_count() or 1)) as ex:
             return list(ex.map(_one, range(B)))
 
+    # -- portable (cross-machine) path --------------------------------------
+    def portable_card(self):
+        """The deterministic codec artifact for cross-machine channel_cb
+        streams: a ChannelCBCards SET — per group, a checkerboard-family
+        integer sub-card whose `hyper` slot carries the group's
+        channel-context convs (coding/portable.py). Built lazily; ship with
+        .save(path)."""
+        if self._portable_card is None:
+            from neural_image_compression_tpu.coding.portable import (
+                build_channel_cb_cards,
+            )
+
+            self._portable_card = build_channel_cb_cards(self.model,
+                                                         self.variables)
+        if tuple(self._portable_card.groups) != self.groups:
+            raise ValueError(
+                f"portable card set is for groups "
+                f"{tuple(self._portable_card.groups)}, codec model has "
+                f"{self.groups}")
+        return self._portable_card
+
+    def compress_portable(self, x: np.ndarray) -> bytes:
+        """Encode with the cross-machine deterministic integer path: decode
+        is 2·G integer GEMM/conv passes on ANY machine/implementation
+        holding the same card set — no device in the loop at all (unlike
+        compress(), whose pass programs are per-build jitted device code)."""
+        from neural_image_compression_tpu.coding import portable as P
+
+        assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
+        card = self.portable_card()
+        img_h, img_w = x.shape[1], x.shape[2]
+        x = jnp.asarray(_pad_input(x, 64))
+        outs = self._analysis_q(self.variables, x)
+        y_q = _fetch_y16(outs[0], lambda: np.asarray(
+            self._analysis_full()(self.variables, x)[0]))[0]
+        z_q = np.asarray(outs[1])[0]
+
+        z_sym = z_q.reshape(-1, self.M).astype(np.int32)
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
+        z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
+                                         card.z_cdfs, card.z_offsets,
+                                         card.z_sizes)
+        psi_fix = card.hyper_forward(z_q)
+        y_payload = P.portable_ccb_encode(card, y_q, psi_fix)
+        header = struct.pack("<4sBBHHHHhhII", _MAGIC,
+                             _KIND_CHANNEL_CB_PORTABLE, self.K, self.M,
+                             img_h, img_w, 0, card.zmin, card.zmax,
+                             len(z_bytes), len(y_payload))
+        return header + card.hash + z_bytes + y_payload
+
+    def _decode_latents_portable(self, data: bytes
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
+        fmt = "<4sBBHHHHhhII"
+        hs = struct.calcsize(fmt)
+        _, _, K, M, img_h, img_w, _, zmin, zmax, len_z, len_y = \
+            struct.unpack(fmt, data[:hs])
+        if K != self.K or M != self.M:
+            raise ValueError(f"stream is K={K} M={M}, codec model is "
+                             f"K={self.K} M={self.M}")
+        if data[hs:hs + 8] != card.hash:
+            raise ValueError(
+                "portable stream was encoded with a different card set — "
+                "load the encoder's card file (ChannelCBCards.load) and "
+                "pass it via ChannelCheckerboardCodec(portable_card=...)")
+        ph, pw = _round_up(img_h, 64), _round_up(img_w, 64)
+        h, w = ph // 16, pw // 16
+        hz, wz = ph // 64, pw // 64
+        z_bytes = data[hs + 8:hs + 8 + len_z]
+        y_payload = data[hs + 8 + len_z:hs + 8 + len_z + len_y]
+        z_index = np.tile(np.arange(self.M, dtype=np.int32), hz * wz)
+        z_sym = _decode_indexed_checked(
+            z_bytes, z_index, card.z_cdfs, card.z_offsets, card.z_sizes)
+        z_q = z_sym.reshape(hz, wz, self.M).astype(np.float32)
+        psi_fix = card.hyper_forward(z_q)
+        y_hat = P.portable_ccb_decode(card, y_payload, psi_fix, h, w)
+        return y_hat, z_q
+
+    @staticmethod
+    def _is_portable(data: bytes) -> bool:
+        return len(data) > 5 and data[4] == _KIND_CHANNEL_CB_PORTABLE
+
     # -- decode -----------------------------------------------------------
     def _parse_header(self, data: bytes):
         fmt = "<4sBBHHHHhhII"
         hs = struct.calcsize(fmt)
         magic, kind, K, M, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
             struct.unpack(fmt, data[:hs])
-        if magic != _MAGIC or kind != _KIND_CHANNEL_CB:
+        if magic != _MAGIC or kind not in (_KIND_CHANNEL_CB,
+                                           _KIND_CHANNEL_CB_PORTABLE):
             raise ValueError("not a channel-checkerboard bitstream")
         if K != self.K or M != self.M:
             raise ValueError(f"stream is K={K} M={M}, codec model is "
@@ -1697,7 +1783,11 @@ class ChannelCheckerboardCodec:
         return y_hat
 
     def decode_latents(self, data: bytes) -> Tuple[np.ndarray, np.ndarray]:
-        """Decode (y_q, z_q) from a channel-checkerboard bitstream."""
+        """Decode (y_q, z_q) from a channel-checkerboard bitstream (float
+        or portable kind)."""
+        if self._is_portable(data):
+            self._parse_header(data)  # magic/K/M validation
+            return self._decode_latents_portable(data)
         hs, img_h, img_w, layout, zmin, zmax, len_z, len_y = \
             self._parse_header(data)
         z_bytes = data[hs:hs + len_z]
@@ -1729,6 +1819,10 @@ class ChannelCheckerboardCodec:
         decodes thread per image; ONE batched synthesis program reconstructs
         the whole batch (the same wave structure as
         CheckerboardCodec.decompress_batch, G times)."""
+        if any(self._is_portable(d) for d in datas):
+            # portable decode has no device pass to pipeline; keep it simple
+            return np.concatenate([self.decompress(d, as_uint8=as_uint8)
+                                   for d in datas])
         parsed = [self._parse_header(d) for d in datas]
         img_h, img_w = parsed[0][1], parsed[0][2]
         assert all(p[1] == img_h and p[2] == img_w for p in parsed), \

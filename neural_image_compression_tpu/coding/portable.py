@@ -45,6 +45,7 @@ mode is for streams that must decode elsewhere.
 import hashlib
 import math
 import os
+import struct
 from typing import List, Tuple
 
 import numpy as np
@@ -219,6 +220,82 @@ def _inv_softplus(y: float) -> float:
     if y > 30.0:
         return y
     return math.log(math.expm1(y))
+
+
+def _integer_tables():
+    """Model-independent integer Gaussian machinery shared by every card:
+    (sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables, exp_lut) — the
+    geometric sigma bins with raw-domain thresholds, the per-bin CDF tables
+    on the 1/64 sub-grid, and the mixture-softmax exp LUT."""
+    log2_step = (SIGMA_LOG2_MAX - SIGMA_LOG2_MIN) / (N_SIGMA_BINS - 1)
+    sigmas = 2.0 ** (SIGMA_LOG2_MIN + log2_step * np.arange(N_SIGMA_BINS))
+    edges = np.sqrt(sigmas[:-1] * sigmas[1:])
+    thr = np.array([_inv_softplus(max(e - 1e-6, 1e-12)) for e in edges])
+    sigma_thr = np.round(thr * (1 << F_BITS)).astype(np.int64)
+    sigma_fix = np.round(sigmas * (1 << F_BITS)).astype(np.int64)
+    sigma2_fix = np.round(sigmas ** 2 * (1 << (2 * F_BITS))).astype(np.int64)
+    sigma_R = np.clip(np.ceil(6.0 * sigmas) + 2, 2, 254).astype(np.int64)
+
+    try:
+        from scipy.special import ndtr as _ndtr
+    except ImportError:  # pragma: no cover
+        _vec_erf = np.vectorize(math.erf)
+
+        def _ndtr(x):
+            return 0.5 * (1.0 + _vec_erf(x / math.sqrt(2.0)))
+    tables = []
+    for j in range(N_SIGMA_BINS):
+        ext = int((sigma_R[j] + 2) << SUB_BITS) + 64
+        arg = (np.arange(-ext, ext + 1, dtype=np.float64)
+               / (1 << SUB_BITS)) / sigmas[j]
+        tables.append(np.clip(np.round(_ndtr(arg) * PROB_SCALE),
+                              0, PROB_SCALE).astype(np.int32))
+
+    exp_lut = np.round(np.exp(-np.arange(EXP_LUT_SIZE) / 128.0)
+                       * W_SCALE).astype(np.int64)
+    return sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables, exp_lut
+
+
+def _hyper_layers(model, p) -> List[Tuple[str, "QuantLayer", Tuple]]:
+    """The model's hyper-decoder as a quantized integer layer list (float
+    kernels in our direct-conv HWIO orientation, straight from the flax
+    params), geometry tuples per _int_conv2d/_int_deconv2d."""
+    hd = p["hyper_decoder"]
+    transform = getattr(model, "transform", "conv5x5")
+    if transform == "conv5x5":
+        seq = [("deconv", hd["Deconv2d_0"], (2, 2, 1)),
+               ("deconv", hd["Deconv2d_1"], (2, 2, 1)),
+               ("conv", hd["Conv2d_0"], (1, 1))]
+    elif transform == "res3x3":
+        seq = [("conv", hd["Conv2d_0"], (1, 1)),
+               ("deconv", hd["TransposedDeconv3x3_0"]["Deconv2d_0"], (2, 1, 1)),
+               ("conv", hd["Conv2d_1"], (1, 1)),
+               ("deconv", hd["TransposedDeconv3x3_1"]["Deconv2d_0"], (2, 1, 1)),
+               ("conv", hd["Conv2d_2"], (1, 1))]
+    else:
+        raise ValueError(f"unsupported transform {transform}")
+    return [(kind, QuantLayer.quantize(np.asarray(sub["kernel"]),
+                                       np.asarray(sub["bias"])), geom)
+            for kind, sub, geom in seq]
+
+
+def _quantize_ep1_split(w1: np.ndarray, b1: np.ndarray, phi_dim: int):
+    """Quantize the EP layer-1 weight split at row phi_dim into the phi
+    (context) and psi halves with a SHARED shift: the two accumulators add
+    at the same scale (a context-free split has an empty phi half — its sw
+    must not drag the psi scale down). The layer-1 bias lives in the psi
+    half."""
+    ep1_phi = QuantLayer.quantize(w1[:phi_dim], np.zeros(w1.shape[1]))
+    ep1_psi = QuantLayer.quantize(w1[phi_dim:], b1)
+    sw = min(ep1_phi.sw, ep1_psi.sw) if phi_dim else ep1_psi.sw
+    for lay, half, bias in ((ep1_phi, w1[:phi_dim], np.zeros(w1.shape[1])),
+                            (ep1_psi, w1[phi_dim:], b1)):
+        lay.sw = sw
+        lay.wq = np.round(np.asarray(half, np.float64)
+                          * (1 << sw)).astype(np.int16)
+        lay.bq = np.round(np.asarray(bias, np.float64)
+                          * (1 << (F_BITS + sw))).astype(np.int64)
+    return ep1_phi, ep1_psi
 
 
 class PortableCard:
@@ -397,74 +474,16 @@ class PortableCard:
         else:
             nets = _HostParamNets(p[ctx_name], p[ep_name], M, K)
 
-        # hyper-decoder layer list (float kernels in our direct-conv HWIO
-        # orientation, straight from the flax params)
-        hyper = []
-        hd = p["hyper_decoder"]
-        transform = getattr(model, "transform", "conv5x5")
-        if transform == "conv5x5":
-            seq = [("deconv", hd["Deconv2d_0"], (2, 2, 1)),
-                   ("deconv", hd["Deconv2d_1"], (2, 2, 1)),
-                   ("conv", hd["Conv2d_0"], (1, 1))]
-        elif transform == "res3x3":
-            seq = [("conv", hd["Conv2d_0"], (1, 1)),
-                   ("deconv", hd["TransposedDeconv3x3_0"]["Deconv2d_0"], (2, 1, 1)),
-                   ("conv", hd["Conv2d_1"], (1, 1)),
-                   ("deconv", hd["TransposedDeconv3x3_1"]["Deconv2d_0"], (2, 1, 1)),
-                   ("conv", hd["Conv2d_2"], (1, 1))]
-        else:
-            raise ValueError(f"unsupported transform {transform}")
-        for kind, sub, geom in seq:
-            hyper.append((kind, QuantLayer.quantize(np.asarray(sub["kernel"]),
-                                                    np.asarray(sub["bias"])),
-                          geom))
+        hyper = _hyper_layers(model, p)
 
         ctx = QuantLayer.quantize(nets.ctx_w, nets.ctx_bias)
         (w1, b1), (w2, b2), (w3, b3) = nets.ep
-        phi_dim = nets.ctx_w.shape[1]
-        ep1_phi = QuantLayer.quantize(w1[:phi_dim], np.zeros(w1.shape[1]))
-        # psi half carries the layer-1 bias; shifts must match so the two
-        # accumulators add at the same scale (a context-free card has an
-        # empty phi half — its sw must not drag the psi scale down)
-        ep1_psi = QuantLayer.quantize(w1[phi_dim:], b1)
-        sw = min(ep1_phi.sw, ep1_psi.sw) if phi_dim else ep1_psi.sw
-        for lay, half, bias in ((ep1_phi, w1[:phi_dim], np.zeros(w1.shape[1])),
-                                (ep1_psi, w1[phi_dim:], b1)):
-            lay.sw = sw
-            lay.wq = np.round(np.asarray(half, np.float64)
-                              * (1 << sw)).astype(np.int16)
-            lay.bq = np.round(np.asarray(bias, np.float64)
-                              * (1 << (F_BITS + sw))).astype(np.int64)
+        ep1_phi, ep1_psi = _quantize_ep1_split(w1, b1, nets.ctx_w.shape[1])
         ep2 = QuantLayer.quantize(w2, b2)
         ep3 = QuantLayer.quantize(w3, b3)
 
-        # sigma bins (geometric), raw-domain thresholds, per-bin CDF tables
-        log2_step = (SIGMA_LOG2_MAX - SIGMA_LOG2_MIN) / (N_SIGMA_BINS - 1)
-        sigmas = 2.0 ** (SIGMA_LOG2_MIN + log2_step * np.arange(N_SIGMA_BINS))
-        edges = np.sqrt(sigmas[:-1] * sigmas[1:])
-        thr = np.array([_inv_softplus(max(e - 1e-6, 1e-12)) for e in edges])
-        sigma_thr = np.round(thr * (1 << F_BITS)).astype(np.int64)
-        sigma_fix = np.round(sigmas * (1 << F_BITS)).astype(np.int64)
-        sigma2_fix = np.round(sigmas ** 2 * (1 << (2 * F_BITS))).astype(np.int64)
-        sigma_R = np.clip(np.ceil(6.0 * sigmas) + 2, 2, 254).astype(np.int64)
-
-        try:
-            from scipy.special import ndtr as _ndtr
-        except ImportError:  # pragma: no cover
-            _vec_erf = np.vectorize(math.erf)
-
-            def _ndtr(x):
-                return 0.5 * (1.0 + _vec_erf(x / math.sqrt(2.0)))
-        tables = []
-        for j in range(N_SIGMA_BINS):
-            ext = int((sigma_R[j] + 2) << SUB_BITS) + 64
-            arg = (np.arange(-ext, ext + 1, dtype=np.float64)
-                   / (1 << SUB_BITS)) / sigmas[j]
-            tables.append(np.clip(np.round(_ndtr(arg) * PROB_SCALE),
-                                  0, PROB_SCALE).astype(np.int32))
-
-        exp_lut = np.round(np.exp(-np.arange(EXP_LUT_SIZE) / 128.0)
-                           * W_SCALE).astype(np.int64)
+        (sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables,
+         exp_lut) = _integer_tables()
 
         z_cdfs, z_offsets, z_sizes = factorized_tables(model, variables,
                                                        zmin, zmax)
@@ -1066,6 +1085,214 @@ def _py_hp_decode(card: PortableCard, data: bytes, psi_fix: np.ndarray,
     if not dec.ok():
         raise ValueError("corrupt or truncated portable AR stream")
     return y_out.reshape(h, w, M).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Channel-conditional checkerboard (channel_cb) card set — 2·G-pass portable
+# ---------------------------------------------------------------------------
+
+class ChannelCBCards:
+    """Portable card SET for the channel_cb family (models/channel_cb.py):
+    one checkerboard-family sub-card per channel group, coded group by
+    group with the existing two-pass integer machinery.
+
+    The composition trick: group i's entropy params depend on [spatial ctx,
+    channel ctx, psi]. The spatial ctx is the group's 12 odd-parity 5x5
+    taps — exactly a checkerboard card's ctx GEMM. The channel ctx is two
+    dense stride-1 convs over the already-decoded groups — exactly the
+    integer conv stack the card format already ships for the hyper-decoder.
+    So sub-card i IS a family=1 PortableCard whose `hyper` slot carries the
+    group's channel-context convs (group 0's carries the real z
+    hyper-decoder) and whose per-position "psi" row is [ch_ctx || psi]
+    (group 0: psi alone — its ch input is identically zero and zeros
+    contribute nothing to the exact integer accumulators, so the card drops
+    those EP rows). Every sub-stream then encodes/decodes through the
+    AUDITED portable_cb_encode/decode paths — numpy and C++ bit-identical
+    by the same exactness argument, with zero new native code.
+    """
+
+    def __init__(self, cards: List[PortableCard], groups):
+        groups = tuple(int(g) for g in groups)
+        if not cards or len(cards) != len(groups):
+            raise ValueError("card/group count mismatch")
+        for c, g in zip(cards, groups):
+            if c.family != 1 or c.M != g:
+                raise ValueError("corrupt channel_cb card set: sub-card "
+                                 "family/width does not match its group")
+        self.cards = tuple(cards)
+        self.groups = groups
+        self.M = sum(groups)
+        self.K = cards[0].K
+        self.zmin, self.zmax = cards[0].zmin, cards[0].zmax
+        self.z_cdfs = cards[0].z_cdfs
+        self.z_offsets = cards[0].z_offsets
+        self.z_sizes = cards[0].z_sizes
+        h = hashlib.sha256()
+        h.update(np.asarray(groups, np.int64).tobytes())
+        for c in cards:
+            h.update(c.hash)
+        self.hash = h.digest()[:8]
+
+    # group 0's sub-card carries the real z hyper-decoder
+    def hyper_forward(self, z_q: np.ndarray, native: bool = None) -> np.ndarray:
+        return self.cards[0].hyper_forward(z_q, native=native)
+
+    def channel_forward(self, i: int, y_prev: np.ndarray,
+                        native: bool = None) -> np.ndarray:
+        """Integer channel-context features for group i (> 0) from the
+        decoded previous groups ((h, w, sum(groups[:i])) integer-valued):
+        sub-card i's `hyper` slot holds the two dense 5x5 convs."""
+        return self.cards[i].hyper_forward(y_prev, native=native)
+
+    def save(self, path: str) -> None:
+        arrs = {"groups": np.asarray(self.groups, np.int64)}
+        for i, card in enumerate(self.cards):
+            arrs.update({f"g{i}_{k}": v for k, v in card._arrays()})
+        np.savez_compressed(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "ChannelCBCards":
+        d = np.load(path)
+        if "groups" not in d:
+            raise ValueError(f"{path} is not a channel_cb card set "
+                             f"(missing groups array)")
+        groups = tuple(int(g) for g in d["groups"])
+        cards = []
+        for i in range(len(groups)):
+            sub = {k[len(f"g{i}_"):]: d[k] for k in d.files
+                   if k.startswith(f"g{i}_")}
+            if not sub:
+                raise ValueError(f"{path} is missing sub-card g{i}")
+            cards.append(PortableCard._from_mapping(sub))
+        return cls(cards, groups)
+
+
+def build_channel_cb_cards(model, variables, zmin: int = -64,
+                           zmax: int = 64) -> ChannelCBCards:
+    """Quantize a ChannelCheckerboardHierarchical's coding-path weights into
+    a ChannelCBCards set — the only float computation in portable mode for
+    this family. Layer sources: models/channel_cb.py setup() — per group i,
+    spatial_ctx_i (5x5 conv, 12 odd-parity live taps), channel_ctx_i
+    (dense conv5x5 -> lrelu -> conv5x5, i > 0), entropy_parameters_i
+    (1x1 MLP over [sp(2g) | ch(2g) | psi(2M)])."""
+    from neural_image_compression_tpu.coding.cdf_tables import factorized_tables
+    from neural_image_compression_tpu.coding.codec import _HostParamNets
+    from neural_image_compression_tpu.models.channel_cb import default_groups
+    from neural_image_compression_tpu.models.checkerboard import (
+        CB_CTX_POSITIONS,
+    )
+
+    p = variables["params"]
+    M = model.latent_channels
+    K = model.K
+    groups = (tuple(model.groups) if model.groups is not None
+              else default_groups(M))
+    (sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables,
+     exp_lut) = _integer_tables()
+    z_cdfs, z_offsets, z_sizes = factorized_tables(model, variables,
+                                                   zmin, zmax)
+    z_cdfs = z_cdfs.astype(np.uint32)
+    z_offsets = np.asarray(z_offsets, np.int32)
+    z_sizes = np.asarray(z_sizes, np.int32)
+
+    cards = []
+    off = 0
+    for i, gi in enumerate(groups):
+        nets = _HostParamNets.ep_only(p[f"entropy_parameters_{i}"], gi, K)
+        sp = p[f"spatial_ctx_{i}"]
+        kernel = np.asarray(sp["kernel"])            # (5, 5, gi, 2gi)
+        ctx_w = np.concatenate([kernel[r, c] for (r, c) in CB_CTX_POSITIONS],
+                               axis=0)
+        ctx = QuantLayer.quantize(ctx_w, np.asarray(sp["bias"]))
+        (w1, b1), (w2, b2), (w3, b3) = nets.ep
+        # EP layer-1 rows: [0:2g) spatial, [2g:4g) channel, [4g:) psi.
+        # Group 0 has no channel context (those rows see exact zeros), so
+        # its psi half is the psi rows alone.
+        psi_lo = 2 * gi if i > 0 else 4 * gi
+        ep1_phi, ep1_psi = _quantize_ep1_split(
+            np.vstack([w1[:2 * gi], w1[psi_lo:]]), b1, 2 * gi)
+        if i == 0:
+            hyper = _hyper_layers(model, p)
+        else:
+            # First-conv exactness bound, mirroring the ctx GEMM's
+            # Y_ABS_MAX argument: 25 taps x `off` input channels of
+            # (|y| << F) * w int64 terms must stay below 2^63.
+            if 25 * off * (Y_ABS_MAX << F_BITS) * 32767 >= 2 ** 63:
+                raise ValueError(
+                    f"channel-context conv over {off} decoded channels "
+                    f"exceeds the int64 exactness bound — reduce the "
+                    f"prefix-group widths (sum(groups[:-1]) <= 163)")
+            ch = p[f"channel_ctx_{i}"]
+            hyper = [("conv",
+                      QuantLayer.quantize(np.asarray(ch["Conv2d_0"]["kernel"]),
+                                          np.asarray(ch["Conv2d_0"]["bias"])),
+                      (1, 2)),
+                     ("conv",
+                      QuantLayer.quantize(np.asarray(ch["Conv2d_1"]["kernel"]),
+                                          np.asarray(ch["Conv2d_1"]["bias"])),
+                      (1, 2))]
+        cards.append(PortableCard(
+            gi, K, hyper, ctx, ep1_phi, ep1_psi,
+            QuantLayer.quantize(w2, b2), QuantLayer.quantize(w3, b3),
+            sigma_thr, sigma_fix, sigma2_fix, sigma_R, tables, exp_lut,
+            z_cdfs, z_offsets, z_sizes, zmin, zmax, family=1))
+        off += gi
+    return ChannelCBCards(cards, groups)
+
+
+def portable_ccb_encode(cards: ChannelCBCards, y_q: np.ndarray,
+                        psi_fix: np.ndarray, native: bool = None) -> bytes:
+    """Encode a channel_cb latent grid with the integer parameter path:
+    per group, the checkerboard two-pass coder over the group's channels
+    with the augmented hyper row [ch_ctx || psi]; groups chain on the exact
+    quantized latents (= what decode reconstructs, so parameters are
+    bit-identical on both sides). Payload: G uint32 block lengths + the
+    concatenated per-group portable_cb streams."""
+    y_int = np.asarray(y_q)
+    blocks = []
+    off = 0
+    for i, gi in enumerate(cards.groups):
+        if i == 0:
+            psi_i = psi_fix
+        else:
+            ch = cards.channel_forward(i, y_int[..., :off], native=native)
+            psi_i = np.concatenate([ch, psi_fix], axis=-1)
+        blocks.append(portable_cb_encode(cards.cards[i],
+                                         y_int[..., off:off + gi], psi_i,
+                                         native=native))
+        off += gi
+    table = struct.pack(f"<{len(blocks)}I", *[len(b) for b in blocks])
+    return table + b"".join(blocks)
+
+
+def portable_ccb_decode(cards: ChannelCBCards, data: bytes,
+                        psi_fix: np.ndarray, h: int, w: int,
+                        native: bool = None) -> np.ndarray:
+    """Decode a channel_cb latent grid; returns (h, w, M) float32 of
+    integers. Decoded escapes are Y_ABS_MAX-bounded inside
+    portable_cb_decode, so every channel_forward input stays in spec."""
+    G = len(cards.groups)
+    if len(data) < 4 * G:
+        raise ValueError("corrupt or truncated portable channel_cb stream")
+    lens = struct.unpack(f"<{G}I", data[:4 * G])
+    if 4 * G + sum(lens) != len(data):
+        raise ValueError("corrupt portable channel_cb stream: block table "
+                         "does not cover the payload")
+    y_out = np.zeros((h, w, cards.M), np.float32)
+    off_b = 4 * G
+    off = 0
+    for i, gi in enumerate(cards.groups):
+        if i == 0:
+            psi_i = psi_fix
+        else:
+            ch = cards.channel_forward(i, y_out[..., :off], native=native)
+            psi_i = np.concatenate([ch, psi_fix], axis=-1)
+        y_out[..., off:off + gi] = portable_cb_decode(
+            cards.cards[i], data[off_b:off_b + lens[i]], psi_i, h, w,
+            native=native)
+        off += gi
+        off_b += lens[i]
+    return y_out
 
 
 # ---------------------------------------------------------------------------

@@ -235,11 +235,12 @@ def test_cli_portable_card_roundtrip(tmp_path):
                                   np.asarray(Image.open(rec2_path)))
 
 
-@pytest.mark.parametrize("name", ["factorized", "scalable"])
+@pytest.mark.parametrize("name", ["factorized", "scalable", "channel_cb"])
 def test_cli_portable_card_roundtrip_other_families(tmp_path, name):
     """--card works for every codec family: factorized saves a
-    FactorizedCard, scalable a namespaced l1_/l2_ card pair; decompress
-    loads the artifact and reconstructs identically to the default path."""
+    FactorizedCard, scalable a namespaced l1_/l2_ card pair, channel_cb a
+    per-group ChannelCBCards set; decompress loads the artifact and
+    reconstructs identically to the default path."""
     img_path = str(tmp_path / "in.png")
     rng = np.random.RandomState(3)
     Image.fromarray((rng.rand(80, 96, 3) * 255).astype(np.uint8)).save(img_path)
