@@ -133,7 +133,7 @@ def main():
                       lambda: codec.decompress(streams[0], as_uint8=True), 1)
         rows.append(r)
 
-        if name in ("checkerboard", "hyperprior"):
+        if name in ("checkerboard", "hyperprior", "channel_cb"):
             print("  building portable card ...", flush=True)
             card = codec.portable_card()
             r, pstreams = _bench(
