@@ -4,6 +4,9 @@ from neural_image_compression_tpu.coding.backend import (
 from neural_image_compression_tpu.coding.cdf_tables import (
     factorized_tables, quantize_pmf_rows,
 )
+from neural_image_compression_tpu.coding.refine import (
+    make_refiner, refine_latents,
+)
 from neural_image_compression_tpu.coding.portable import (
     ChannelCBCards, PortableCard, build_channel_cb_cards,
     portable_ar_decode, portable_ar_encode,
@@ -21,6 +24,7 @@ __all__ = [
     "FactorizedPriorCodec", "JointARCodec",
     "MeanScaleHyperpriorCodec", "ScalableCodec", "bitstream_bpp",
     "stream_size", "wavefront_order",
+    "make_refiner", "refine_latents",
     "ChannelCBCards", "PortableCard", "build_channel_cb_cards",
     "portable_ar_decode", "portable_ar_encode",
 ]

@@ -161,6 +161,37 @@ def _latents_to_device(y: np.ndarray):
     return jnp.asarray(y, jnp.float32)
 
 
+def _as_latent_grids(y_q, z_q, img_h, img_w, M, mult: int = 64):
+    """Validate/normalize caller-supplied integer latent grids (the
+    compress_latents entry points, e.g. refined latents from
+    coding/refine.py): accepts (h, w, M) or (1, h, w, M); shapes must match
+    the padded img_h x img_w geometry (x16 transform, x4 hyper); values must
+    be integral — these ARE the coded symbols, not something to quantize."""
+    ph, pw = _round_up(img_h, mult), _round_up(img_w, mult)
+    h, w = ph // 16, pw // 16
+    y_q = np.asarray(y_q, np.float32)
+    if y_q.ndim == 4:
+        assert y_q.shape[0] == 1, "one image at a time"
+        y_q = y_q[0]
+    if y_q.shape != (h, w, M):
+        raise ValueError(f"y_q shape {y_q.shape} does not match the padded "
+                         f"{img_h}x{img_w} image's latent grid ({h},{w},{M})")
+    backend._require_integral_latents(y_q)
+    if z_q is None:
+        return y_q, None
+    hz, wz = ph // 64, pw // 64
+    z_q = np.asarray(z_q, np.float32)
+    if z_q.ndim == 4:
+        assert z_q.shape[0] == 1, "one image at a time"
+        z_q = z_q[0]
+    if z_q.shape != (hz, wz, M):
+        raise ValueError(f"z_q shape {z_q.shape} does not match the padded "
+                         f"{img_h}x{img_w} image's hyper grid "
+                         f"({hz},{wz},{M})")
+    backend._require_integral_latents(z_q)
+    return y_q, z_q
+
+
 def _make_synthesis_u8(model):
     """Decoder program with on-device clip+round+*255: only uint8 pixels
     cross the host<->device link (vs the full float reconstruction). The
@@ -591,7 +622,37 @@ class JointARCodec:
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
         z_q = np.asarray(outs[1])[0]  # (hz, wz, M)
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+                                 img_h, img_w, tiles, n_streams)
 
+    def compress_latents(self, y_q, z_q, img_h: int, img_w: int,
+                         tiles=None, n_streams: int = 1) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py) for an img_h x img_w image. The stream is
+        indistinguishable from compress()'s to any decoder: entropy
+        parameters derive only from z_q (hyper) and the coded-y context,
+        never from how y_q was produced. psi comes from the SAME jitted
+        hyper-synthesis program decode uses, on the same integer z_q."""
+        assert n_streams == 1 or tiles is None, \
+            "n_streams and tiles are exclusive"
+        assert 1 <= n_streams <= 255
+        if n_streams > 1 and not NATIVE_AR:
+            raise RuntimeError("n_streams > 1 requires the native coder "
+                               "(unset NIC_DISABLE_NATIVE_AR)")
+        if tiles is not None:
+            assert 1 <= tiles[0] <= 127 and 1 <= tiles[1] <= 255, \
+                "tiles limited to 127 x 255"
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        (psi_dev,) = self._hyper_synthesis(self.variables,
+                                           jnp.asarray(z_q)[None])
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+                                 img_h, img_w, tiles, n_streams)
+
+    def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                     psi: np.ndarray, img_h: int, img_w: int,
+                     tiles, n_streams: int) -> bytes:
+        """Shared coding stage: z stream + wavefront-ordered AR y stream(s)
+        from host latent grids and the (h, w, 2M) psi rows."""
         # --- z stream: per-channel factorized tables -------------------
         zmin = int(z_q.min())
         zmax = int(z_q.max())
@@ -602,8 +663,6 @@ class JointARCodec:
                                          cdfs, offsets, sizes)
 
         # --- y stream(s): wavefront-ordered AR coding -------------------
-        psi = np.asarray(psi_dev)[0]  # (h, w, 2M)
-
         h, w = y_q.shape[:2]
         if n_streams > 1:
             y_payload = self._host_nets.native_coder().encode_n(
@@ -1082,16 +1141,35 @@ class CheckerboardCodec:
 
         outs = self._analysis_q(self.variables, x)
         h, w = outs[0].shape[1], outs[0].shape[2]
-        anchor_prog, nonanchor_prog = self._programs(h, w)
+        anchor_prog, _ = self._programs(h, w)
         # pass 1 enqueues on the DEVICE z_q before any host fetch: psi and
         # the anchor rows pipeline with the y/z downloads over the link
         out_a = anchor_prog(self.variables, outs[1])
-        psi_dev, pa = out_a[0], out_a[1:]
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
         z_q = np.asarray(outs[1])[0]
         backend._require_integral_latents(y_q)
+        return self._encode_from(y_q, z_q, out_a, img_h, img_w, n_streams)
 
+    def compress_latents(self, y_q, z_q, img_h: int, img_w: int,
+                         n_streams: int = 1) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py). Stream-compatible with compress(): entropy
+        parameters derive only from z_q and the coded anchors, through the
+        SAME jitted pass programs decode runs."""
+        assert 1 <= n_streams <= 255
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        anchor_prog, _ = self._programs(y_q.shape[0], y_q.shape[1])
+        out_a = anchor_prog(self.variables, jnp.asarray(z_q)[None])
+        return self._encode_from(y_q, z_q, out_a, img_h, img_w, n_streams)
+
+    def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray, out_a,
+                     img_h: int, img_w: int, n_streams: int) -> bytes:
+        """Shared coding stage from host latent grids and the anchor-pass
+        program output (psi + anchor parameter rows)."""
+        h, w = y_q.shape[:2]
+        psi_dev, pa = out_a[0], out_a[1:]
+        _, nonanchor_prog = self._programs(h, w)
         am = checkerboard_mask(h, w)
         y_anchor = np.where(am[..., None], y_q, 0.0).astype(np.float32)
         pna = nonanchor_prog(self.variables, psi_dev,
@@ -1576,6 +1654,22 @@ class ChannelCheckerboardCodec:
             self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
         z_q = np.asarray(outs[1])[0]
         backend._require_integral_latents(y_q)
+        return self._encode_from(y_q, z_q, psi_dev, img_h, img_w, n_streams)
+
+    def compress_latents(self, y_q, z_q, img_h: int, img_w: int,
+                         n_streams: int = 1) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py). Stream-compatible with compress(): entropy
+        parameters derive only from z_q and the coded groups/anchors,
+        through the SAME jitted pass programs decode runs."""
+        assert 1 <= n_streams <= 255
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        psi_dev = self._psi_prog(self.variables, jnp.asarray(z_q)[None])
+        return self._encode_from(y_q, z_q, psi_dev, img_h, img_w, n_streams)
+
+    def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray, psi_dev,
+                     img_h: int, img_w: int, n_streams: int) -> bytes:
+        """Shared coding stage from host latent grids and the device psi."""
         am = checkerboard_mask(y_q.shape[0], y_q.shape[1])
         rows_t = self._group_passes_encode(y_q, psi_dev, am)
 
@@ -2104,6 +2198,17 @@ class MeanScaleHyperpriorCodec:
         backend._require_integral_latents(y_q)
         return self._encode_one(y_q, z_q, rows_t, img_h, img_w, n_streams)
 
+    def compress_latents(self, y_q, z_q, img_h: int, img_w: int,
+                         n_streams: int = 1) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py). Stream-compatible with compress(): every entropy
+        parameter derives from z_q alone, through the SAME jitted params
+        program decode runs."""
+        assert 1 <= n_streams <= 255
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        rows_t = self._params_prog(self.variables, jnp.asarray(z_q)[None])
+        return self._encode_one(y_q, z_q, rows_t, img_h, img_w, n_streams)
+
     def compress_batch(self, xs: np.ndarray, workers: int = None,
                        n_streams: int = 1) -> list:
         """Encode B images with every device program enqueued before the
@@ -2280,6 +2385,18 @@ class FactorizedPriorCodec:
         y_q = _fetch_y16(self._analysis_q(self.variables, xd)[0], lambda:
                          np.asarray(self._analysis_full()(self.variables,
                                                           xd)[0]))[0]
+        return self._encode_from(y_q, img_h, img_w)
+
+    def compress_latents(self, y_q, img_h: int, img_w: int,
+                         z_q=None) -> bytes:
+        """Encode a PRE-COMPUTED integer latent grid (e.g. refined by
+        coding/refine.py; z_q is accepted and ignored so the factorized
+        family shares the other codecs' call shape — the refiner returns an
+        empty placeholder). Stream-compatible with compress()."""
+        y_q, _ = _as_latent_grids(y_q, None, img_h, img_w, self.M, mult=16)
+        return self._encode_from(y_q, img_h, img_w)
+
+    def _encode_from(self, y_q: np.ndarray, img_h: int, img_w: int) -> bytes:
         ymin, ymax = int(y_q.min()), int(y_q.max())
         cdfs, offsets, sizes = self._tables(ymin, ymax)
         sym = y_q.reshape(-1, self.M).astype(np.int32)
