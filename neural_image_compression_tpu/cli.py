@@ -325,6 +325,9 @@ def cmd_compress(args):
                  "other; rename the inputs or compress them separately")
     if multi:
         os.makedirs(args.out, exist_ok=True)
+    if getattr(args, "refine", None) and portable:
+        sys.exit("--refine currently applies to the default (per-build) "
+                 "streams only; drop --portable/--card")
     if portable:
         if getattr(args, "streams", None) not in (None, 1):
             sys.exit("--streams does not apply to portable streams (they "
@@ -348,10 +351,41 @@ def cmd_compress(args):
                      "parallel; the scalable codec's layers decode "
                      "concurrently)")
         same_shape = len({p.shape for p in imgs}) == 1
+        refine_steps = getattr(args, "refine", None)
+        if refine_steps:
+            import jax.numpy as jnp
+
+            from neural_image_compression_tpu.coding.refine import (
+                make_refiner,
+            )
+
+            if not hasattr(codec, "compress_latents"):
+                sys.exit(f"--refine is not supported for the "
+                         f"{cfg.model.name} family (no compress_latents)")
+            mult = 16 if cfg.model.name == "factorized" else 64
+            lam = (args.refine_lambda if args.refine_lambda is not None
+                   else cfg.train.lambda_rd)
+            refiner = make_refiner(model, {"params": params}, lam,
+                                   steps=refine_steps, lr=args.refine_lr)
+            kw = {"n_streams": n_streams} if n_streams > 1 else {}
+            streams = []
+            for src, p in zip(args.image, imgs):
+                h0, w0 = p.shape[1], p.shape[2]
+                xp = pad_to_multiple(p.astype(np.float32) / 255.0, mult)
+                y_q, z_q, m = refiner(jnp.asarray(xp))
+                if cfg.model.name == "factorized":
+                    streams.append(codec.compress_latents(
+                        np.asarray(y_q)[0], h0, w0))
+                else:
+                    streams.append(codec.compress_latents(
+                        np.asarray(y_q)[0], np.asarray(z_q)[0], h0, w0, **kw))
+                print(f"{os.path.basename(src)}: refined {refine_steps} "
+                      f"steps, RD loss {float(m['pre_loss']):.4f} -> "
+                      f"{float(m['post_loss']):.4f} (lambda {lam})")
         # Multi-image jobs prefer the batched path (one TPU pass + threaded
         # host AR) unless the user EXPLICITLY asked for interleaved streams;
         # the auto-streams default must not silently disable it.
-        if (multi and same_shape and getattr(args, "streams", None) is None
+        elif (multi and same_shape and getattr(args, "streams", None) is None
                 and hasattr(codec, "compress_batch")):
             streams = codec.compress_batch(np.concatenate(imgs))
         else:
@@ -584,8 +618,18 @@ def main(argv=None):
                          "stream per core")
     sp.add_argument("--portable", action="store_true",
                     help="cross-machine deterministic streams (integer "
-                         "codec path; joint-AR, checkerboard, hyperprior, "
-                         "factorized and scalable models)")
+                         "codec path; joint-AR, checkerboard, channel_cb, "
+                         "hyperprior, factorized and scalable models)")
+    sp.add_argument("--refine", type=int, default=None, metavar="STEPS",
+                    help="encode-time latent refinement: STEPS Adam steps "
+                         "on the latents against the true R+lambda*D "
+                         "objective before coding (coding/refine.py); "
+                         "decode is unchanged")
+    sp.add_argument("--refine_lr", type=float, default=1e-2,
+                    help="refinement learning rate (default 1e-2)")
+    sp.add_argument("--refine_lambda", type=float, default=None,
+                    help="refinement rate-distortion lambda (default: the "
+                         "config's train.lambda_rd)")
     sp.add_argument("--card", default=None,
                     help="portable-card file: loaded if it exists, else "
                          "built from the model and saved here (implies "

@@ -275,6 +275,31 @@ def test_cli_portable_card_roundtrip_other_families(tmp_path, name):
                                   np.asarray(Image.open(rec2_path)))
 
 
+def test_cli_compress_refine(tmp_path):
+    """--refine optimizes the latents before coding; the stream stays
+    decodable by the unchanged decompress path."""
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(5)
+    Image.fromarray((rng.rand(70, 90, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = "hyperprior"
+    cfg.model.latent_channels = 8
+    cfg.model.K = 1
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path, "--refine", "8", "--refine_lr", "0.02"])
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path])
+    assert np.asarray(Image.open(rec_path)).shape == (70, 90, 3)
+
+
 def test_cli_train_scalable_with_backbone(tmp_path):
     """Scalable training through the CLI with the distillation term live:
     gamma > 0 plus a saved backbone activates FirstHalf(V) + the frozen
