@@ -125,15 +125,35 @@ class CompressionEvaluator:
             print(f"{k}: {v:.6f}")
         return avg, imgs_list, recon_list
 
-    def evaluate_codec(self, codec, **compress_kwargs) -> Dict[str, float]:
+    def evaluate_codec(self, codec, refine_steps: int = 0,
+                       refine_lambda: float = None, refine_lr: float = 1e-2,
+                       **compress_kwargs) -> Dict[str, float]:
         """Real-bitstream evaluation: compress -> decompress every image with
         the given codec and report measured bpp (actual bytes on the wire)
         next to the analytic rate, plus distortion of the decoded output.
         The reference cannot do this — it has no bitstream (SURVEY §2 #29).
-        compress_kwargs forward to codec.compress (e.g. n_streams=8)."""
+        compress_kwargs forward to codec.compress (e.g. n_streams=8).
+
+        refine_steps > 0: encode-time latent refinement (coding/refine.py;
+        refine_lambda is required — pass the model's training lambda) —
+        latents are optimized against R + lambda*D and coded via
+        codec.compress_latents; the decode side is unchanged, so the
+        measured bpp is a true end-to-end number."""
         total_metrics = []
         real_bpps, analytic_bpps = [], []
         model = self.model
+        refiner = None
+        if refine_steps:
+            from neural_image_compression_tpu.coding.refine import (
+                make_refiner,
+            )
+
+            if refine_lambda is None:
+                raise ValueError("refine_steps > 0 requires refine_lambda "
+                                 "(use the model's training lambda)")
+            refiner = make_refiner(model, {"params": self.params},
+                                   refine_lambda, steps=refine_steps,
+                                   lr=refine_lr)
 
         @jax.jit
         def _analysis(params, img, x_hat):
@@ -151,7 +171,21 @@ class CompressionEvaluator:
             # loader must not silently shrink the evaluated set
             for b in range(imgs.shape[0]):
                 img = imgs[b:b + 1]
-                data = codec.compress(img, **compress_kwargs)
+                if refiner is not None:
+                    from neural_image_compression_tpu.data import (
+                        pad_to_multiple,
+                    )
+
+                    xf = img.astype(np.float32)
+                    if img.dtype == np.uint8:
+                        xf /= 255.0
+                    xp = pad_to_multiple(xf, 64)
+                    y_q, z_q, _ = refiner(jnp.asarray(xp))
+                    data = codec.compress_latents(
+                        np.asarray(y_q)[0], np.asarray(z_q)[0], h, w,
+                        **compress_kwargs)
+                else:
+                    data = codec.compress(img, **compress_kwargs)
                 x_hat = codec.decompress(data)
                 real_bpps.append(len(data) * 8.0 / (h * w))
                 bits, metrics = jax.device_get(_analysis(

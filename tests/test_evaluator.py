@@ -104,6 +104,25 @@ def test_evaluate_codec(tmp_path):
     assert metrics["PSNR(RGB)"] > 0
 
 
+def test_evaluate_codec_refined(tmp_path):
+    """refine_steps routes encoding through refined latents +
+    compress_latents; streams stay decodable and metrics finite."""
+    from neural_image_compression_tpu.coding import JointARCodec
+
+    model = JointAutoregressiveHierarchical(latent_channels=8, K=1)
+    x = np.zeros((1, 192, 192, 3), np.float32)
+    params = model.init({"params": KEY, "noise": KEY}, x,
+                        training=False)["params"]
+    ev = CompressionEvaluator(model, params, _loader(n=1), 0.005,
+                              str(tmp_path))
+    codec = JointARCodec(model, {"params": params})
+    metrics = ev.evaluate_codec(codec, refine_steps=5, refine_lambda=0.005)
+    assert np.isfinite(metrics["BPP(bitstream)"])
+    assert metrics["PSNR(RGB)"] > 0
+    with pytest.raises(ValueError, match="refine_lambda"):
+        ev.evaluate_codec(codec, refine_steps=5)
+
+
 def test_evaluate_codec_covers_full_batch(tmp_path):
     """A batch-N loader must not silently shrink the codec-evaluated set
     (every image goes through compress/decompress)."""
