@@ -325,14 +325,42 @@ def cmd_compress(args):
                  "other; rename the inputs or compress them separately")
     if multi:
         os.makedirs(args.out, exist_ok=True)
-    if getattr(args, "refine", None) and portable:
-        sys.exit("--refine currently applies to the default (per-build) "
-                 "streams only; drop --portable/--card")
     if portable:
         if getattr(args, "streams", None) not in (None, 1):
             sys.exit("--streams does not apply to portable streams (they "
                      "decode serially by spec); drop one of the flags")
-        streams = [codec.compress_portable(p) for p in imgs]
+        refine_steps = getattr(args, "refine", None)
+        if refine_steps:
+            import jax.numpy as jnp
+
+            from neural_image_compression_tpu.coding.refine import (
+                make_refiner,
+            )
+
+            if not hasattr(codec, "compress_latents_portable"):
+                sys.exit(f"--refine is not supported for the "
+                         f"{cfg.model.name} family's portable streams")
+            mult = 16 if cfg.model.name == "factorized" else 64
+            lam = (args.refine_lambda if args.refine_lambda is not None
+                   else cfg.train.lambda_rd)
+            refiner = make_refiner(model, {"params": params}, lam,
+                                   steps=refine_steps, lr=args.refine_lr)
+            streams = []
+            for src, p in zip(args.image, imgs):
+                h0, w0 = p.shape[1], p.shape[2]
+                xp = pad_to_multiple(p.astype(np.float32) / 255.0, mult)
+                y_q, z_q, m = refiner(jnp.asarray(xp))
+                if cfg.model.name == "factorized":
+                    streams.append(codec.compress_latents_portable(
+                        np.asarray(y_q)[0], h0, w0))
+                else:
+                    streams.append(codec.compress_latents_portable(
+                        np.asarray(y_q)[0], np.asarray(z_q)[0], h0, w0))
+                print(f"{os.path.basename(src)}: refined {refine_steps} "
+                      f"steps, RD loss {float(m['pre_loss']):.4f} -> "
+                      f"{float(m['post_loss']):.4f} (lambda {lam})")
+        else:
+            streams = [codec.compress_portable(p) for p in imgs]
         if card_path and not os.path.exists(card_path):
             if cfg.model.name == "scalable":
                 from neural_image_compression_tpu.coding.portable import (

@@ -521,17 +521,35 @@ class JointARCodec:
         (coding/portable.py): the stream decodes bit-exactly on ANY machine
         and implementation holding the same portable card. Rate cost vs
         compress() is the card's parameter quantization (~1%-level)."""
-        from neural_image_compression_tpu.coding import portable as P
-
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
-        card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
         outs = self._analysis_q(self.variables, x)
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
 
+    def compress_latents_portable(self, y_q, z_q, img_h: int,
+                                  img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py) as a PORTABLE cross-machine stream. Stream-
+        compatible with compress_portable(): every entropy parameter
+        derives from z_q (through the card's integer hyper path) and the
+        coded-y context — never from how y_q was produced. z_q is clipped
+        to the card's [zmin, zmax] symbol range (refinement can push z
+        outside the range the card's z tables cover; the clipped grid is
+        what decode reconstructs, so both sides stay bit-identical)."""
+        card = self.portable_card()
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        z_q = np.clip(z_q, card.zmin, card.zmax)
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                              img_h: int, img_w: int) -> bytes:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -1014,17 +1032,31 @@ class CheckerboardCodec:
         is two integer GEMM passes on ANY machine/implementation holding the
         same card — no device in the loop at all (unlike compress(), whose
         pass programs are per-build jitted device code)."""
-        from neural_image_compression_tpu.coding import portable as P
-
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
-        card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
         outs = self._analysis_q(self.variables, x)
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
 
+    def compress_latents_portable(self, y_q, z_q, img_h: int,
+                                  img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py) as a PORTABLE cross-machine stream. Stream-
+        compatible with compress_portable(); z_q is clipped to the card's
+        [zmin, zmax] range (see JointARCodec equivalent)."""
+        card = self.portable_card()
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        z_q = np.clip(z_q, card.zmin, card.zmax)
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                              img_h: int, img_w: int) -> bytes:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -1759,17 +1791,31 @@ class ChannelCheckerboardCodec:
         is 2·G integer GEMM/conv passes on ANY machine/implementation
         holding the same card set — no device in the loop at all (unlike
         compress(), whose pass programs are per-build jitted device code)."""
-        from neural_image_compression_tpu.coding import portable as P
-
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
-        card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
         outs = self._analysis_q(self.variables, x)
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
 
+    def compress_latents_portable(self, y_q, z_q, img_h: int,
+                                  img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py) as a PORTABLE cross-machine stream. Stream-
+        compatible with compress_portable(); z_q is clipped to the card
+        set's [zmin, zmax] range (see JointARCodec equivalent)."""
+        card = self.portable_card()
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        z_q = np.clip(z_q, card.zmin, card.zmax)
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                              img_h: int, img_w: int) -> bytes:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -2096,17 +2142,32 @@ class MeanScaleHyperpriorCodec:
         is one integer GEMM pass on ANY machine/implementation holding the
         same card — no device in the loop at all (unlike compress(), whose
         params program is per-build jitted device code)."""
-        from neural_image_compression_tpu.coding import portable as P
-
         assert x.ndim == 4 and x.shape[0] == 1, "one image at a time"
-        card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         x = jnp.asarray(_pad_input(x, 64))
         outs = self._analysis_q(self.variables, x)
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
 
+    def compress_latents_portable(self, y_q, z_q, img_h: int,
+                                  img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py) as a PORTABLE cross-machine stream. Stream-
+        compatible with compress_portable(): entropy parameters derive from
+        z_q alone through the card's integer hyper path. z_q is clipped to
+        the card's [zmin, zmax] range (see JointARCodec equivalent)."""
+        card = self.portable_card()
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        z_q = np.clip(z_q, card.zmin, card.zmax)
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                              img_h: int, img_w: int) -> bytes:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card = self.portable_card()
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -2416,12 +2477,27 @@ class FactorizedPriorCodec:
 
     def compress_portable(self, x: np.ndarray) -> bytes:
         assert x.ndim == 4 and x.shape[0] == 1
-        card = self.portable_card()
         img_h, img_w = x.shape[1], x.shape[2]
         xd = jnp.asarray(_pad_input(x, 16))
         y_q = _fetch_y16(self._analysis_q(self.variables, xd)[0], lambda:
                          np.asarray(self._analysis_full()(self.variables,
                                                           xd)[0]))[0]
+        return self._encode_portable_from(y_q, img_h, img_w)
+
+    def compress_latents_portable(self, y_q, img_h: int, img_w: int,
+                                  z_q=None) -> bytes:
+        """Encode a PRE-COMPUTED integer latent grid as a PORTABLE stream
+        (z_q accepted and ignored — shared call shape, see
+        compress_latents). y_q is clipped to the card's frozen [ymin, ymax]
+        table range; the clipped grid is what decode reconstructs."""
+        card = self.portable_card()
+        y_q, _ = _as_latent_grids(y_q, None, img_h, img_w, self.M, mult=16)
+        y_q = np.clip(y_q, card.ymin, card.ymax)
+        return self._encode_portable_from(y_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, img_h: int,
+                              img_w: int) -> bytes:
+        card = self.portable_card()
         sym = y_q.reshape(-1, self.M).astype(np.int32)
         index = np.tile(np.arange(self.M, dtype=np.int32), sym.shape[0])
         y_bytes = backend.encode_indexed(sym.reshape(-1), index, card.cdfs,

@@ -300,6 +300,36 @@ def test_cli_compress_refine(tmp_path):
     assert np.asarray(Image.open(rec_path)).shape == (70, 90, 3)
 
 
+def test_cli_compress_refine_portable(tmp_path):
+    """--refine composes with --card: the refined latents ride a portable
+    cross-machine stream (compress_latents_portable) that the portable
+    decompress path decodes."""
+    img_path = str(tmp_path / "in.png")
+    rng = np.random.RandomState(6)
+    Image.fromarray((rng.rand(70, 90, 3) * 255).astype(np.uint8)).save(img_path)
+
+    cfg = Config()
+    cfg.model.name = "hyperprior"
+    cfg.model.latent_channels = 8
+    cfg.model.K = 1
+    cfg.train.checkpoint_path = str(tmp_path / "nockpt")
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        f.write(cfg.to_json())
+
+    card_path = str(tmp_path / "model.card.npz")
+    bit_path = str(tmp_path / "out.nic")
+    rec_path = str(tmp_path / "rec.png")
+    cli_main(["compress", "--config", cfg_path, "--image", img_path,
+              "--out", bit_path, "--card", card_path, "--refine", "6"])
+    assert os.path.exists(card_path)
+    with open(bit_path, "rb") as f:
+        f.read(10)  # the stream exists and is non-trivial
+    cli_main(["decompress", "--config", cfg_path, "--bitstream", bit_path,
+              "--out", rec_path, "--card", card_path])
+    assert np.asarray(Image.open(rec_path)).shape == (70, 90, 3)
+
+
 def test_cli_train_scalable_with_backbone(tmp_path):
     """Scalable training through the CLI with the distillation term live:
     gamma > 0 plus a saved backbone activates FirstHalf(V) + the frozen

@@ -41,6 +41,7 @@ STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural")
 # is on: unclipped lambda=0.08 replicas spiked late in training (joint-AR
 # diverged outright, hyperprior landed on an RD-inverted point).
 CLIP = float(os.environ.get("NIC_CURVES_CLIP", "1.0")) or None
+N_VAL = 0  # set by _data(); recorded in the artifact config
 
 
 class PoolIter:
@@ -70,6 +71,8 @@ def _data():
         pool.append(jnp.asarray(np.stack([ds[int(i)] for i in idx])))
     val = ImageFolderDataset(va_dir, cache=True)
     vals = [np.asarray(val[i])[None] for i in range(len(val))]
+    global N_VAL
+    N_VAL = len(vals)
     return pool, vals
 
 
@@ -119,7 +122,7 @@ def _write_artifact(curves, bd_rate):
                 bd[fam] = {"error": str(e)}
     out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
                       "lambdas": list(LAMBDAS), "corpus": "natural",
-                      "clip_grad_norm": CLIP,
+                      "clip_grad_norm": CLIP, "n_val": N_VAL,
                       "image": "768x512 synth_natural"},
            "curves": curves, "bd_rate_vs_joint_ar": bd}
     path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
@@ -143,24 +146,24 @@ def main():
     os.makedirs(STATE, exist_ok=True)
     pool, vals = _data()
 
-    # Priority order: the gained-vs-fixed BD comparison needs hyperprior,
-    # cross-family BD needs the joint_ar anchor; the artifact is written
-    # after EVERY family so a wall-clock cutoff still leaves a usable file.
-    # NIC_CURVES_FAMILIES=a,b filters.
+    # Priority order: cross-family BD needs the joint_ar anchor first;
+    # channel_cb is the family whose RD evidence is newest; the artifact is
+    # written after EVERY family so a wall-clock cutoff still leaves a
+    # usable file. NIC_CURVES_FAMILIES=a,b filters.
     families = (
-        ("hyperprior", lambda: MeanScaleHyperprior(latent_channels=M, K=K,
-                                                   dtype=jnp.bfloat16),
-         MeanScaleHyperpriorCodec),
         ("joint_ar", lambda: JointAutoregressiveHierarchical(
             latent_channels=M, K=K, dtype=jnp.bfloat16), JointARCodec),
-        ("checkerboard", lambda: CheckerboardHierarchical(
-            latent_channels=M, K=K, dtype=jnp.bfloat16), CheckerboardCodec),
-        ("factorized", lambda: FactorizedPrior(latent_channels=M,
-                                               dtype=jnp.bfloat16),
-         FactorizedPriorCodec),
         ("channel_cb", lambda: ChannelCheckerboardHierarchical(
             latent_channels=M, K=K, dtype=jnp.bfloat16),
          ChannelCheckerboardCodec),
+        ("checkerboard", lambda: CheckerboardHierarchical(
+            latent_channels=M, K=K, dtype=jnp.bfloat16), CheckerboardCodec),
+        ("hyperprior", lambda: MeanScaleHyperprior(latent_channels=M, K=K,
+                                                   dtype=jnp.bfloat16),
+         MeanScaleHyperpriorCodec),
+        ("factorized", lambda: FactorizedPrior(latent_channels=M,
+                                               dtype=jnp.bfloat16),
+         FactorizedPriorCodec),
     )
     only = os.environ.get("NIC_CURVES_FAMILIES")
     if only:

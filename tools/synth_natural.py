@@ -82,7 +82,7 @@ def synth_natural(h: int, w: int, key: int) -> np.ndarray:
     return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
-def make_natural_dataset(root: str, n_train: int = 160, n_val: int = 4):
+def make_natural_dataset(root: str, n_train: int = 160, n_val: int = 24):
     """Build (train 256^2 patches, val 768x512) folders; idempotent."""
     from PIL import Image
 
