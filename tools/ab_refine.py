@@ -14,7 +14,10 @@ Run detached on the chip (one TPU process at a time — CLAUDE.md):
   PYTHONPATH=.:/root/.axon_site nohup python -u tools/ab_refine.py &
 Env: NIC_REFINE_FAMILIES (default joint_ar,hyperprior,channel_cb),
      NIC_REFINE_LAMBDAS (default 0.005,0.02), NIC_REFINE_STEPS (default
-     150), NIC_REFINE_LR (default 1e-2).
+     150), NIC_REFINE_LR (default 1e-2), NIC_REFINE_N (default 8: refine
+     the first N of the held-out val images — 150 Adam steps per image
+     make the full 24-image set a multi-hour run; N is recorded in the
+     artifact).
 """
 
 import json
@@ -71,7 +74,8 @@ def main():
 
     _, va_dir = make_natural_dataset("/tmp/nic_natural/data")
     val = ImageFolderDataset(va_dir, cache=True)
-    vals = [np.asarray(val[i])[None] for i in range(len(val))]
+    n = int(os.environ.get("NIC_REFINE_N", "8"))
+    vals = [np.asarray(val[i])[None] for i in range(min(n, len(val)))]
     h, w = vals[0].shape[1:3]
 
     results = {"config": {"M": M, "K": K, "refine_steps": STEPS, "lr": LR,
