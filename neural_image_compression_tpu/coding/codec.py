@@ -2612,13 +2612,31 @@ class ScalableCodec:
         from neural_image_compression_tpu.coding import portable as P
 
         assert x.ndim == 4 and x.shape[0] == 1
-        card1, card2 = self.portable_cards()
         img_h, img_w = x.shape[1], x.shape[2]
         xd = jnp.asarray(_pad_input(x, 64))
         outs = self._analysis_q(self.variables, xd)
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, xd)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def compress_latents_portable(self, y_q, z_q, img_h: int,
+                                  img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py, scalable mode) as a PORTABLE layered stream.
+        Stream-compatible with compress_portable() incl. truncate_base;
+        z_q is clipped to the cards' [zmin, zmax] range (see JointARCodec
+        equivalent)."""
+        card1, _ = self.portable_cards()
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        z_q = np.clip(z_q, card1.zmin, card1.zmax)
+        return self._encode_portable_from(y_q, z_q, img_h, img_w)
+
+    def _encode_portable_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                              img_h: int, img_w: int) -> bytes:
+        from neural_image_compression_tpu.coding import portable as P
+
+        card1, card2 = self.portable_cards()
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
         z_index = np.tile(np.arange(self.M, dtype=np.int32), z_sym.shape[0])
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
@@ -2645,7 +2663,24 @@ class ScalableCodec:
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, xd)[0]))[0]
         z_q = np.asarray(outs[1])[0]
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+                                 img_h, img_w)
 
+    def compress_latents(self, y_q, z_q, img_h: int, img_w: int) -> bytes:
+        """Encode PRE-COMPUTED integer latent grids (e.g. refined by
+        coding/refine.py, scalable mode). Stream-compatible with
+        compress(), incl. truncate_base: entropy parameters derive from
+        z_q (hyper) and each layer's own coded-y context, never from how
+        y_q was produced. psi comes from the SAME jitted hyper-synthesis
+        program decode uses, on the same integer z_q."""
+        y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
+        (psi_dev,) = self._hyper_synthesis(self.variables,
+                                           jnp.asarray(z_q)[None])
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+                                 img_h, img_w)
+
+    def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray,
+                     psi: np.ndarray, img_h: int, img_w: int) -> bytes:
         zmin, zmax = int(z_q.min()), int(z_q.max())
         cdfs, offsets, sizes = self._z_tables(zmin, zmax)
         z_sym = z_q.reshape(-1, self.M).astype(np.int32)
@@ -2653,7 +2688,6 @@ class ScalableCodec:
         z_bytes = backend.encode_indexed(z_sym.reshape(-1), z_index,
                                          cdfs, offsets, sizes)
 
-        psi = np.asarray(psi_dev)[0]
         with ThreadPoolExecutor(max_workers=2) as ex:
             f1 = ex.submit(_ar_encode_latents, self._nets1,
                            np.ascontiguousarray(y_q[..., :self.M1]), psi)

@@ -17,10 +17,12 @@ steps; each step is a decoder+hyper forward/backward — pure MXU work), so
 per-image cost is a handful of device passes with no host round-trips
 inside the loop, and it batches over images for free.
 
-Supported families: every single-layer model (joint_ar/checkerboard/
-channel_cb via entropy_params_from_latents, hyperprior via
-entropy_params_from_hyper, factorized y-only). The two-layer scalable
-family would need a per-layer objective — not implemented.
+Supported families: every model family — single-layer
+(joint_ar/checkerboard/channel_cb via entropy_params_from_latents,
+hyperprior via entropy_params_from_hyper, factorized y-only) and the
+two-layer scalable family (per-layer likelihoods through its own
+context/EP pairs, optimized under the two-layer vision_rd_loss objective
+without the distillation term — the refined stream still truncates).
 """
 
 from typing import Any, Callable, Dict, Tuple
@@ -46,9 +48,14 @@ def _mode(model) -> str:
     from neural_image_compression_tpu.models.factorized_prior import (
         FactorizedPrior,
     )
+    from neural_image_compression_tpu.models.scalable import (
+        ScalableImageCoding,
+    )
 
     if isinstance(model, FactorizedPrior):
         return "factorized"
+    if isinstance(model, ScalableImageCoding):
+        return "scalable"
     if hasattr(type(model), "entropy_params_from_latents"):
         return "ctx"
     if hasattr(type(model), "entropy_params_from_hyper"):
@@ -83,6 +90,32 @@ def make_refiner(model, variables, lambda_rd: float, steps: int = 100,
         def out_from(latents):
             (y,) = latents
             return model.apply(variables, _ste_round(y), method=body)
+    elif mode == "scalable":
+        def body(mdl, y_in, z_in):
+            m1 = mdl.base_channels
+            y1, y2 = y_in[..., :m1], y_in[..., m1:]
+            psi = mdl.hyper_decoder(z_in, False)
+            c1 = jnp.concatenate([mdl.context_model_1(y1), psi], axis=-1)
+            c2 = jnp.concatenate([mdl.context_model_2(y2), psi], axis=-1)
+            if mdl.K == 1:
+                mu1, s1 = mdl.entropy_parameters_1(c1)
+                mu2, s2 = mdl.entropy_parameters_2(c2)
+                p1 = gaussian_likelihood(y1, mu1, s1)
+                p2 = gaussian_likelihood(y2, mu2, s2)
+            else:
+                w1, mu1, s1 = mdl.entropy_parameters_1(c1)
+                w2, mu2, s2 = mdl.entropy_parameters_2(c2)
+                p1 = mixture_likelihood(y1, w1, mu1, s1)
+                p2 = mixture_likelihood(y2, w2, mu2, s2)
+            p_z = mdl.factorized_entropy_model(z_in)
+            x_hat = mdl.decoder(y_in, False).astype(jnp.float32)
+            return {"x_hat": x_hat, "logp_y1": jnp.log(p1),
+                    "logp_y2": jnp.log(p2), "logp_z": jnp.log(p_z)}
+
+        def out_from(latents):
+            y, z = latents
+            return model.apply(variables, _ste_round(y), _ste_round(z),
+                               method=body)
     else:
         def body(mdl, y_in, z_in):
             if mode == "ctx":
@@ -106,7 +139,12 @@ def make_refiner(model, variables, lambda_rd: float, steps: int = 100,
                                method=body)
 
     def loss_fn(latents, x):
-        m = rd_loss(out_from(latents), x, lambda_rd)
+        if mode == "scalable":
+            from neural_image_compression_tpu.train.loss import vision_rd_loss
+
+            m = vision_rd_loss(out_from(latents), x, lambda_rd)
+        else:
+            m = rd_loss(out_from(latents), x, lambda_rd)
         return m["loss"], m
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

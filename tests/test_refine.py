@@ -124,9 +124,63 @@ def test_compress_latents_validates(rig):
         codec.compress_latents(bad, *args)
 
 
-def test_scalable_is_rejected():
+@pytest.fixture(scope="module")
+def scalable_rig():
+    from neural_image_compression_tpu.coding.codec import ScalableCodec
     from neural_image_compression_tpu.models import ScalableImageCoding
 
-    model = ScalableImageCoding(latent_channels=8, base_channels=4)
-    with pytest.raises(NotImplementedError):
-        make_refiner(model, {"params": {}}, 0.01)
+    model = ScalableImageCoding(latent_channels=8, base_channels=4, K=1)
+    x = jax.random.uniform(KEY, (1, 64, 128, 3))
+    variables = {"params": model.init({"params": KEY, "noise": KEY}, x,
+                                      training=False)["params"]}
+    return model, variables, ScalableCodec(model, variables)
+
+
+def test_scalable_refinement_improves_rd(scalable_rig):
+    """The two-layer family refines under its own vision_rd_loss objective
+    (per-layer likelihoods, no distillation term). vision_rd_loss keeps the
+    reference's raw-MSE lambda semantic (no 255^2 factor —
+    RateDistortionLoss.py:98), so the single-layer families' lambda=0.01
+    corresponds to ~650 here."""
+    model, variables, _ = scalable_rig
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    refine = make_refiner(model, variables, 650.0, steps=120, lr=2e-2)
+    y_q, z_q, m = refine(x)
+    assert float(m["post_loss"]) < float(m["pre_loss"])
+    assert np.isfinite(float(m["post_bpp_total"]))
+    np.testing.assert_array_equal(np.asarray(y_q), np.round(np.asarray(y_q)))
+    np.testing.assert_array_equal(np.asarray(z_q), np.round(np.asarray(z_q)))
+
+
+def test_scalable_compress_latents_matches_compress(scalable_rig):
+    model, variables, codec = scalable_rig
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 128, 3)),
+                   np.float32)
+    from neural_image_compression_tpu.coding.codec import _pad_input
+    y_q = np.asarray(codec._analysis_q(
+        codec.variables, jnp.asarray(_pad_input(x, 64)))[0])[0]
+    z_q = np.asarray(codec._analysis_q(
+        codec.variables, jnp.asarray(_pad_input(x, 64)))[1])[0]
+    assert codec.compress_latents(y_q, z_q, 64, 128) == codec.compress(x)
+    assert (codec.compress_latents_portable(y_q, z_q, 64, 128)
+            == codec.compress_portable(x))
+
+
+def test_scalable_refined_latents_roundtrip(scalable_rig):
+    """Refined latents ride both the float and portable layered streams;
+    the decoded image equals the direct synthesis of the refined grid
+    (pinning exact latent recovery), and truncate_base still applies."""
+    model, variables, codec = scalable_rig
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 128, 3))
+    refine = make_refiner(model, variables, 0.01, steps=10, lr=1e-2)
+    y_q, z_q, _ = refine(x)
+    y_np, z_np = np.asarray(y_q)[0], np.asarray(z_q)[0]
+    (xh_direct,) = codec._synthesis(codec.variables, jnp.asarray(y_q))
+    want = np.clip(np.asarray(xh_direct), 0.0, 1.0)
+    m1 = model.base_channels
+    for data in (codec.compress_latents(y_np, z_np, 64, 128),
+                 codec.compress_latents_portable(y_np, z_np, 64, 128)):
+        np.testing.assert_array_equal(codec.decompress(data), want)
+        y1, f_tilde = codec.decompress_base(codec.truncate_base(data))
+        np.testing.assert_array_equal(y1, y_np[..., :m1])
+        assert np.isfinite(np.asarray(f_tilde)).all()
