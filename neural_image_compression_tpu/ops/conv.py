@@ -109,6 +109,47 @@ def _conv2d_subpel_dx_bwd(stride, padding, res, g):
 _conv2d_subpel_dx.defvjp(_conv2d_subpel_dx_fwd, _conv2d_subpel_dx_bwd)
 
 
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv2d_patches_dw(x: jax.Array, kernel: jax.Array,
+                       stride: int, padding: int) -> jax.Array:
+    """Strided conv whose VJP computes the KERNEL gradient as one
+    patches-GEMM instead of XLA's ConvBackpropFilter lowering.
+
+    Target: boundary convs with tiny cin (the 3->M RGB layer). The MXU is
+    128 lanes wide; a filter-grad that keeps cin on the lane dimension runs
+    at 3/128 lane fill, while the patches form contracts over the full
+    (B*H'*W') dimension with cin*k*k = 75 rows on the sublane axis — a
+    well-shaped GEMM. Input grads keep XLA's stock transpose rule (taken
+    via jax.vjp of the plain conv). Forward is bit-identical to conv2d.
+    Opt-in via NIC_CONV_DW (see conv2d); A/B'd on-chip before any default
+    flips (the custom-dx lesson: isolated wins can be fusion mirages)."""
+    return _conv2d_raw(x, kernel, stride, padding)
+
+
+def _conv2d_patches_dw_fwd(x, kernel, stride, padding):
+    return _conv2d_raw(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv2d_patches_dw_bwd(stride, padding, res, g):
+    x, kernel = res
+    _, vjp_x = jax.vjp(lambda xx: _conv2d_raw(xx, kernel, stride, padding), x)
+    (dx,) = vjp_x(g)
+    k, _, cin, cout = kernel.shape
+    dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                        _DIMENSION_NUMBERS)
+    # (B, H', W', cin*k*k); feature order (cin, kh, kw) — verified in tests
+    pat = jax.lax.conv_general_dilated_patches(
+        x, (k, k), (stride, stride), ((padding, padding), (padding, padding)),
+        dimension_numbers=dn)
+    dk = jnp.einsum("bhwp,bhwo->po", pat, g,
+                    preferred_element_type=jnp.float32)
+    dk = dk.reshape(cin, k, k, cout).transpose(1, 2, 0, 3)
+    return dx, dk.astype(kernel.dtype)
+
+
+_conv2d_patches_dw.defvjp(_conv2d_patches_dw_fwd, _conv2d_patches_dw_bwd)
+
+
 def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
            stride: int = 1, padding: int = 0) -> jax.Array:
     """Plain strided conv, torch-style symmetric integer padding.
@@ -145,6 +186,15 @@ def conv2d(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None,
             if bias is not None:
                 out = out + bias
             return out
+    import os
+    dw = os.environ.get("NIC_CONV_DW")
+    if dw == "patches" or (dw == "auto" and kernel.shape[2] <= 16):
+        # patches-GEMM kernel-grad (see _conv2d_patches_dw); read at trace
+        # time like NIC_CONV_DX
+        out = _conv2d_patches_dw(x, kernel, stride, padding)
+        if bias is not None:
+            out = out + bias
+        return out
     out = _conv2d_raw(x, kernel, stride, padding)
     if bias is not None:
         out = out + bias

@@ -261,3 +261,56 @@ class TestConvCustomDx:
         w = jax.random.normal(jax.random.PRNGKey(1), (5, 5, 4, 8)) * 0.1
         g = jax.grad(lambda x: C.conv2d(x, w, None, 2, 2).sum())(x)
         assert g.shape == x.shape and bool(jnp.isfinite(g).all())
+
+
+class TestConvPatchesDw:
+    """conv2d's patches-GEMM kernel-grad (NIC_CONV_DW) must be a pure
+    lowering change: identical forward, identical gradients (f32 tolerance)
+    vs XLA's stock ConvBackpropFilter, for the geometries the transforms
+    use, including the lane-underfilled 3->M boundary conv it targets."""
+
+    @pytest.mark.parametrize("k,s,p", [(5, 2, 2), (3, 1, 1), (5, 1, 2)])
+    @pytest.mark.parametrize("cin,cout", [(3, 16), (8, 16)])
+    def test_grads_match_stock_rule(self, k, s, p, cin, cout, monkeypatch):
+        from neural_image_compression_tpu.ops import conv as C
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 16, 24, cin))
+        w = jax.random.normal(jax.random.PRNGKey(1), (k, k, cin, cout)) * 0.1
+        b = jax.random.normal(jax.random.PRNGKey(2), (cout,))
+        ho, wo = (16 + 2 * p - k) // s + 1, (24 + 2 * p - k) // s + 1
+        cot = jax.random.normal(jax.random.PRNGKey(3), (4, ho, wo, cout))
+
+        def run(mode):
+            if mode is None:
+                monkeypatch.delenv("NIC_CONV_DW", raising=False)
+            else:
+                monkeypatch.setenv("NIC_CONV_DW", mode)
+
+            def f(x, w, b):
+                return jnp.sum(C.conv2d(x, w, b, s, p) * cot)
+
+            out = C.conv2d(x, w, b, s, p)
+            return out, jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+
+        out_c, g_c = run("patches")
+        out_s, g_s = run(None)
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_s))
+        for u, v in zip(g_c, g_s):
+            # f32 tolerance only: the patches einsum reduces in a different
+            # summation order than ConvBackpropFilter
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_auto_mode_targets_small_cin_only(self, monkeypatch):
+        from neural_image_compression_tpu.ops import conv as C
+
+        monkeypatch.setenv("NIC_CONV_DW", "auto")
+        # cin=3 <= 16: custom path; cin=32 > 16: stock path. Both must be
+        # finite and correctly shaped either way (routing is a pure
+        # lowering choice).
+        for cin in (3, 32):
+            x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, cin))
+            w = jax.random.normal(jax.random.PRNGKey(1), (5, 5, cin, 8)) * 0.1
+            g = jax.grad(lambda w: C.conv2d(x, w, None, 2, 2).sum())(w)
+            assert g.shape == w.shape and bool(jnp.isfinite(g).all())
