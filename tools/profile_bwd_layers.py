@@ -41,14 +41,32 @@ DT = jnp.bfloat16
 PEAK_TFS = 197.0  # v5e bf16
 
 
-def t_prog(fn, *args, iters=30):
-    out = fn(*args)
-    _ = float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _ = float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())
-    return (time.perf_counter() - t0) / iters
+REPEATS = int(os.environ.get("NIC_PROFILE_REPEATS", "30"))
+
+
+def t_prog(scalar_fn, variables, x):
+    """Time `scalar_fn(variables, x) -> scalar` by folding REPEATS
+    evaluations into ONE jitted fori_loop program — a single dispatch, so
+    the ~25-30 ms tunnel round-trip and per-call jit dispatch cost are
+    amortized to nothing (the per-call scheme produced negative
+    differences: dispatch noise exceeded sub-5-ms layer times). The loop
+    body perturbs x by i*1e-12 so XLA cannot hoist the computation out of
+    the loop. Median of 3 timed runs."""
+
+    @jax.jit
+    def run(p, v):
+        def body(i, acc):
+            return acc + scalar_fn(p, v + jnp.float32(i) * 1e-12)
+        return jax.lax.fori_loop(0, REPEATS, body, jnp.float32(0.0))
+
+    _ = float(run(variables, x))  # compile + warm
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(variables, x)
+        _ = float(out)  # host fetch = completion barrier
+        ts.append((time.perf_counter() - t0) / REPEATS)
+    return sorted(ts)[1]
 
 
 def profile_layer(name, module, x_shape, gflop_fwd, gflop_dx, gflop_dw,
@@ -65,11 +83,11 @@ def profile_layer(name, module, x_shape, gflop_fwd, gflop_dx, gflop_dw,
     def _sumg(t):
         return sum(jnp.sum(l.astype(jnp.float32)) for l in jax.tree.leaves(t))
 
-    f = jax.jit(fn)
-    f_dx = jax.jit(lambda p, v: fn(p, v) + _sumg(jax.grad(fn, argnums=1)(p, v)))
-    f_dw = jax.jit(lambda p, v: fn(p, v) + _sumg(jax.grad(fn, argnums=0)(p, v)))
-    f_all = jax.jit(lambda p, v: fn(p, v)
-                    + _sumg(jax.grad(fn, argnums=(0, 1))(p, v)))
+    f = fn
+    f_dx = lambda p, v: fn(p, v) + _sumg(jax.grad(fn, argnums=1)(p, v))
+    f_dw = lambda p, v: fn(p, v) + _sumg(jax.grad(fn, argnums=0)(p, v))
+    f_all = (lambda p, v: fn(p, v)
+             + _sumg(jax.grad(fn, argnums=(0, 1))(p, v)))
 
     tf = t_prog(f, variables, x)
     tdx = t_prog(f_dx, variables, x)
