@@ -41,17 +41,19 @@ DT = jnp.bfloat16
 PEAK_TFS = 197.0  # v5e bf16
 
 
-REPEATS = int(os.environ.get("NIC_PROFILE_REPEATS", "30"))
+REPEATS = int(os.environ.get("NIC_PROFILE_REPEATS", "1000"))
 
 
 def t_prog(scalar_fn, variables, x):
     """Time `scalar_fn(variables, x) -> scalar` by folding REPEATS
     evaluations into ONE jitted fori_loop program — a single dispatch, so
     the ~25-30 ms tunnel round-trip and per-call jit dispatch cost are
-    amortized to nothing (the per-call scheme produced negative
-    differences: dispatch noise exceeded sub-5-ms layer times). The loop
-    body perturbs x by i*1e-12 so XLA cannot hoist the computation out of
-    the loop. Median of 3 timed runs."""
+    amortized to ~RTT/REPEATS (the per-call scheme produced negative
+    differences: dispatch noise exceeded sub-5-ms layer times, and
+    REPEATS=30 still left a ~1 ms/iter RTT floor that swamped sub-ms
+    layers — hence the 1000 default). The loop body perturbs x by i*1e-12
+    so XLA cannot hoist the computation out of the loop. Median of 3
+    timed runs."""
 
     @jax.jit
     def run(p, v):
