@@ -653,8 +653,10 @@ def main(argv=None):
                          "on the latents against the true R+lambda*D "
                          "objective before coding (coding/refine.py); "
                          "decode is unchanged")
-    sp.add_argument("--refine_lr", type=float, default=1e-2,
-                    help="refinement learning rate (default 1e-2)")
+    sp.add_argument("--refine_lr", type=float, default=1e-3,
+                    help="refinement learning rate (default 1e-3; larger "
+                         "rates measurably DIVERGE on converged models — "
+                         "eval_results/ab_latent_refine.json)")
     sp.add_argument("--refine_lambda", type=float, default=None,
                     help="refinement rate-distortion lambda (default: the "
                          "config's train.lambda_rd)")

@@ -66,7 +66,7 @@ def _mode(model) -> str:
 
 
 def make_refiner(model, variables, lambda_rd: float, steps: int = 100,
-                 lr: float = 5e-3) -> Callable[[jax.Array], Tuple]:
+                 lr: float = 1e-3) -> Callable[[jax.Array], Tuple]:
     """Build a jitted `refine(x) -> (y_q, z_q, metrics)`.
 
     x: (B, H, W, 3) float32 in [0, 1], H/W multiples of 64 (16 for the
@@ -179,7 +179,7 @@ def make_refiner(model, variables, lambda_rd: float, steps: int = 100,
 
 
 def refine_latents(model, variables, x, lambda_rd: float, steps: int = 100,
-                   lr: float = 5e-3):
+                   lr: float = 1e-3):
     """One-shot convenience wrapper around make_refiner (builds and jits a
     fresh program per call — reuse make_refiner for many images)."""
     return make_refiner(model, variables, lambda_rd, steps, lr)(x)

@@ -126,7 +126,7 @@ class CompressionEvaluator:
         return avg, imgs_list, recon_list
 
     def evaluate_codec(self, codec, refine_steps: int = 0,
-                       refine_lambda: float = None, refine_lr: float = 1e-2,
+                       refine_lambda: float = None, refine_lr: float = 1e-3,
                        **compress_kwargs) -> Dict[str, float]:
         """Real-bitstream evaluation: compress -> decompress every image with
         the given codec and report measured bpp (actual bytes on the wire)
