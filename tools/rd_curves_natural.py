@@ -36,12 +36,17 @@ STEPS = int(os.environ.get("NIC_CURVES_STEPS", "100000"))
 BATCH = 16
 LAMBDAS = tuple(float(v) for v in os.environ.get(
     "NIC_CURVES_LAMBDAS", "0.001,0.005,0.02,0.08").split(","))
-STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural")
+# _v2 state dir: round-5 retrains on the 2048-patch corpus — round-4
+# pickles under the old dir were trained on the 160-patch regime the
+# round-4 verdict rejected and must never be merged with _v2 curves.
+STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural_v2")
 # Global-norm gradient clipping for every replica (0 disables). The default
 # is on: unclipped lambda=0.08 replicas spiked late in training (joint-AR
 # diverged outright, hyperprior landed on an RD-inverted point).
 CLIP = float(os.environ.get("NIC_CURVES_CLIP", "1.0")) or None
-N_VAL = 0  # set by _data(); recorded in the artifact config
+OUT = os.environ.get("NIC_CURVES_OUT", "rd_curves_natural.json")
+N_VAL = 0   # set by _data(); recorded in the artifact config
+N_TRAIN = 0  # set by _data(); recorded in the artifact config
 
 
 class PoolIter:
@@ -63,16 +68,25 @@ def _data():
     from neural_image_compression_tpu.data import ImageFolderDataset
 
     tr_dir, va_dir = make_natural_dataset("/tmp/nic_natural/data")
-    ds = ImageFolderDataset(tr_dir, cache=True)
+    ds = ImageFolderDataset(tr_dir)
+    # Device-resident pool covering the ENTIRE corpus exactly once per
+    # cycle (round-5: the old 12-batch/192-sample pool re-created the
+    # 160-patch overfit regime on the device side). 2048 images as f32 is
+    # ~1.6 GB HBM — fine next to the vmapped sweep state on a 16 GB chip.
     rng = np.random.RandomState(0)
+    perm = rng.permutation(len(ds))
+    n_batches = len(ds) // BATCH
     pool = []
-    for _ in range(12):
-        idx = rng.randint(0, len(ds), BATCH)
+    for b in range(n_batches):
+        idx = perm[b * BATCH:(b + 1) * BATCH]
         pool.append(jnp.asarray(np.stack([ds[int(i)] for i in idx])))
     val = ImageFolderDataset(va_dir, cache=True)
     vals = [np.asarray(val[i])[None] for i in range(len(val))]
-    global N_VAL
+    global N_VAL, N_TRAIN
     N_VAL = len(vals)
+    N_TRAIN = len(ds)
+    print(f"[data] {N_TRAIN} train patches -> {n_batches} device batches, "
+          f"{N_VAL} val images", flush=True)
     return pool, vals
 
 
@@ -100,7 +114,33 @@ def _eval_point(model, params, Codec, vals, lam):
     return {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
 
 
-def _write_artifact(curves, bd_rate):
+def _curve_health(pts):
+    """Degenerate-point guard (round-5, VERDICT r4 item 2): flags any curve
+    whose points are not RD-sane. Checks, over λ-ascending points:
+      * PSNR monotone non-decreasing with λ (tolerance 0.05 dB);
+      * rate-efficiency: no point pays >=2x the bpp of a lower-λ point for
+        <=0.1 dB PSNR gain (the shape of the r4 hyperprior λ=0.08 failure).
+    Returns a list of human-readable warnings (empty = healthy)."""
+    warns = []
+    pts = sorted(pts, key=lambda p: p["lambda"])
+    for lo, hi in zip(pts, pts[1:]):
+        if hi["psnr"] < lo["psnr"] - 0.05:
+            warns.append(
+                f"PSNR non-monotone: λ={hi['lambda']} gives {hi['psnr']:.2f} dB"
+                f" < λ={lo['lambda']}'s {lo['psnr']:.2f} dB")
+    for lo in pts:
+        for hi in pts:
+            if (hi["bpp"] >= 2.0 * lo["bpp"]
+                    and hi["psnr"] - lo["psnr"] <= 0.1):
+                warns.append(
+                    f"rate-inefficient point: λ={hi['lambda']} pays "
+                    f"{hi['bpp']:.3f} bpp vs λ={lo['lambda']}'s "
+                    f"{lo['bpp']:.3f} for only "
+                    f"{hi['psnr'] - lo['psnr']:+.3f} dB")
+    return warns
+
+
+def _write_artifact(curves, bd_rate, health):
     """Write the artifact with whatever curves exist so far (BD-rate vs the
     joint-AR anchor only once that anchor has run)."""
     bd = {}
@@ -123,9 +163,11 @@ def _write_artifact(curves, bd_rate):
     out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
                       "lambdas": list(LAMBDAS), "corpus": "natural",
                       "clip_grad_norm": CLIP, "n_val": N_VAL,
+                      "n_train": N_TRAIN,
                       "image": "768x512 synth_natural"},
-           "curves": curves, "bd_rate_vs_joint_ar": bd}
-    path = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+           "curves": curves, "health": health,
+           "bd_rate_vs_joint_ar": bd}
+    path = os.path.join(REPO, "eval_results", OUT)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     return bd
@@ -173,13 +215,16 @@ def main():
     # Merge with a previous run's artifact: families NOT selected this run
     # keep their existing points (lets channel_cb etc. be added to the curve
     # set without retraining the others — same corpus/seeds by construction).
-    curves = {}
-    art = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+    curves, health = {}, {}
+    art = os.path.join(REPO, "eval_results", OUT)
     selected = {f[0] for f in families}
     if os.path.exists(art):
         with open(art) as f:
-            prior = json.load(f).get("curves", {})
-        curves.update({k: v for k, v in prior.items() if k not in selected})
+            prior = json.load(f)
+        curves.update({k: v for k, v in prior.get("curves", {}).items()
+                       if k not in selected})
+        health.update({k: v for k, v in prior.get("health", {}).items()
+                       if k not in selected})
     for fam, make_model, Codec in families:
         model = make_model()
         pk = os.path.join(STATE, f"{fam}.pkl")
@@ -208,7 +253,11 @@ def main():
             pts.append(res)
             print(f"[{fam}@{lam}] {json.dumps(res)}", flush=True)
         curves[fam] = pts
-        bd = _write_artifact(curves, bd_rate)
+        warns = _curve_health(pts)
+        health[fam] = warns
+        for w in warns:
+            print(f"[{fam}] HEALTH WARNING: {w}", flush=True)
+        bd = _write_artifact(curves, bd_rate, health)
 
     print(f"\n{'family':14s} {'lambda':>7s} {'bpp':>8s} {'measured':>9s} "
           f"{'psnr':>6s} {'msssim':>7s}")
@@ -220,7 +269,7 @@ def main():
     print("\nBD-rate vs joint_ar (negative = that family saves bits):")
     for fam, v in bd.items():
         print(f"  {fam}: {v}")
-    print(f"-> {os.path.join(REPO, 'eval_results', 'rd_curves_natural.json')}")
+    print(f"-> {os.path.join(REPO, 'eval_results', OUT)}")
 
 
 if __name__ == "__main__":

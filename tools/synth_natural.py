@@ -82,22 +82,31 @@ def synth_natural(h: int, w: int, key: int) -> np.ndarray:
     return (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
 
 
-def make_natural_dataset(root: str, n_train: int = 160, n_val: int = 24):
-    """Build (train 256^2 patches, val 768x512) folders; idempotent."""
+def make_natural_dataset(root: str, n_train: int = 2048, n_val: int = 24):
+    """Build (train 256^2 patches, val 768x512) folders; idempotent.
+
+    n_train default raised 160 -> 2048 (round-5): at 30k steps x batch 16
+    the old 160-patch corpus was ~3,000 epochs of memorization, a regime
+    where a static factorized prior could out-fit the conditional families
+    on val (inverting the literature ordering). 2048 unique patches is
+    ~230 epochs at the same schedule. Images are deterministic per index,
+    so growing n_train extends the corpus without changing existing files
+    (per-file skip below).
+    """
     from PIL import Image
 
     tr = os.path.join(root, "train")
     va = os.path.join(root, "val")
     os.makedirs(tr, exist_ok=True)
     os.makedirs(va, exist_ok=True)
-    if len(os.listdir(tr)) >= n_train and len(os.listdir(va)) >= n_val:
-        return tr, va
     for i in range(n_train):
-        Image.fromarray(synth_natural(256, 256, i)).save(
-            os.path.join(tr, f"p{i:04d}.png"))
+        p = os.path.join(tr, f"p{i:04d}.png")
+        if not os.path.exists(p):
+            Image.fromarray(synth_natural(256, 256, i)).save(p)
     for i in range(n_val):
-        Image.fromarray(synth_natural(512, 768, 50_000 + i)).save(
-            os.path.join(va, f"v{i}.png"))
+        p = os.path.join(va, f"v{i}.png")
+        if not os.path.exists(p):
+            Image.fromarray(synth_natural(512, 768, 50_000 + i)).save(p)
     return tr, va
 
 
