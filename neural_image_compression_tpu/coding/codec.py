@@ -63,6 +63,21 @@ LEAKY_SLOPE = 0.01
 # path that encoded it. Set NIC_DISABLE_NATIVE_AR=1 to force the numpy path.
 NATIVE_AR = os.environ.get("NIC_DISABLE_NATIVE_AR", "") != "1"
 
+# Entropy-parameter fetch dtype for the one/two/2·G-pass float codecs
+# (hyperprior, checkerboard, channel_cb). Their per-image host<->device
+# traffic is dominated by the GMM parameter rows (~7 MB/image f32 at
+# M=128, K=3 on 768x512) over a ~25-30 ms-RTT tunnel; fetching f16 halves
+# it at ~0 rate cost (σ's f16 relative step is 2^-11 — far finer than the
+# portable pipeline's σ-bin grid, which is already rate-neutral on
+# converged models). Determinism is unaffected: encode and decode derive
+# parameters through the SAME jitted program, so both sides see identical
+# f16 values and upcast identically (f16->f32 is exact). Float streams
+# remain self-consistent per device/build/config — NIC_CODEC_PARAM_FETCH
+# is part of that config (set "f32" to decode pre-round-5 streams).
+_PARAM_FETCH = (jnp.float32
+                if os.environ.get("NIC_CODEC_PARAM_FETCH", "f16") == "f32"
+                else jnp.float16)
+
 
 def _round_up(n: int, mult: int) -> int:
     return -(-n // mult) * mult
@@ -476,8 +491,12 @@ class JointARCodec:
         # uint8 inputs compile a second executable with the /255 on device
         # (see _make_analysis).
         self._analysis_q = _make_analysis(model, with_hyper=True)
+        # psi crosses the link in _PARAM_FETCH (f16 default — halves the
+        # (h, w, 2M) download); both directions run this same program and
+        # upcast identically, so the host param path stays bit-identical.
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
-            v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
+            v, zq, method=lambda mdl, z: (
+                mdl.hyper_decoder(z).astype(_PARAM_FETCH),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (
                 mdl.decoder(y.astype(jnp.float32)),)))
@@ -640,7 +659,8 @@ class JointARCodec:
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, x)[0]))[0]  # (h, w, M)
         z_q = np.asarray(outs[1])[0]  # (hz, wz, M)
-        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev,
+                                                      np.float32)[0],
                                  img_h, img_w, tiles, n_streams)
 
     def compress_latents(self, y_q, z_q, img_h: int, img_w: int,
@@ -663,7 +683,8 @@ class JointARCodec:
         y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
         (psi_dev,) = self._hyper_synthesis(self.variables,
                                            jnp.asarray(z_q)[None])
-        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev,
+                                                      np.float32)[0],
                                  img_h, img_w, tiles, n_streams)
 
     def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray,
@@ -734,7 +755,7 @@ class JointARCodec:
 
         # --- y: wavefront AR decode (per independent tile) ---------------
         (psi_dev,) = self._hyper_synthesis(self.variables, jnp.asarray(z_q)[None])
-        psi = np.asarray(psi_dev)[0]
+        psi = np.asarray(psi_dev, np.float32)[0]
 
         if tiles & 0x8000:  # N-way interleaved rANS (exact context)
             n = tiles & 0xFF
@@ -812,7 +833,8 @@ class JointARCodec:
                 self.variables, jnp.asarray(xp[b:b + 1]))[0]))
             for b, p in enumerate(per)])  # (B, h, w, M)
         z_q = np.concatenate([np.asarray(p[1]) for p in per])  # (B, hz, wz, M)
-        psi = np.concatenate([np.asarray(pd) for pd in psi_dev])  # (B, h, w, 2M)
+        psi = np.concatenate([np.asarray(pd, np.float32)
+                              for pd in psi_dev])  # (B, h, w, 2M)
 
         def _one(b):
             zb = z_q[b]
@@ -874,7 +896,8 @@ class JointARCodec:
         # batch-1 hyper-synthesis per image: see compress_batch determinism note
         psi = np.concatenate([
             np.asarray(self._hyper_synthesis(self.variables,
-                                             jnp.asarray(z_all[b])[None])[0])
+                                             jnp.asarray(z_all[b])[None])[0],
+                       np.float32)
             for b in range(z_all.shape[0])])
 
         def _one(b):
@@ -984,9 +1007,9 @@ class CheckerboardCodec:
         def rows(p, idx):
             flat = p.astype(jnp.float32).reshape((h * w,) + p.shape[3:])[idx]
             if K == 1:                       # (n, M) -> (n*M,)
-                return flat.reshape(-1)
+                return flat.reshape(-1).astype(_PARAM_FETCH)
             # (n, K, M) -> (n, M, K) -> (n*M, K)
-            return jnp.swapaxes(flat, 1, 2).reshape(-1, K)
+            return jnp.swapaxes(flat, 1, 2).reshape(-1, K).astype(_PARAM_FETCH)
 
         @jax.jit
         def anchor_prog(v, zq):
@@ -1006,12 +1029,18 @@ class CheckerboardCodec:
         return self._prog_cache[key]
 
     def _coder_rows(self, rows_t):
-        """Downloaded row tensors -> (mus, sigmas, weights) coder args."""
+        """Downloaded row tensors -> f32 (mus, sigmas, weights) coder args.
+
+        Rows arrive in _PARAM_FETCH (f16 by default — half the tunnel
+        bytes); the f16->f32 upcast here is exact, so encode and decode
+        still hand the coder bit-identical values."""
         if self.K == 1:
             mu, sigma = rows_t
-            return np.asarray(mu), np.asarray(sigma), None
+            return (np.asarray(mu, np.float32),
+                    np.asarray(sigma, np.float32), None)
         w, mus, sig = rows_t
-        return np.asarray(mus), np.asarray(sig), np.asarray(w)
+        return (np.asarray(mus, np.float32), np.asarray(sig, np.float32),
+                np.asarray(w, np.float32))
 
     # -- portable mode ------------------------------------------------------
     def portable_card(self):
@@ -1550,8 +1579,8 @@ class ChannelCheckerboardCodec:
         def rows(p, idx):
             flat = p.astype(jnp.float32).reshape((h * w,) + p.shape[3:])[idx]
             if K == 1:
-                return flat.reshape(-1)
-            return jnp.swapaxes(flat, 1, 2).reshape(-1, K)
+                return flat.reshape(-1).astype(_PARAM_FETCH)
+            return jnp.swapaxes(flat, 1, 2).reshape(-1, K).astype(_PARAM_FETCH)
 
         def make(i):
             if i == 0:
@@ -2083,9 +2112,10 @@ class MeanScaleHyperpriorCodec:
                 # (1, h, w, [K,] M) -> (h*w, [K,] M), batch is always 1
                 flat = p.astype(jnp.float32).reshape((-1,) + p.shape[3:])
                 if K == 1:                       # (n, M) -> (n*M,)
-                    return flat.reshape(-1)
+                    return flat.reshape(-1).astype(_PARAM_FETCH)
                 # (n, K, M) -> (n, M, K) -> (n*M, K)
-                return jnp.swapaxes(flat, 1, 2).reshape(-1, K)
+                return jnp.swapaxes(flat, 1, 2).reshape(-1, K).astype(
+                    _PARAM_FETCH)
             return tuple(rows(p) for p in params)
 
         # jit caches one executable per z shape; no per-shape host state
@@ -2116,12 +2146,18 @@ class MeanScaleHyperpriorCodec:
         return self._z_cache[key]
 
     def _coder_rows(self, rows_t):
-        """Downloaded row tensors -> (mus, sigmas, weights) coder args."""
+        """Downloaded row tensors -> f32 (mus, sigmas, weights) coder args.
+
+        Rows arrive in _PARAM_FETCH (f16 by default — half the tunnel
+        bytes); the f16->f32 upcast here is exact, so encode and decode
+        still hand the coder bit-identical values."""
         if self.K == 1:
             mu, sigma = rows_t
-            return np.asarray(mu), np.asarray(sigma), None
+            return (np.asarray(mu, np.float32),
+                    np.asarray(sigma, np.float32), None)
         w, mus, sig = rows_t
-        return np.asarray(mus), np.asarray(sig), np.asarray(w)
+        return (np.asarray(mus, np.float32), np.asarray(sig, np.float32),
+                np.asarray(w, np.float32))
 
     # -- portable mode ------------------------------------------------------
     def portable_card(self):
@@ -2568,8 +2604,12 @@ class ScalableCodec:
         # One fused encode program (x -> integer y_q, z_q); see JointARCodec
         # for why this cannot break codec determinism.
         self._analysis_q = _make_analysis(model, with_hyper=True)
+        # psi crosses the link in _PARAM_FETCH (f16 default — halves the
+        # (h, w, 2M) download); both directions run this same program and
+        # upcast identically, so the host param path stays bit-identical.
         self._hyper_synthesis = jax.jit(lambda v, zq: model.apply(
-            v, zq, method=lambda mdl, z: (mdl.hyper_decoder(z),)))
+            v, zq, method=lambda mdl, z: (
+                mdl.hyper_decoder(z).astype(_PARAM_FETCH),)))
         self._synthesis = jax.jit(lambda v, yq: model.apply(
             v, yq, method=lambda mdl, y: (
                 mdl.decoder(y.astype(jnp.float32)),)))
@@ -2663,7 +2703,8 @@ class ScalableCodec:
         y_q = _fetch_y16(outs[0], lambda: np.asarray(
             self._analysis_full()(self.variables, xd)[0]))[0]
         z_q = np.asarray(outs[1])[0]
-        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev,
+                                                      np.float32)[0],
                                  img_h, img_w)
 
     def compress_latents(self, y_q, z_q, img_h: int, img_w: int) -> bytes:
@@ -2676,7 +2717,8 @@ class ScalableCodec:
         y_q, z_q = _as_latent_grids(y_q, z_q, img_h, img_w, self.M)
         (psi_dev,) = self._hyper_synthesis(self.variables,
                                            jnp.asarray(z_q)[None])
-        return self._encode_from(y_q, z_q, np.asarray(psi_dev)[0],
+        return self._encode_from(y_q, z_q, np.asarray(psi_dev,
+                                                      np.float32)[0],
                                  img_h, img_w)
 
     def _encode_from(self, y_q: np.ndarray, z_q: np.ndarray,
@@ -2747,7 +2789,7 @@ class ScalableCodec:
         else:
             (psi_dev,) = self._hyper_synthesis(self.variables,
                                                jnp.asarray(z_q)[None])
-            psi = np.asarray(psi_dev)[0]
+            psi = np.asarray(psi_dev, np.float32)[0]
         return y1_bytes, y2_bytes, psi, z_q, h, w, portable
 
     def _decode_layer(self, layer: int, payload: bytes, psi, h: int, w: int,

@@ -162,13 +162,29 @@ def main():
             print(f"[{tag}] {json.dumps(res)}", flush=True)
 
     # BD-rate of checkerboard vs joint_ar over the two-point curves
-    # (PCHIP degenerates to the standard log-rate interpolation at 2 points)
+    # (PCHIP degenerates to the standard log-rate interpolation at 2 points).
+    # Validity guard (VERDICT r4 item 7): a Bjøntegaard delta integrates
+    # rate over the curves' common PSNR span — on the noise corpus PSNR
+    # saturates (~0.07 dB span across a 2x rate range) and the integral is
+    # numerically meaningless. Refuse to emit the scalar unless both
+    # curves span >= 0.5 dB.
     try:
         from neural_image_compression_tpu.evaluation.bdrate import bd_rate
 
-        out["bd_rate_checkerboard_vs_joint_pct"] = bd_rate(
-            [(r["measured_bpp"], r["psnr"]) for r in curves["joint_ar"]],
-            [(r["measured_bpp"], r["psnr"]) for r in curves["checkerboard"]])
+        spans = [max(r["psnr"] for r in curves[f])
+                 - min(r["psnr"] for r in curves[f])
+                 for f in ("joint_ar", "checkerboard")]
+        if min(spans) < 0.5:
+            out["bd_rate_checkerboard_vs_joint_pct"] = (
+                f"n/a (PSNR spans {spans[0]:.3f}/{spans[1]:.3f} dB are "
+                "saturated — a BD integral over <0.5 dB is meaningless; "
+                "use the per-lambda rows, or the natural-corpus artifact "
+                "rd_curves_natural.json for cross-family BD-rate)")
+        else:
+            out["bd_rate_checkerboard_vs_joint_pct"] = bd_rate(
+                [(r["measured_bpp"], r["psnr"]) for r in curves["joint_ar"]],
+                [(r["measured_bpp"], r["psnr"])
+                 for r in curves["checkerboard"]])
     except ValueError as e:
         out["bd_rate_checkerboard_vs_joint_pct"] = f"n/a ({e})"
     out["curves"] = curves

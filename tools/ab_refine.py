@@ -35,12 +35,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 M, K = 128, 3
-STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural")
+# _v2: round-5 checkpoints trained on the 2048-patch corpus (the 160-patch
+# regime's checkpoints live in the old un-suffixed dir and are retired).
+STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural_v2")
 LAMBDAS = tuple(float(v) for v in os.environ.get(
     "NIC_REFINE_LAMBDAS", "0.005,0.02").split(","))
 ALL_LAMBDAS = (0.001, 0.005, 0.02, 0.08)  # rd_curves_natural.py order
 STEPS = int(os.environ.get("NIC_REFINE_STEPS", "150"))
 LR = float(os.environ.get("NIC_REFINE_LR", "1e-3"))
+
+
+def _curve_fns(pts):
+    """(measured_bpp, psnr) curve -> (psnr_at_bpp, bpp_at_psnr) interpolators.
+
+    Piecewise-linear in (log2 bpp, psnr) — the Bjøntegaard coordinate
+    system — over the family's own RD curve, so refinement's loss delta can
+    be decomposed into 'gap closed' vs 'moved along the curve' (VERDICT r4
+    item 6). Inputs outside the curve's span are clamped (flagged by the
+    caller via the returned span)."""
+    pts = sorted(pts, key=lambda p: p["measured_bpp"])
+    lb = np.log2([p["measured_bpp"] for p in pts])
+    ps = np.array([p["psnr"] for p in pts])
+
+    def psnr_at_bpp(b):
+        return float(np.interp(np.log2(b), lb, ps))
+
+    def bpp_at_psnr(p):
+        return float(2.0 ** np.interp(p, ps, lb))
+    return psnr_at_bpp, bpp_at_psnr, (float(ps[0]), float(ps[-1]))
 
 
 def main():
@@ -81,7 +103,14 @@ def main():
 
     results = {"config": {"M": M, "K": K, "refine_steps": STEPS, "lr": LR,
                           "image": f"{w}x{h} synth_natural",
-                          "n_images": len(vals)}, "rows": []}
+                          "n_images": len(vals), "state": STATE}, "rows": []}
+    # family RD curves for the bpp-matched decomposition: must be the SAME
+    # checkpoints' curves (rd_curves_natural.json regenerated from STATE)
+    curves_art = os.path.join(REPO, "eval_results", "rd_curves_natural.json")
+    fam_curves = {}
+    if os.path.exists(curves_art):
+        with open(curves_art) as f:
+            fam_curves = json.load(f).get("curves", {})
     for fam in fams:
         make_model, Codec = registry[fam]
         pk = os.path.join(STATE, f"{fam}.pkl")
@@ -124,12 +153,33 @@ def main():
                 })
             agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
             agg.update(family=fam, lam=lam)
+            # λ-consistent decomposition vs the family's OWN curve
+            # (VERDICT r4 item 6): positive psnr_delta_at_post_bpp = true
+            # amortization-gap recovery (above the curve); bpp_saving_at_
+            # equal_psnr_pct < 0 = fewer bits than the curve needs for the
+            # post-refine quality.
+            if fam in fam_curves and len(fam_curves[fam]) >= 2:
+                pab, bap, span = _curve_fns(fam_curves[fam])
+                agg["psnr_on_curve_at_post_bpp"] = pab(agg["post_measured"])
+                agg["psnr_delta_at_post_bpp"] = (
+                    agg["post_psnr"] - agg["psnr_on_curve_at_post_bpp"])
+                agg["curve_bpp_at_post_psnr"] = bap(agg["post_psnr"])
+                agg["bpp_saving_at_equal_psnr_pct"] = 100 * (
+                    agg["post_measured"] / agg["curve_bpp_at_post_psnr"] - 1)
+                agg["curve_psnr_span"] = span
+                agg["off_curve_extrapolated"] = bool(
+                    agg["post_psnr"] < span[0] or agg["post_psnr"] > span[1])
             results["rows"].append(agg)
             print(f"[{fam}@{lam}] loss {agg['pre_loss']:.4f} -> "
                   f"{agg['post_loss']:.4f} ({100 * (agg['post_loss'] / agg['pre_loss'] - 1):+.2f}%)  "
                   f"bpp {agg['pre_measured']:.4f} -> {agg['post_measured']:.4f}  "
                   f"psnr {agg['pre_psnr']:.2f} -> {agg['post_psnr']:.2f}  "
                   f"({agg['refine_s']:.1f}s/img)", flush=True)
+            if "psnr_delta_at_post_bpp" in agg:
+                print(f"[{fam}@{lam}]   vs own curve: "
+                      f"{agg['psnr_delta_at_post_bpp']:+.3f} dB at equal "
+                      f"bpp; {agg['bpp_saving_at_equal_psnr_pct']:+.1f}% "
+                      f"bpp at equal PSNR", flush=True)
 
     out = os.path.join(REPO, "eval_results", "ab_latent_refine.json")
     with open(out, "w") as f:

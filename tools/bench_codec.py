@@ -87,6 +87,7 @@ def _bench(label, fn, n_imgs):
 
 
 def main():
+    import neural_image_compression_tpu.coding.codec as codec_mod
     from neural_image_compression_tpu.coding.codec import (
         ChannelCheckerboardCodec, CheckerboardCodec, JointARCodec,
         MeanScaleHyperpriorCodec,
@@ -95,6 +96,15 @@ def main():
         ChannelCheckerboardHierarchical, CheckerboardHierarchical,
         JointAutoregressiveHierarchical, MeanScaleHyperprior,
     )
+    from tools import chip_health
+
+    # Chip-health gate (VERDICT r4 item 3): this box has documented silent
+    # 2-5x degradation windows; a codec benchmark captured inside one is
+    # worthless. Canary BEFORE and AFTER the timed section; if either side
+    # is outside the known-good envelope the artifact is written to
+    # BENCH_CODEC_degraded.json instead of the committed path (override
+    # with NIC_BENCH_ALLOW_DEGRADED=1).
+    health_pre = chip_health.gate("pre")
 
     key = jax.random.PRNGKey(0)
     imgs = np.asarray(jax.random.uniform(
@@ -103,7 +113,8 @@ def main():
 
     results = {"config": {"M": M, "K": K, "batch": BATCH,
                           "image": "768x512", "train_steps": TRAIN_STEPS,
-                          "host_cpus": os.cpu_count(), "reps": REPS}}
+                          "host_cpus": os.cpu_count(), "reps": REPS,
+                          "param_fetch": codec_mod._PARAM_FETCH.__name__}}
     rows = []
 
     for name, Model, Codec in (
@@ -150,8 +161,37 @@ def main():
             rows.append(r)
             del card
 
+    # f16-vs-f32 parameter-fetch rate delta (one hyperprior image): the
+    # f16 fetch is the round-5 default; this records that its measured
+    # rate cost is ~0 (both sides upcast the identical f16 values).
+    model = MeanScaleHyperprior(latent_channels=M, K=K, dtype=jnp.bfloat16)
+    params = _train_briefly(model, key, min(TRAIN_STEPS, 300))
+    deltas = {}
+    for tag, dt in (("f16", jnp.float16), ("f32", jnp.float32)):
+        old = codec_mod._PARAM_FETCH
+        codec_mod._PARAM_FETCH = dt
+        try:
+            c = MeanScaleHyperpriorCodec(model, {"params": params})
+            s = c.compress(imgs_u8[:1])
+            assert c.decompress(s, as_uint8=True).shape[1:3] == (512, 768)
+            deltas[tag] = len(s)
+        finally:
+            codec_mod._PARAM_FETCH = old
+    results["param_fetch_rate_check"] = {
+        "bytes_f16": deltas["f16"], "bytes_f32": deltas["f32"],
+        "delta_pct": round((deltas["f16"] - deltas["f32"])
+                           / deltas["f32"] * 100, 4)}
+
+    health_post = chip_health.gate("post")
+    degraded = not (health_pre["healthy"] and health_post["healthy"])
+    results["chip_health"] = {"pre": health_pre, "post": health_post,
+                              "degraded": degraded}
     results["rows"] = rows
     out_path = os.path.join(REPO, "BENCH_CODEC.json")
+    if degraded and os.environ.get("NIC_BENCH_ALLOW_DEGRADED", "") != "1":
+        out_path = os.path.join(REPO, "BENCH_CODEC_degraded.json")
+        print("chip-health gate FAILED — refusing to write the committed "
+              f"artifact; results go to {out_path}", flush=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     for r in rows:
