@@ -50,9 +50,10 @@ def main():
     anchors["bd_rate_vs_anchors"] = {
         "note": ("measured-bitstream learned curves (rd_curves_natural.json,"
                  f" {curves['config'].get('steps')} steps, clip "
-                 f"{curves['config'].get('clip_grad_norm')}) vs the anchor"
-                 " quality ladders on the same 24 images; negative = fewer"
-                 " bits than the anchor at equal PSNR"),
+                 f"{curves['config'].get('clip_grad_norm')}, "
+                 f"{curves['config'].get('n_train')} unique train patches)"
+                 " vs the anchor quality ladders on the same 24 images;"
+                 " negative = fewer bits than the anchor at equal PSNR"),
         "families": out,
     }
     with open(anchors_p, "w") as f:
