@@ -1,5 +1,6 @@
 from neural_image_compression_tpu.evaluation.msssim import ms_ssim, ssim, rgb_to_luma
 from neural_image_compression_tpu.evaluation.bdrate import bd_psnr, bd_rate
+from neural_image_compression_tpu.evaluation.health import curve_health
 from neural_image_compression_tpu.evaluation.anchors import (
     classical_rd_curve, classical_rd_point,
 )
