@@ -103,7 +103,8 @@ def interp_lambda(levels: Sequence[float], level) -> float:
 def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
                          steps: int, learning_rate: float = 1e-4,
                          seed: int = 0, rd_loss=None, log_every: int = 0,
-                         log_fn=print, clip_grad_norm=None):
+                         log_fn=print, clip_grad_norm=None,
+                         augment: bool = False):
     """Train one model PER λ simultaneously with a vmapped train step.
 
     TPU-idiomatic sweep: instead of L sequential runs, the step is vmapped
@@ -115,6 +116,17 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
     all replicas. Returns (params_per_lambda: list of pytrees, losses:
     (L,) final losses). log_every > 0 prints per-lambda losses every that
     many steps (one host sync per report).
+
+    augment=True applies per-step on-device dihedral augmentation
+    (independent horizontal flip, vertical flip, and — for square patches
+    — transpose) to the shared batch before the replicas consume it. Zero
+    host cost (three jnp.where selects fused into the step program) and
+    8× the effective pose diversity of a fixed patch pool — the measured
+    mitigation target for the round-5 100k-step overfit finding
+    (eval_results/rd_converged_100k.json: 780 epochs over 2048 fixed
+    patches overfits the high-capacity context families). All λ replicas
+    see the SAME augmented batch (the flip bits come from the shared step
+    key), keeping the sweep's equal-data contract.
     """
     import jax
     import jax.numpy as jnp
@@ -156,10 +168,22 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
 
     from functools import partial
 
+    def _augment(batch, key):
+        # dihedral-group augmentation as three fused selects; shapes are
+        # static (transpose only when H == W), so XLA compiles one program
+        bh, bv, bt = jax.random.bernoulli(key, 0.5, (3,))
+        batch = jnp.where(bh, batch[:, :, ::-1, :], batch)
+        batch = jnp.where(bv, batch[:, ::-1, :, :], batch)
+        if batch.shape[1] == batch.shape[2]:
+            batch = jnp.where(bt, jnp.swapaxes(batch, 1, 2), batch)
+        return batch
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def sweep_step(params, opt_state, batch, rngs):
+    def sweep_step(params, opt_state, batch, rngs, aug_key):
         if batch.dtype == jnp.uint8:
             batch = batch.astype(jnp.float32) / 255.0
+        if augment:
+            batch = _augment(batch, aug_key)
         return jax.vmap(one_step, in_axes=(0, 0, 0, None, 0))(
             params, opt_state, lambdas_arr, batch, rngs)
 
@@ -174,8 +198,15 @@ def vmapped_lambda_sweep(model, lambdas: Sequence[float], train_iter,
             batch = next(it)
         rng, sub = jax.random.split(rng)
         step_rngs = jax.random.split(sub, L)
+        # aug key drawn only in augment mode so augment=False reproduces
+        # the historical rng stream (cached sweep pickles) exactly
+        if augment:
+            rng, aug_key = jax.random.split(rng)
+        else:
+            aug_key = sub
         params, opt_state, losses = sweep_step(params, opt_state,
-                                               jnp.asarray(batch), step_rngs)
+                                               jnp.asarray(batch), step_rngs,
+                                               aug_key)
         if log_every and (i % log_every == 0 or i == steps - 1):
             log_fn(f"  [sweep] step {i} losses "
                    f"{[round(float(v), 4) for v in losses]}")

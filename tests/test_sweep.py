@@ -64,3 +64,38 @@ def test_vmapped_lambda_sweep_with_clip():
         clip_grad_norm=1.0)
     assert len(per_lambda) == 2
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_vmapped_lambda_sweep_augment():
+    """augment=True trains finitely and actually changes the data stream
+    (different final params vs augment=False at equal seed/steps); the
+    augmentation is on-device dihedral — the sweep contract (all replicas
+    share each step's batch) is unchanged."""
+    import jax
+
+    from neural_image_compression_tpu.train import vmapped_lambda_sweep
+
+    rng = np.random.RandomState(0)
+    train = [rng.rand(2, 64, 64, 3).astype(np.float32) for _ in range(2)]
+    model = FactorizedPrior(latent_channels=4)
+    plain, l0 = vmapped_lambda_sweep(model, [0.01], train, steps=6,
+                                     learning_rate=1e-3)
+    auged, l1 = vmapped_lambda_sweep(model, [0.01], train, steps=6,
+                                     learning_rate=1e-3, augment=True)
+    assert np.all(np.isfinite(np.asarray(l1)))
+    a = jax.tree.leaves(plain[0])
+    b = jax.tree.leaves(auged[0])
+    assert any(not np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(a, b))
+
+
+def test_vmapped_sweep_augment_nonsquare():
+    """Non-square patches skip the transpose leg but still flip finitely."""
+    from neural_image_compression_tpu.train import vmapped_lambda_sweep
+
+    rng = np.random.RandomState(1)
+    train = [rng.rand(2, 64, 128, 3).astype(np.float32)]
+    model = FactorizedPrior(latent_channels=4)
+    _, losses = vmapped_lambda_sweep(model, [0.01], train, steps=4,
+                                     learning_rate=1e-3, augment=True)
+    assert np.all(np.isfinite(np.asarray(losses)))

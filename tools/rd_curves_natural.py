@@ -45,6 +45,10 @@ STATE = os.environ.get("NIC_CURVES_STATE", "/tmp/nic_rd_curves_natural_v2")
 # diverged outright, hyperprior landed on an RD-inverted point).
 CLIP = float(os.environ.get("NIC_CURVES_CLIP", "1.0")) or None
 OUT = os.environ.get("NIC_CURVES_OUT", "rd_curves_natural.json")
+# On-device dihedral augmentation per step (train.sweep augment=True): the
+# measured mitigation for the 100k-step overfit finding. Off by default so
+# the committed 30k artifacts' config stays as-trained.
+AUGMENT = os.environ.get("NIC_CURVES_AUGMENT", "") == "1"
 N_VAL = 0   # set by _data(); recorded in the artifact config
 N_TRAIN = 0  # set by _data(); recorded in the artifact config
 
@@ -145,7 +149,7 @@ def _write_artifact(curves, bd_rate, health):
     out = {"config": {"M": M, "K": K, "steps": STEPS, "batch": BATCH,
                       "lambdas": list(LAMBDAS), "corpus": "natural",
                       "clip_grad_norm": CLIP, "n_val": N_VAL,
-                      "n_train": N_TRAIN,
+                      "n_train": N_TRAIN, "augment": AUGMENT,
                       "image": "768x512 synth_natural"},
            "curves": curves, "health": health,
            "bd_rate_vs_joint_ar": bd}
@@ -221,7 +225,7 @@ def main():
             t0 = time.time()
             per_lambda, losses = vmapped_lambda_sweep(
                 model, LAMBDAS, PoolIter(pool), steps=STEPS,
-                log_every=10_000, clip_grad_norm=CLIP)
+                log_every=10_000, clip_grad_norm=CLIP, augment=AUGMENT)
             print(f"[{fam}] sweep done in {(time.time() - t0) / 60:.1f} min, "
                   f"final losses {[round(float(v), 4) for v in losses]}",
                   flush=True)
