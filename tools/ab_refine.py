@@ -14,8 +14,9 @@ Run detached on the chip (one TPU process at a time — CLAUDE.md):
   PYTHONPATH=.:/root/.axon_site nohup python -u tools/ab_refine.py &
 Env: NIC_REFINE_FAMILIES (default joint_ar,hyperprior,channel_cb),
      NIC_REFINE_LAMBDAS (default 0.005,0.02), NIC_REFINE_STEPS (default
-     150), NIC_REFINE_LR (default 1e-3 — 1e-2 diverges on converged
-     models), NIC_REFINE_N (default 8: refine
+     150), NIC_REFINE_LR (default 3e-4 — see the regime note at the
+     constant; 1e-2 diverges on any converged model), NIC_REFINE_N
+     (default 8: refine
      the first N of the held-out val images — 150 Adam steps per image
      make the full 24-image set a multi-hour run; N is recorded in the
      artifact).
@@ -42,7 +43,13 @@ LAMBDAS = tuple(float(v) for v in os.environ.get(
     "NIC_REFINE_LAMBDAS", "0.005,0.02").split(","))
 ALL_LAMBDAS = (0.001, 0.005, 0.02, 0.08)  # rd_curves_natural.py order
 STEPS = int(os.environ.get("NIC_REFINE_STEPS", "150"))
-LR = float(os.environ.get("NIC_REFINE_LR", "1e-3"))
+# LR is checkpoint-regime-dependent and must SHRINK as checkpoints sharpen:
+# 1e-2 diverges on any converged model (r4 probes); 1e-3 was optimal on the
+# r4 overfit-regime checkpoints but RAISES the loss (+5…10%) on the r5
+# well-generalized ones, where 3e-4 gives strict wins at both λ (r5
+# probes, /tmp/r5/refine_probe.log pattern: bpp −2.7%, psnr +0.2 dB at
+# λ=0.02). Probe per checkpoint regime before trusting a default.
+LR = float(os.environ.get("NIC_REFINE_LR", "3e-4"))
 
 
 def _curve_fns(pts):
