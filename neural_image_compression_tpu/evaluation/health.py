@@ -29,6 +29,11 @@ def curve_health(points: Sequence[Dict[str, float]],
 
     * PSNR monotone non-decreasing with λ (tolerance ``psnr_tol_db``) —
       a higher distortion weight must not buy LESS quality;
+    * bpp monotone non-decreasing with λ (2% tolerance) — a higher
+      distortion weight must not buy FEWER bits than a lower one (a
+      round-5 augmented channel_cb λ=0.005 replica landed above its own
+      λ=0.02 sibling's rate at 3 dB less PSNR — rate-dominated outright,
+      which the first two checks cannot see);
     * rate efficiency: no point may pay >= ``rate_factor`` × the bpp of
       another point while gaining <= ``min_gain_db`` PSNR (the shape of
       both historical failures).
@@ -42,6 +47,11 @@ def curve_health(points: Sequence[Dict[str, float]],
             warns.append(
                 f"PSNR non-monotone: λ={hi['lambda']} gives {hi['psnr']:.2f}"
                 f" dB < λ={lo['lambda']}'s {lo['psnr']:.2f} dB")
+        if hi["bpp"] < lo["bpp"] * 0.98:
+            warns.append(
+                f"bpp non-monotone: λ={lo['lambda']} pays {lo['bpp']:.4f}"
+                f" bpp, more than λ={hi['lambda']}'s {hi['bpp']:.4f} — the"
+                f" lower-λ replica is rate-dominated")
     for lo in pts:
         for hi in pts:
             if (hi["bpp"] >= rate_factor * lo["bpp"]

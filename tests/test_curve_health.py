@@ -69,3 +69,18 @@ def test_numpy_float_inputs():
            {"lambda": np.float64(0.02), "bpp": np.float32(0.11),
             "psnr": np.float64(43.7)}]
     assert curve_health(pts) == []
+
+
+def test_r5_bpp_nonmonotone_flagged():
+    # the augmented channel_cb failure: λ=0.005 pays MORE bpp than λ=0.02
+    # at 3 dB less PSNR — rate-dominated, invisible to the PSNR and
+    # rate-factor checks
+    pts = [_pt(0.005, 0.0969, 40.73), _pt(0.02, 0.0935, 43.95)]
+    warns = curve_health(pts)
+    assert any("bpp non-monotone" in w for w in warns)
+
+
+def test_bpp_tolerance_2pct():
+    # within-noise 1% inversion passes
+    pts = [_pt(0.005, 0.100, 40.0), _pt(0.02, 0.099, 43.0)]
+    assert curve_health(pts) == []

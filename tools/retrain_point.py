@@ -80,7 +80,8 @@ def main():
         t0 = time.time()
         per_lambda, losses = vmapped_lambda_sweep(
             model, (LAM,), rdc.PoolIter(pool), steps=rdc.STEPS,
-            log_every=10_000, clip_grad_norm=rdc.CLIP, seed=SEED)
+            log_every=10_000, clip_grad_norm=rdc.CLIP, seed=SEED,
+            augment=rdc.AUGMENT)
         params = per_lambda[0]
         print(f"[{FAMILY}@{LAM}] done in {(time.time() - t0) / 60:.1f} min, "
               f"final loss {float(losses[0]):.4f}", flush=True)
