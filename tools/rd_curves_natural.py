@@ -49,6 +49,10 @@ OUT = os.environ.get("NIC_CURVES_OUT", "rd_curves_natural.json")
 # measured mitigation for the 100k-step overfit finding. Off by default so
 # the committed 30k artifacts' config stays as-trained.
 AUGMENT = os.environ.get("NIC_CURVES_AUGMENT", "") == "1"
+# Corpus size (unique 256² train patches). Deterministic per index, so a
+# larger value EXTENDS the same corpus (superset) — comparisons across
+# sizes hold the generator fixed. Default matches the committed curves.
+NTRAIN = int(os.environ.get("NIC_CURVES_NTRAIN", "2048"))
 N_VAL = 0   # set by _data(); recorded in the artifact config
 N_TRAIN = 0  # set by _data(); recorded in the artifact config
 
@@ -71,15 +75,19 @@ def _data():
 
     from neural_image_compression_tpu.data import ImageFolderDataset
 
-    tr_dir, va_dir = make_natural_dataset("/tmp/nic_natural/data")
+    tr_dir, va_dir = make_natural_dataset("/tmp/nic_natural/data",
+                                          n_train=NTRAIN)
     ds = ImageFolderDataset(tr_dir)
     # Device-resident pool covering the ENTIRE corpus exactly once per
     # cycle (round-5: the old 12-batch/192-sample pool re-created the
     # 160-patch overfit regime on the device side). 2048 images as f32 is
     # ~1.6 GB HBM — fine next to the vmapped sweep state on a 16 GB chip.
     rng = np.random.RandomState(0)
-    perm = rng.permutation(len(ds))
-    n_batches = len(ds) // BATCH
+    # slice to NTRAIN (sorted filenames = index order): the corpus dir may
+    # hold MORE patches from a larger-corpus experiment, and the pool must
+    # match the requested size, not the directory content
+    perm = rng.permutation(min(len(ds), NTRAIN))
+    n_batches = min(len(ds), NTRAIN) // BATCH
     pool = []
     for b in range(n_batches):
         idx = perm[b * BATCH:(b + 1) * BATCH]
@@ -88,7 +96,7 @@ def _data():
     vals = [np.asarray(val[i])[None] for i in range(len(val))]
     global N_VAL, N_TRAIN
     N_VAL = len(vals)
-    N_TRAIN = len(ds)
+    N_TRAIN = min(len(ds), NTRAIN)
     print(f"[data] {N_TRAIN} train patches -> {n_batches} device batches, "
           f"{N_VAL} val images", flush=True)
     return pool, vals
